@@ -1,0 +1,94 @@
+"""URL canonicalization + hashing (SURVEY.md M4, M5, M20, D1 keys).
+
+Hash parity with the reference is load-bearing:
+  * url_hash  = md5(url)              (url_discovery_engine.py:111 — Redis seen-set key)
+  * article_id = f"article_{md5(url)[:8]}_{md5(content)[:8]}" (simple_crawler.py:134-143)
+  * content_hash = sha256(title+content+url)  (enhanced_article.py:84-87)
+
+Canonicalization (our addition, required by north_rule's "canonicalized+hashed
+URLs"): lowercase scheme+host, strip ``www.``, drop default ports, drop
+fragments, strip trailing slash on non-root paths. Deterministic and pure.
+
+All batch functions are vectorized map_batches UDFs: hashing is hashlib per
+row (no Arrow kernel exists), everything else stays in Arrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urlsplit, urlunsplit
+
+import numpy as np
+import pyarrow as pa
+
+
+def canonicalize_url(url: str) -> str:
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return url.strip()
+    scheme = parts.scheme.lower() or "http"
+    host = parts.netloc.lower()
+    if host.startswith("www."):
+        host = host[4:]
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    path = parts.path or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path.rstrip("/") or "/"
+    return urlunsplit((scheme, host, path, parts.query, ""))
+
+
+def host_of(url: str) -> str:
+    """netloc lowercased, www-stripped (simple_crawler.py:122-132) — the
+    partitioning key for politeness + frontier shuffles."""
+    try:
+        host = urlsplit(url).netloc.lower()
+    except ValueError:
+        return ""
+    return host[4:] if host.startswith("www.") else host
+
+
+def md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def sha256_hex(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+def article_id(url: str, content: str) -> str:
+    """simple_crawler.py:134-143 parity."""
+    return f"article_{md5_hex(url)[:8]}_{md5_hex(content)[:8]}"
+
+
+def content_hash(title: str, content: str, url: str) -> str:
+    """enhanced_article.py:84-87 parity: sha256(title+content+url)."""
+    return sha256_hex(f"{title}{content}{url}")
+
+
+def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append canonical_url, host, url_hash (md5 of canonical url) columns."""
+    urls = batch.column(url_col).to_pylist()
+    canon = [canonicalize_url(u or "") for u in urls]
+    hosts = [host_of(c) for c in canon]
+    hashes = [md5_hex(c) for c in canon]
+    return (
+        batch.append_column("canonical_url", pa.array(canon, pa.string()))
+        .append_column("host", pa.array(hosts, pa.string()))
+        .append_column("url_hash", pa.array(hashes, pa.string()))
+    )
+
+
+def hash_partition_batch(batch: pa.Table, col: str, n: int, out: str = "shard") -> pa.Table:
+    """Append ``out`` = int(md5-prefix of col) % n — the explicit hash-partition
+    key used to route rows to filter shards / buckets."""
+    vals = batch.column(col).to_pylist()
+    shards = np.fromiter(
+        (int(hashlib.md5((v or "").encode()).hexdigest()[:8], 16) % n for v in vals),
+        dtype=np.int32,
+        count=len(vals),
+    )
+    return batch.append_column(out, pa.array(shards, pa.int32()))
