@@ -1,0 +1,337 @@
+"""Enrichment operators M10–M20 (SURVEY.md §2.2) + quality/category scoring
+(M16/M18 from content_enhancement.py) as one fused, stateful map_batches stage.
+
+Semantics per the reference (file:line cites against /root/reference/):
+  * excerpt/summary   — first-200-chars word-truncated + first-3-sentences
+                        (content_enricher.py:78-96, :300-303). DIVERGENCE:
+                        nltk.sent_tokenize is unavailable; we use a
+                        deterministic regex sentence splitter.
+  * entities          — people (capitalized bigram heuristic, conf 0.6/0.3),
+                        orgs (suffix regexes, 0.7), locations (preposition +
+                        Capitalized, 0.5), top-10 each (content_enricher.py:98-162)
+  * keywords          — ≥3-alpha-char tokens, stopword filter, top-15 by
+                        frequency (content_enricher.py:164-178)
+  * language          — overlap with 10 common English words, >5 ⇒ 'en'
+                        (content_enricher.py:180-193)
+  * read_time         — max(1, round(words/200)) (content_enricher.py:195-203)
+  * sentiment         — word-list pos/neg sets → (pos−neg)/(pos+neg) + counts
+                        (content_enricher.py:205-229)
+  * topics            — 5 topic dictionaries, ≤3 (content_enricher.py:231-252)
+  * content_hash      — sha256(title+content+url) (content_enricher.py:254-259)
+  * confidence_score  — mean of 3 banded factors, round 2dp
+                        (content_enricher.py:261-298)
+  * quality_score     — banded 0-100 (content_enhancement.py:155-200)
+  * category          — 6 keyword dictionaries, first match wins, else
+                        'general' (content_enhancement.py:202-219)
+
+Stopwords: the standard NLTK English list (public corpus, 179 words) embedded
+verbatim so no corpus download is needed. The ``Enricher`` class is the
+actor-pool form (``map_batches(Enricher, concurrency=N)``): regexes and sets
+are built once per actor in ``__init__`` (ST2 semantics).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pyarrow as pa
+
+# The NLTK English stopword list (public domain corpus), frozen.
+STOPWORDS = frozenset(
+    """i me my myself we our ours ourselves you you're you've you'll you'd your
+    yours yourself yourselves he him his himself she she's her hers herself it
+    it's its itself they them their theirs themselves what which who whom this
+    that that'll these those am is are was were be been being have has had
+    having do does did doing a an the and but if or because as until while of
+    at by for with about against between into through during before after
+    above below to from up down in out on off over under again further then
+    once here there when where why how all any both each few more most other
+    some such no nor not only own same so than too very s t can will just don
+    don't should should've now d ll m o re ve y ain aren aren't couldn
+    couldn't didn didn't doesn doesn't hadn hadn't hasn hasn't haven haven't
+    isn isn't ma mightn mightn't mustn mustn't needn needn't shan shan't
+    shouldn shouldn't wasn wasn't weren weren't won won't wouldn wouldn't""".split()
+)
+
+POSITIVE_WORDS = frozenset(
+    {"good", "great", "excellent", "amazing", "wonderful", "best", "fantastic"}
+)
+NEGATIVE_WORDS = frozenset(
+    {"bad", "terrible", "awful", "horrible", "worst", "negative", "poor"}
+)
+ENGLISH_COMMON = frozenset(
+    {"the", "and", "of", "to", "a", "in", "is", "you", "that", "it"}
+)
+
+TOPIC_KEYWORDS = {
+    "technology": ["ai", "artificial intelligence", "software", "tech", "digital", "computer"],
+    "politics": ["government", "election", "policy", "political", "senate", "congress"],
+    "business": ["market", "economy", "company", "business", "financial", "stock"],
+    "sports": ["game", "team", "player", "sport", "championship", "score"],
+    "health": ["medical", "health", "disease", "hospital", "medicine", "treatment"],
+}
+
+CATEGORY_KEYWORDS = {
+    "politics": ["election", "government", "president", "minister", "congress", "senate", "vote"],
+    "sports": ["game", "team", "player", "score", "championship", "tournament", "olympics"],
+    "technology": ["tech", "software", "computer", "digital", "ai", "artificial intelligence", "robot"],
+    "business": ["market", "stock", "economy", "business", "company", "profit", "investment"],
+    "health": ["health", "medical", "doctor", "hospital", "disease", "medicine", "vaccine"],
+    "entertainment": ["movie", "film", "celebrity", "music", "show", "entertainment", "actor"],
+}
+
+_ORG_PATTERNS = [
+    re.compile(r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\s+(Inc|Corp|Corporation|Company|Co|LLC|Ltd)\b", re.IGNORECASE),
+    re.compile(r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\s+(International|Global|Technologies|Systems)\b", re.IGNORECASE),
+]
+_LOC_PATTERN = re.compile(r"\b(in|at|from|to)\s+([A-Z][a-zA-Z]+(?:\s+[A-Z][a-zA-Z]+)*)\b", re.IGNORECASE)
+_ALPHA3_RE = re.compile(r"\b[a-zA-Z]{3,}\b")
+_ALPHA2_RE = re.compile(r"\b[a-z]{2,}\b")
+_WORD_RE = re.compile(r"\b\w+\b")
+# deterministic sentence splitter (punkt replacement): split after . ! ?
+# followed by whitespace + an uppercase/quote/digit opener
+_SENT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"'0-9])")
+
+
+def sent_tokenize(text: str) -> list[str]:
+    text = text.strip()
+    if not text:
+        return []
+    return [s for s in _SENT_RE.split(text) if s]
+
+
+def truncate_text(text: str, max_length: int) -> str:
+    """content_enricher.py:300-303."""
+    if len(text) <= max_length:
+        return text
+    return text[:max_length].rsplit(" ", 1)[0] + "..."
+
+
+def generate_summary(content: str) -> tuple[str, str]:
+    excerpt = truncate_text(content, 200)
+    sentences = sent_tokenize(content)
+    if len(sentences) >= 3:
+        summary = " ".join(sentences[:3])
+    else:
+        summary = content[:500]
+    return excerpt, summary.strip()
+
+
+def extract_people(text: str) -> list[dict]:
+    people = []
+    words = text.split()
+    for i, word in enumerate(words):
+        if (
+            word.istitle()
+            and len(word) > 1
+            and word.lower() not in STOPWORDS
+            and (i == 0 or (words[i - 1] and words[i - 1][-1] not in [".", "!", "?"]))
+        ):
+            if i + 1 < len(words) and words[i + 1].istitle() and len(words[i + 1]) > 1:
+                people.append({"name": f"{word} {words[i + 1]}", "confidence": 0.6})
+            else:
+                people.append({"name": word, "confidence": 0.3})
+        if len(people) >= 10:
+            break
+    return people[:10]
+
+
+def extract_organizations(text: str) -> list[dict]:
+    orgs = []
+    for pat in _ORG_PATTERNS:
+        for m in pat.finditer(text):
+            orgs.append({"name": m.group(0), "confidence": 0.7})
+            if len(orgs) >= 10:
+                return orgs
+    return orgs[:10]
+
+
+def extract_locations(text: str) -> list[dict]:
+    locs = []
+    for m in _LOC_PATTERN.finditer(text):
+        locs.append({"name": m.group(2), "confidence": 0.5})
+        if len(locs) >= 10:
+            break
+    return locs[:10]
+
+
+def extract_keywords(text_lower_source: str, max_keywords: int = 15) -> list[str]:
+    words = _ALPHA3_RE.findall(text_lower_source.lower())
+    filtered = [w for w in words if w not in STOPWORDS]
+    return [w for w, _ in Counter(filtered).most_common(max_keywords)]
+
+
+def detect_language(content: str) -> str:
+    words = set(_ALPHA2_RE.findall(content.lower()))
+    return "en" if len(words & ENGLISH_COMMON) > 5 else "unknown"
+
+
+def calculate_read_time(content: str) -> int:
+    wc = len(_WORD_RE.findall(content))
+    return max(1, round(wc / 200))
+
+
+def analyze_sentiment(content: str) -> dict:
+    words = set(_WORD_RE.findall(content.lower()))
+    pos = len(words & POSITIVE_WORDS)
+    neg = len(words & NEGATIVE_WORDS)
+    total = pos + neg
+    score = (pos - neg) / total if total > 0 else 0.0
+    return {"overall": score, "positive": pos, "negative": neg, "neutral": len(words) - total}
+
+
+def extract_topics(title: str, content: str) -> list[str]:
+    full_text = f"{title.lower()} {content.lower()}"
+    detected = [t for t, kws in TOPIC_KEYWORDS.items() if any(k in full_text for k in kws)]
+    return detected[:3]
+
+
+def categorize(title: str, content: str) -> str:
+    full = (title + " " + content).lower()
+    for cat, kws in CATEGORY_KEYWORDS.items():
+        if any(k in full for k in kws):
+            return cat
+    return "general"
+
+
+def confidence_score(content_len: int, total_entities: int, n_keywords: int) -> float:
+    factors = []
+    if content_len > 1000:
+        factors.append(0.9)
+    elif content_len > 500:
+        factors.append(0.7)
+    elif content_len > 100:
+        factors.append(0.5)
+    else:
+        factors.append(0.3)
+    if total_entities > 5:
+        factors.append(0.8)
+    elif total_entities > 2:
+        factors.append(0.6)
+    else:
+        factors.append(0.4)
+    if n_keywords >= 5:
+        factors.append(0.7)
+    elif n_keywords >= 2:
+        factors.append(0.5)
+    else:
+        factors.append(0.3)
+    return round(sum(factors) / len(factors), 2)
+
+
+def quality_score(content_len: int, title: str, total_entities: int,
+                  has_authors: bool, has_images: bool) -> int:
+    """content_enhancement.py:155-200: banded 0-100."""
+    score = 0
+    if content_len > 2000:
+        score += 30
+    elif content_len > 1000:
+        score += 25
+    elif content_len > 500:
+        score += 20
+    elif content_len > 200:
+        score += 10
+    if title and title != "No Title":
+        if len(title) > 20:
+            score += 20
+        elif len(title) > 10:
+            score += 15
+    if total_entities > 10:
+        score += 30
+    elif total_entities > 5:
+        score += 20
+    elif total_entities > 2:
+        score += 10
+    if has_authors:
+        score += 10
+    if has_images:
+        score += 10
+    return min(score, 100)
+
+
+ENTITY_TYPE = pa.list_(pa.struct([("name", pa.string()), ("confidence", pa.float64())]))
+SENTIMENT_TYPE = pa.struct(
+    [("overall", pa.float64()), ("positive", pa.int64()),
+     ("negative", pa.int64()), ("neutral", pa.int64())]
+)
+
+
+class Enricher:
+    """Actor-pool enrichment stage (ST2 analogue): all derived columns in one
+    pass. Input columns: title, <content_col>, url, authors, images.
+    """
+
+    def __init__(self, content_col: str = "extracted_text"):
+        self.content_col = content_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        titles = [t or "" for t in batch.column("title").to_pylist()]
+        contents = [c or "" for c in batch.column(self.content_col).to_pylist()]
+        urls = [u or "" for u in batch.column("url").to_pylist()]
+        authors = (
+            batch.column("authors").to_pylist()
+            if "authors" in batch.column_names
+            else [[] for _ in urls]
+        )
+        images = (
+            batch.column("images").to_pylist()
+            if "images" in batch.column_names
+            else [[] for _ in urls]
+        )
+
+        excerpts, summaries, people_l, orgs_l, locs_l = [], [], [], [], []
+        keywords_l, langs, read_times, sentiments, topics_l = [], [], [], [], []
+        hashes, confs, quals, cats = [], [], [], []
+        for title, content, url, auth, imgs in zip(titles, contents, urls, authors, images):
+            excerpt, summary = generate_summary(content)
+            tc = f"{title} {content}"
+            people = extract_people(tc)
+            orgs = extract_organizations(tc)
+            locs = extract_locations(tc)
+            kws = extract_keywords(tc)
+            total_entities = len(people) + len(orgs) + len(locs)
+            excerpts.append(excerpt)
+            summaries.append(summary)
+            people_l.append(people)
+            orgs_l.append(orgs)
+            locs_l.append(locs)
+            keywords_l.append(kws)
+            langs.append(detect_language(content))
+            read_times.append(calculate_read_time(content))
+            sentiments.append(analyze_sentiment(content))
+            topics_l.append(extract_topics(title, content))
+            hashes.append(
+                hashlib.sha256(f"{title}{content}{url}".encode("utf-8")).hexdigest()
+            )
+            confs.append(confidence_score(len(content), total_entities, len(kws)))
+            quals.append(
+                quality_score(len(content), title, total_entities, bool(auth), bool(imgs))
+            )
+            cats.append(categorize(title, content))
+
+        cols = {
+            "excerpt": pa.array(excerpts, pa.string()),
+            "summary": pa.array(summaries, pa.string()),
+            "entities_people": pa.array(people_l, ENTITY_TYPE),
+            "entities_organizations": pa.array(orgs_l, ENTITY_TYPE),
+            "entities_locations": pa.array(locs_l, ENTITY_TYPE),
+            "keywords": pa.array(keywords_l, pa.list_(pa.string())),
+            "language": pa.array(langs, pa.string()),
+            "read_time": pa.array(read_times, pa.int64()),
+            "sentiment": pa.array(sentiments, SENTIMENT_TYPE),
+            "topics": pa.array(topics_l, pa.list_(pa.string())),
+            "content_hash": pa.array(hashes, pa.string()),
+            "confidence_score": pa.array(confs, pa.float64()),
+            "quality_score": pa.array(quals, pa.int64()),
+            "category": pa.array(cats, pa.string()),
+        }
+        for name, arr in cols.items():
+            batch = batch.append_column(name, arr)
+        return batch
+
+
+def enrich_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-function form of the enricher (for small pipelines/tests)."""
+    return Enricher()(batch)

@@ -1,0 +1,189 @@
+"""Unit tests for enrichment (M10-M20), validation (M21), assembly (M22) —
+pinned against reference semantics on deterministic inputs."""
+
+from datetime import datetime
+
+import pyarrow as pa
+import pytest
+
+from omni_ray.functions.enrich import (
+    analyze_sentiment,
+    calculate_read_time,
+    categorize,
+    confidence_score,
+    detect_language,
+    extract_keywords,
+    extract_organizations,
+    extract_people,
+    generate_summary,
+    quality_score,
+    truncate_text,
+)
+from omni_ray.functions.validate import validate_article
+
+AS_OF = datetime(2023, 11, 20)
+
+
+def test_truncate_text():
+    # content_enricher.py:300-303
+    assert truncate_text("short", 200) == "short"
+    long = "word " * 50
+    out = truncate_text(long, 20)
+    assert out == "word word word word..."
+
+
+def test_summary_first_three_sentences():
+    content = "One sentence here. Two sentences here. Three sentences here. Four sentences here."
+    excerpt, summary = generate_summary(content)
+    assert summary == "One sentence here. Two sentences here. Three sentences here."
+    assert excerpt == content  # < 200 chars
+
+
+def test_sentiment_word_lists():
+    s = analyze_sentiment("This is a good and great day but also terrible in part.")
+    assert s["positive"] == 2 and s["negative"] == 1
+    assert s["overall"] == pytest.approx((2 - 1) / 3)
+    neutral = analyze_sentiment("nothing emotional at all here")
+    assert neutral["overall"] == 0.0
+
+
+def test_language_gate():
+    en = ("the cat and the dog ran to a tree in the park and it is nice that you see it "
+          "with more of the words")
+    assert detect_language(en) == "en"
+    assert detect_language("der hund lief zum baum im park und es war gut") == "unknown"
+
+
+def test_read_time():
+    assert calculate_read_time("word " * 199) == 1
+    assert calculate_read_time("word " * 700) == 4  # round(3.5)=4 banker's? round(3.5)→4? no: 3.5→4? python round(3.5)=4
+
+
+def test_keywords_stopword_filter_topk():
+    text = "the economy economy economy market market government and of to in"
+    kws = extract_keywords(text)
+    assert kws[0] == "economy" and kws[1] == "market"
+    assert "the" not in kws and "and" not in kws
+
+
+def test_entities():
+    people = extract_people("Jane Miller met Tom Okafor yesterday.")
+    names = [p["name"] for p in people]
+    assert "Jane Miller" in names
+    orgs = extract_organizations("Acme Corp announced a merger with Globex Inc today.")
+    assert any("Acme Corp" in o["name"] for o in orgs)
+
+
+def test_category_first_match_wins():
+    # 'politics' dict is checked first (content_enhancement.py:204-211)
+    assert categorize("", "the election moved the stock market") == "politics"
+    assert categorize("", "nothing matching at all") == "general"
+
+
+def test_quality_score_bands():
+    # content_enhancement.py:155-200
+    assert quality_score(2500, "A reasonably long headline title", 12, True, True) == 100
+    assert quality_score(0, "", 0, False, False) == 0
+    assert quality_score(600, "Short head", 3, False, False) == 20 + 0 + 10  # title len 10 → no points? len>10 →15
+    # len("Short head") == 10 → not >10 → 0 title points
+    assert quality_score(600, "Short head", 3, False, False) == 30
+
+
+def test_confidence_score():
+    # content_enricher.py:261-298: mean of banded factors
+    assert confidence_score(1200, 6, 10) == round((0.9 + 0.8 + 0.7) / 3, 2)
+    assert confidence_score(50, 0, 0) == round((0.3 + 0.4 + 0.3) / 3, 2)
+
+
+def test_validator_happy_path():
+    r = validate_article(
+        title="A perfectly reasonable headline",
+        url="https://example.com/a",
+        domain="example.com",
+        content="x" * 500,
+        authors=["Jane Miller"],
+        publish_date="2023-11-18T10:00:00Z",
+        as_of=AS_OF,
+    )
+    assert r["is_valid"]
+    assert set(r["passed_checks"]) == {
+        "required_fields", "url_validation", "title_length",
+        "content_length", "date_validation", "author_validation",
+    }
+    # 6 passed / 8, no errors, no warnings
+    assert r["val_quality_score"] == pytest.approx(6 / 8)
+
+
+def test_validator_errors_and_penalties():
+    r = validate_article(
+        title="short",  # <10 → error
+        url="ftp://example.com/a",  # bad scheme → error, invalid
+        domain="example.com",
+        content="tiny",  # <50 → warning
+        authors=[],  # warning
+        publish_date=None,
+        as_of=AS_OF,
+    )
+    assert not r["is_valid"]
+    assert any("Invalid URL scheme" in e for e in r["errors"])
+    assert any("Title too short" in e for e in r["errors"])
+    # passed: required_fields(yes: title/url/domain non-empty) = 1
+    expected = max(0.0, 1 / 8 - 0.3 * 2 - 0.1 * 2)
+    assert r["val_quality_score"] == pytest.approx(expected)
+
+
+def test_validator_blocked_domain_and_dates():
+    r = validate_article(
+        title="A perfectly reasonable headline",
+        url="https://sub.spam.com/x",
+        domain="sub.spam.com",
+        content="x" * 500,
+        authors=["Jane"],
+        publish_date="2031-01-01T00:00:00",
+        as_of=AS_OF,
+    )
+    assert not r["is_valid"]
+    assert any("Blocked domain" in e for e in r["errors"])
+    assert any("future" in w for w in r["warnings"])
+    r2 = validate_article(
+        title="A perfectly reasonable headline",
+        url="https://ok.com/x",
+        domain="ok.com",
+        content="lorem ipsum " + "x" * 500,
+        authors=["J@ne"],
+        publish_date="1999-01-01",
+        as_of=AS_OF,
+    )
+    assert any("placeholder" in w for w in r2["warnings"])
+    assert any("very old" in w for w in r2["warnings"])
+    assert any("unusual characters" in w for w in r2["warnings"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_full_article_pipeline(pages_dir):
+    import ray.data
+
+    from omni_ray.pipelines.articles import article_pipeline, entities_pipeline
+    from omni_ray.schema import ARTICLE41_SCHEMA
+
+    pages = ray.data.read_parquet(f"{pages_dir}/pages")
+    arts = article_pipeline(pages)
+    tbl = pa.Table.from_pylist(arts.take_all(), schema=ARTICLE41_SCHEMA)
+    assert tbl.num_rows > 100
+    # schema is exactly the 41 columns
+    assert [f.name for f in ARTICLE41_SCHEMA] == tbl.column_names
+    # invariants: content_hash parity, id format, score ranges
+    import hashlib
+
+    row = tbl.slice(0, 1).to_pylist()[0]
+    expect = hashlib.sha256(
+        f"{row['title']}{row['content']}{row['url']}".encode()
+    ).hexdigest()
+    assert row["content_hash"] == expect
+    assert row["article_id"].startswith("article_")
+    qs = tbl.column("quality_score").to_pylist()
+    assert all(0 <= q <= 100 for q in qs)
+
+    ents = entities_pipeline(ray.data.from_arrow(tbl)).take_all()
+    assert len(ents) > 0
+    assert set(ents[0]) == {"article_id", "entity_type", "entity_name"}
