@@ -70,16 +70,20 @@ def content_hash(title: str, content: str, url: str) -> str:
 
 
 def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
-    """Append canonical_url, host, url_hash (md5 of canonical url) columns."""
+    """Append (or replace — idempotent) canonical_url, host, url_hash columns."""
     urls = batch.column(url_col).to_pylist()
     canon = [canonicalize_url(u or "") for u in urls]
     hosts = [host_of(c) for c in canon]
     hashes = [md5_hex(c) for c in canon]
-    return (
-        batch.append_column("canonical_url", pa.array(canon, pa.string()))
-        .append_column("host", pa.array(hosts, pa.string()))
-        .append_column("url_hash", pa.array(hashes, pa.string()))
-    )
+    for name, vals in (
+        ("canonical_url", canon), ("host", hosts), ("url_hash", hashes)
+    ):
+        arr = pa.array(vals, pa.string())
+        if name in batch.column_names:
+            batch = batch.set_column(batch.column_names.index(name), name, arr)
+        else:
+            batch = batch.append_column(name, arr)
+    return batch
 
 
 def hash_partition_batch(batch: pa.Table, col: str, n: int, out: str = "shard") -> pa.Table:

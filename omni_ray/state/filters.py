@@ -1,0 +1,164 @@
+"""Sharded URL-seen filter actors (SURVEY.md ST3/D1; north_rule's
+"sharded Bloom/cuckoo-filter URL-seen set").
+
+The reference keeps an exact Redis set of md5(url) (url_discovery_engine.py:
+108-123). Our distributed equivalent is N long-lived ``SeenShard`` actors,
+routed by ``int(url_hash[:8], 16) % N`` (explicit hash partitioning on the
+canonical-url hash). Each shard holds:
+
+  * a Bloom filter (numpy bit array, double hashing from the md5 digest) —
+    the fast path: "definitely unseen" answers need no set lookup, and at
+    10^10-URL scale the bloom absorbs almost all probes;
+  * an exact digest set behind it — confirms bloom positives, so the shard
+    as a whole is EXACT (no false positives leak into dedup decisions, which
+    is what "matches the reference's final URL-seen set" demands). At
+    10^10 URLs the exact tier shards to ~16 B/url × 10^10 / N nodes; the
+    bloom tier alone would be ~1.5 GiB/shard at 1% fpp. A disk-backed exact
+    tier (LSM) would slot in here on a real cluster; in-sandbox the set
+    suffices.
+
+Shards checkpoint to .npz (bloom bits + packed digests) and restore — the
+state half of the wave checkpoint (SURVEY.md §4 checkpoint/resume row).
+
+Batch protocol: ``check_and_add(digests) -> list[bool]`` ("was seen before"),
+one actor call per (batch × shard) — rows are pre-grouped by shard id inside
+the calling map_batches so each batch makes ≤N actor calls, not N per row.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import ray
+
+
+class BloomFilter:
+    """Plain bloom filter over 16-byte md5 digests, double hashing."""
+
+    def __init__(self, n_bits: int = 1 << 23, n_hashes: int = 7):
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, digest: bytes) -> list[int]:
+        h1 = int.from_bytes(digest[:8], "big")
+        h2 = int.from_bytes(digest[8:16], "big") | 1
+        return [((h1 + i * h2) % self.n_bits) for i in range(self.n_hashes)]
+
+    def might_contain(self, digest: bytes) -> bool:
+        for p in self._positions(digest):
+            if not (self.bits[p >> 3] >> (p & 7)) & 1:
+                return False
+        return True
+
+    def add(self, digest: bytes) -> None:
+        for p in self._positions(digest):
+            self.bits[p >> 3] |= 1 << (p & 7)
+
+
+@ray.remote(num_cpus=0.1)
+class SeenShard:
+    """One shard of the URL-seen set. Exact, bloom-fronted, checkpointable."""
+
+    def __init__(self, shard_id: int, n_bits: int = 1 << 23):
+        self.shard_id = shard_id
+        self.bloom = BloomFilter(n_bits=n_bits)
+        self.exact: set[bytes] = set()
+
+    def check_and_add(self, digests: list[bytes]) -> list[bool]:
+        """For each digest: True if already seen; marks all as seen."""
+        out = []
+        bloom, exact = self.bloom, self.exact
+        for d in digests:
+            if bloom.might_contain(d):
+                seen = d in exact  # confirm bloom positive exactly
+            else:
+                seen = False
+            if not seen:
+                bloom.add(d)
+                exact.add(d)
+            out.append(seen)
+        return out
+
+    def contains(self, digests: list[bytes]) -> list[bool]:
+        return [self.bloom.might_contain(d) and d in self.exact for d in digests]
+
+    def size(self) -> int:
+        return len(self.exact)
+
+    def checkpoint(self, path: str) -> str:
+        packed = np.frombuffer(b"".join(sorted(self.exact)), dtype=np.uint8)
+        np.savez_compressed(
+            path, bits=self.bloom.bits, digests=packed,
+            meta=np.array([self.shard_id, self.bloom.n_bits, self.bloom.n_hashes]),
+        )
+        return path
+
+    def restore(self, path: str) -> int:
+        data = np.load(path)
+        meta = data["meta"]
+        self.shard_id = int(meta[0])
+        self.bloom = BloomFilter(n_bits=int(meta[1]), n_hashes=int(meta[2]))
+        self.bloom.bits = data["bits"].copy()
+        raw = data["digests"].tobytes()
+        self.exact = {raw[i : i + 16] for i in range(0, len(raw), 16)}
+        return len(self.exact)
+
+
+class SeenSet:
+    """Driver-side handle over the shard pool."""
+
+    def __init__(self, n_shards: int = 8, n_bits: int = 1 << 23):
+        # anonymous actors: one pool per crawl run (named actors would leak
+        # seen-state across runs in the same Ray session)
+        self.n_shards = n_shards
+        self.shards = [SeenShard.remote(i, n_bits) for i in range(n_shards)]
+
+    @staticmethod
+    def shard_of(url_hash_hex: str, n_shards: int) -> int:
+        return int(url_hash_hex[:8], 16) % n_shards
+
+    def check_and_add_hashes(self, url_hashes_hex: list[str]) -> list[bool]:
+        """Batch check-and-add, preserving input order. Groups by shard so
+        there are ≤ n_shards actor calls for the whole batch."""
+        groups: dict[int, list[int]] = {}
+        digests = [bytes.fromhex(h) for h in url_hashes_hex]
+        for idx, h in enumerate(url_hashes_hex):
+            groups.setdefault(self.shard_of(h, self.n_shards), []).append(idx)
+        futures = {
+            sid: self.shards[sid].check_and_add.remote([digests[i] for i in idxs])
+            for sid, idxs in groups.items()
+        }
+        out = [False] * len(digests)
+        for sid, idxs in groups.items():
+            for i, seen in zip(idxs, ray.get(futures[sid])):
+                out[i] = seen
+        return out
+
+    def total_size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def checkpoint(self, dir_path: str) -> None:
+        os.makedirs(dir_path, exist_ok=True)
+        ray.get(
+            [
+                s.checkpoint.remote(os.path.join(dir_path, f"shard-{i:04d}.npz"))
+                for i, s in enumerate(self.shards)
+            ]
+        )
+
+    def restore(self, dir_path: str) -> int:
+        return sum(
+            ray.get(
+                [
+                    s.restore.remote(os.path.join(dir_path, f"shard-{i:04d}.npz"))
+                    for i, s in enumerate(self.shards)
+                ]
+            )
+        )
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -1,0 +1,135 @@
+"""Crawl-loop conformance tests (BASELINE.md targets):
+  * crawl ordering == single-process oracle of reference semantics
+  * final URL-seen set == oracle's md5 set
+  * resume after kill-at-wave-k produces identical outputs
+  * robots gating counts blocked urls
+"""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from omni_ray.functions.canonical import canonicalize_url, host_of, md5_hex
+from omni_ray.pipelines.frontier import reference_oracle_schedule
+
+
+def _seed_frame(pages_dir):
+    seeds = pq.read_table(f"{pages_dir}/seeds.parquet").to_pandas()
+    seeds["canonical_url"] = seeds["url"].map(canonicalize_url)
+    seeds["host"] = seeds["canonical_url"].map(host_of)
+    seeds["url_hash"] = seeds["canonical_url"].map(md5_hex)
+    return seeds
+
+
+def _run(pages_dir, out_dir, **kw):
+    from omni_ray.pipelines.crawl import run_crawl
+
+    return run_crawl(
+        pages_dir=f"{pages_dir}/pages",
+        seeds_path=f"{pages_dir}/seeds.parquet",
+        out_dir=out_dir,
+        n_buckets=8,
+        n_seen_shards=2,
+        **kw,
+    )
+
+
+def _all_schedules(out_dir) -> pd.DataFrame:
+    frames = []
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d, "schedule.parquet")
+        if d.startswith("epoch=") and os.path.exists(p):
+            f = pq.read_table(p).to_pandas()
+            f["wave"] = int(d.split("=")[1])
+            frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    out = out.sort_values(["wave", "crawl_order"], kind="mergesort").reset_index(drop=True)
+    out["global_order"] = range(len(out))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unbounded_budget_matches_reference_order(pages_dir, tmp_path):
+    out_dir = str(tmp_path / "crawl_unbounded")
+    totals = _run(pages_dir, out_dir, budget_per_host=None)
+    assert totals["waves"] == 1
+
+    sched = _all_schedules(out_dir)
+    oracle = reference_oracle_schedule(_seed_frame(pages_dir), budget_per_host=None)
+    # identical crawl order (url sequence) and identical URL-seen set
+    assert sched["url"].tolist() == oracle["url"].tolist()
+    assert set(sched["url_hash"]) == set(oracle["url_hash"])
+    # fetched + missed == scheduled
+    assert totals["fetched"] + totals["fetch_missed"] == len(sched)
+    assert totals["seen_total"] == len(oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_budgeted_waves_match_oracle(pages_dir, tmp_path):
+    out_dir = str(tmp_path / "crawl_budget")
+    totals = _run(pages_dir, out_dir, budget_per_host=5)
+    assert totals["waves"] > 1
+
+    sched = _all_schedules(out_dir)
+    oracle = reference_oracle_schedule(_seed_frame(pages_dir), budget_per_host=5)
+    assert sched["url"].tolist() == oracle["url"].tolist()
+    # politeness invariant: ≤5 urls per host per wave
+    per = sched.groupby(["wave", "host"]).size()
+    assert per.max() <= 5
+    assert set(sched["url_hash"]) == set(oracle["url_hash"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_after_kill_produces_identical_outputs(pages_dir, tmp_path):
+    full_dir = str(tmp_path / "crawl_full")
+    _run(pages_dir, full_dir, budget_per_host=5)
+    full_sched = _all_schedules(full_dir)
+
+    # run 1: killed after wave 0 (max_waves=1), run 2: resume to completion
+    part_dir = str(tmp_path / "crawl_part")
+    _run(pages_dir, part_dir, budget_per_host=5, max_waves=1)
+    assert os.path.exists(os.path.join(part_dir, "epoch=0000", "_COMPLETE"))
+    _run(pages_dir, part_dir, budget_per_host=5, resume=True)
+    part_sched = _all_schedules(part_dir)
+
+    assert part_sched["url"].tolist() == full_sched["url"].tolist()
+    assert part_sched["wave"].tolist() == full_sched["wave"].tolist()
+    # article outputs of epoch 1+ identical row sets
+    def articles(d):
+        ids = []
+        for e in sorted(os.listdir(d)):
+            p = os.path.join(d, e, "articles")
+            if os.path.isdir(p):
+                import ray.data
+
+                ids.extend(
+                    r["article_id"] for r in ray.data.read_parquet(p).select_columns(["article_id"]).take_all()
+                )
+        return sorted(ids)
+
+    assert articles(part_dir) == articles(full_dir)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_robots_gating(pages_dir, tmp_path):
+    seeds = _seed_frame(pages_dir)
+    # block /sport/ on the busiest host
+    host = seeds["host"].value_counts().index[0]
+    robots_map = {host: "User-agent: *\nDisallow: /sport/\n"}
+    blocked_expected = len(
+        seeds.drop_duplicates("url_hash")[
+            (seeds["host"] == host) & seeds["canonical_url"].str.contains("/sport/")
+        ]
+    )
+    out_dir = str(tmp_path / "crawl_robots")
+    totals = _run(
+        pages_dir, out_dir, budget_per_host=None,
+        robots_map=robots_map, respect_robots=True,
+    )
+    assert totals.get("robots_blocked", 0) == blocked_expected
+    sched = _all_schedules(out_dir)
+    assert not any(
+        (h == host and "/sport/" in u) for h, u in zip(sched["host"], sched["url"])
+    )
