@@ -1,44 +1,125 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship article pipeline over sf0.001 documents.
+``queries()`` — every implemented operator/pipeline from SURVEY.md §2:
+relational ops with DuckDB oracles (see ``oracle_sql``), plus rows-only
+entries for the non-SQL-expressible pipelines (crawl frontier loop, 41-col
+article assembly, near-dup sketches).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
+def _pages_html(doc_id: int, text: str) -> bytes:
+    paras = [text[i : i + 400] for i in range(0, max(len(text), 1), 400)]
+    body = "\n".join(f"<p>{p}</p>" for p in paras)
+    return (
+        f"<html><head><title>Document {doc_id} synthetic article</title>"
+        f'<meta name="author" content="Synthetic Author">'
+        f'<meta property="published_time" content="2024-01-{(doc_id % 27) + 1:02d}T00:00:00Z">'
+        f"</head><body><article>\n{body}\n</article></body></html>"
+    ).encode()
+
+
+def _documents_as_pages(sf_dir: str):
+    """documents(text) → pages(url, warc_ts, html, text, lang) shape."""
+    import pyarrow as pa
+    import ray.data
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        langs = t.column("lang").to_pylist()
+        base = 1_700_000_000_000_000
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://docs.example.com/d/{i}" for i in ids], pa.string()
+                ),
+                "warc_ts": pa.array(
+                    [base + int(i) * 1_000_000 for i in ids], pa.timestamp("us")
+                ),
+                "html": pa.array([_pages_html(i, x) for i, x in zip(ids, texts)], pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents → pages shape → clean/extract/enrich/
+    validate/assemble → 41-column article Dataset."""
+    from omni_ray.pipelines.articles import article_pipeline
+
+    pages = _documents_as_pages("/root/testdata/sf0.001")
+    return article_pipeline(pages, gate_articles=False)
+
+
+def _articles41(sf_dir: str):
+    from omni_ray.pipelines.articles import article_pipeline
+
+    return article_pipeline(_documents_as_pages(sf_dir), gate_articles=False)
+
+
+def _crawl_schedule(sf_dir: str):
+    """Rows-only: full frontier loop (dedup, politeness, priority, fetch) on
+    a deterministic synthetic pages universe sized by sf; returns the global
+    crawl schedule."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from omni_ray.pipelines.crawl import run_crawl
+    from omni_ray.sources.pages import write_pages_dataset
+
+    n_rows = 400 if "0.001" in sf_dir else (1200 if "0.01" in sf_dir else 4000)
+    base = os.path.join(tempfile.gettempdir(), f"omni_ray_crawlq_{n_rows}")
+    write_pages_dataset(base, n_rows=n_rows, seed=42, n_buckets=8)
+    out_dir = tempfile.mkdtemp(prefix="omni_ray_crawl_out_")
+    run_crawl(
+        pages_dir=f"{base}/pages",
+        seeds_path=f"{base}/seeds.parquet",
+        out_dir=out_dir,
+        budget_per_host=16,
+        n_buckets=8,
+        n_seen_shards=2,
+    )
+    frames = []
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d, "schedule.parquet")
+        if d.startswith("epoch=") and os.path.exists(p):
+            f = pq.read_table(p).to_pandas()
+            f["wave"] = int(d.split("=")[1])
+            frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from omni_ray.pipelines.queries import REGISTRY
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in REGISTRY.items()
+    }
+    out["articles41"] = _articles41
+    out["crawl_schedule"] = _crawl_schedule
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from omni_ray.pipelines.queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items()}

@@ -1,0 +1,580 @@
+"""Relational operator surface (SURVEY.md §2.5 A1-A9, §2.6 O1-O4, §2.7 D2/D3,
+§2.4 J1) over the provided testdata tables, each with a DuckDB oracle.
+
+Every function takes ``sf_dir`` and returns a Ray Dataset / pyarrow Table whose
+column NAMES match its oracle SQL exactly (driver compares sorted-column value
+hashes). Float aggregates are rounded on BOTH sides so distributed summation
+order cannot flip the hash (doubles carry ~1e-15 relative error across
+different reduction trees; rounding at 1e-4..1e-6 absorbs it).
+
+Scale notes per query are in the docstrings: reads are column-pruned,
+conditional counts are indicator-column Sums (map-side combinable), small
+join sides are broadcast via ray.put (no shuffle), top-k is sort+limit on
+already-aggregated (small) data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None, filter=None):
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, filter=filter
+    )
+
+
+def _quantize(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
+    """Float aggregate → int64 via round(x*scale): cross-engine hash-stable
+    (pc.round and DuckDB round can differ in the last ulp of a double; an
+    integer representation cannot)."""
+    for name, scale in cols.items():
+        idx = tbl.column_names.index(name)
+        q = pc.cast(pc.round(pc.multiply(tbl.column(name), float(scale))), pa.int64())
+        tbl = tbl.set_column(idx, name, q)
+    return tbl
+
+
+# ---------------------------------------------------------------------------
+# A1-family: grouped / global aggregates
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Headline grouped aggregate (dashboard.py:597-618 family, TPC-H-Q1
+    shape): pruned read → vectorized derived column → combiner-style groupby.
+    """
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= pa.scalar(pd.Timestamp("1998-09-02"))),
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _quantize(
+        tbl,
+        {"sum_qty": 100, "sum_base_price": 100, "sum_disc_price": 10_000,
+         "avg_qty": 1_000_000, "avg_price": 1_000_000, "avg_disc": 1_000_000},
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT)                         AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT)                    AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_disc_price,
+       CAST(round(avg(l_quantity) * 1000000) AS BIGINT)                     AS avg_qty,
+       CAST(round(avg(l_extendedprice) * 1000000) AS BIGINT)                AS avg_price,
+       CAST(round(avg(l_discount) * 1000000) AS BIGINT)                     AS avg_disc,
+       count(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def global_stats(sf_dir: str):
+    """A1: COUNT/COUNT-DISTINCT/AVG/MIN/MAX + conditional count
+    (dashboard.py:597-618). Distinct = two-stage groupby-count (no driver
+    loop); conditional count = indicator Sum."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def ind(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "high", pc.cast(pc.greater_equal(t["o_totalprice"], 100000.0), pa.int64())
+        )
+
+    agg = ds.map_batches(ind, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_orders"),
+        Mean("o_totalprice", alias_name="avg_price"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+        Sum("high", alias_name="n_high_value"),
+    )
+    n_cust = ds.groupby("o_custkey").aggregate(Count(alias_name="c")).count()
+    tbl = pa.table(
+        {
+            "n_orders": pa.array([agg["n_orders"]], pa.int64()),
+            "n_customers": pa.array([n_cust], pa.int64()),
+            "avg_price": pa.array([round(agg["avg_price"] * 1_000_000)], pa.int64()),
+            "min_price": pa.array([round(agg["min_price"] * 100)], pa.int64()),
+            "max_price": pa.array([round(agg["max_price"] * 100)], pa.int64()),
+            "n_high_value": pa.array([agg["n_high_value"]], pa.int64()),
+        }
+    )
+    return tbl
+
+
+SQL_GLOBAL_STATS = """
+SELECT count(*)                               AS n_orders,
+       count(DISTINCT o_custkey)              AS n_customers,
+       CAST(round(avg(o_totalprice) * 1000000) AS BIGINT) AS avg_price,
+       CAST(round(min(o_totalprice) * 100) AS BIGINT)     AS min_price,
+       CAST(round(max(o_totalprice) * 100) AS BIGINT)     AS max_price,
+       CAST(sum(CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value
+FROM orders
+"""
+
+
+def per_category_rollup(sf_dir: str):
+    """A2: GROUP BY category → count, avg (dashboard.py:761-766)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Mean("value", alias_name="avg_value")
+    )
+    return _quantize(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"avg_value": 1_000_000}
+    )
+
+
+SQL_PER_CATEGORY = """
+SELECT event_type, count(*) AS n, CAST(round(avg(value) * 1000000) AS BIGINT) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def per_domain_topk(sf_dir: str):
+    """A3: per-domain rollup with conditional share, ORDER BY count DESC
+    LIMIT 15 (dashboard.py:931-943)."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars", "lang"])
+
+    def ind(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_en", pc.cast(pc.equal(t["lang"], "en"), pa.int64())
+        )
+
+    out = (
+        ds.map_batches(ind, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Mean("n_chars", alias_name="avg_chars"),
+            Sum("is_en", alias_name="n_en"),
+        )
+        .sort(["n_docs", "source"], descending=[True, False])
+        .limit(15)
+    )
+    return _quantize(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"avg_chars": 1_000_000}
+    )
+
+
+SQL_PER_DOMAIN_TOPK = """
+SELECT source, count(*) AS n_docs, CAST(round(avg(n_chars) * 1000000) AS BIGINT) AS avg_chars,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM documents GROUP BY source
+ORDER BY n_docs DESC, source LIMIT 15
+"""
+
+
+def daily_timeseries(sf_dir: str):
+    """A5: articles-per-day series (data_exporter.py:473-486)."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        d = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return pa.table({"day": d})
+
+    out = ds.map_batches(day, batch_format="pyarrow").groupby("day").aggregate(
+        Count(alias_name="n")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_DAILY_TIMESERIES = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n FROM events GROUP BY 1
+"""
+
+
+def daily_type_matrix(sf_dir: str):
+    """A4: (day × type) counts pivoted to one column per type
+    (dashboard.py:839-874 sentiment time-series shape)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def expand(t: pa.Table) -> pa.Table:
+        cols = {"day": pc.strftime(t["ts"], format="%Y-%m-%d")}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        return pa.table(cols)
+
+    out = ds.map_batches(expand, batch_format="pyarrow").groupby("day").aggregate(
+        *[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types]
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_DAILY_TYPE_MATRIX = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+
+def recent_window_count(sf_dir: str):
+    """A6: COUNT over a time window — predicate pushed to the read."""
+    cutoff = pd.Timestamp("2024-01-24")
+    ds = _read(sf_dir, "events", columns=["ts"], filter=(pc.field("ts") >= pa.scalar(cutoff)))
+    return pa.table({"n_recent": pa.array([ds.count()], pa.int64())})
+
+
+SQL_RECENT_WINDOW = """
+SELECT count(*) AS n_recent FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+"""
+
+
+def facet_bands(sf_dir: str):
+    """A9: numeric-range bucket facet (advanced_search.py:151-181)."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def band(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"]
+        b = pc.if_else(
+            pc.less(p, 50000.0), pa.scalar("low"),
+            pc.if_else(
+                pc.less(p, 100000.0), pa.scalar("mid"),
+                pc.if_else(pc.less(p, 200000.0), pa.scalar("high"), pa.scalar("very_high")),
+            ),
+        )
+        return pa.table({"band": b})
+
+    out = ds.map_batches(band, batch_format="pyarrow").groupby("band").aggregate(
+        Count(alias_name="n")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_FACET_BANDS = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 100000 THEN 'mid'
+            WHEN o_totalprice < 200000 THEN 'high'
+            ELSE 'very_high' END AS band,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# O-family: sorts / top-k / pagination
+# ---------------------------------------------------------------------------
+
+
+def topk_by_value(sf_dir: str):
+    """A7/O3: ORDER BY value DESC LIMIT 10, deterministic tiebreak."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_TOPK_BY_VALUE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def filtered_listing(sf_dir: str):
+    """S13/O2: filtered read (predicate pushdown) + ORDER BY ts DESC LIMIT
+    (omni_storage.py:466-525)."""
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"],
+        filter=((pc.field("o_orderstatus") == "O") & (pc.field("o_totalprice") > 150000.0)),
+    )
+    out = (
+        ds.sort(["o_orderdate", "o_orderkey"], descending=[True, False])
+        .limit(100)
+        .drop_columns(["o_orderstatus"])
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_FILTERED_LISTING = """
+SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+ORDER BY o_orderdate DESC, o_orderkey LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# J-family: joins
+# ---------------------------------------------------------------------------
+
+
+def nation_revenue(sf_dir: str):
+    """J1 as broadcast join: orders ⋈ customer ⋈ nation, aggregated per
+    nation. The dimension side (customer×nation lookup) is built once on the
+    driver and ray.put-broadcast into the map stage — no shuffle join."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk_to_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    cust_to_nation = {
+        ck: nk_to_name[nk]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    lookup_ref = ray.put(cust_to_nation)
+
+    class AttachNation:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.lookup.get(ck) for ck in t["o_custkey"].to_pylist()]
+            return t.append_column("n_name", pa.array(names, pa.string()))
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = (
+        ds.map_batches(AttachNation, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+    )
+    return _quantize(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"revenue": 100}
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name, count(*) AS n_orders, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def entities_export_join(sf_dir: str):
+    """J1 exact shape (data_exporter.py:391-396): child rows joined back to
+    parent attributes. Here: lineitem (child) ⋈ orders (parent) — parent side
+    pruned to 2 cols and broadcast-joined via Dataset.join fallback to
+    hash-bucket join. Aggregated per order status for a small result."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    import pyarrow.parquet as pq
+
+    omap = dict(
+        zip(
+            *[
+                pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
+                .column(c)
+                .to_pylist()
+                for c in ("o_orderkey", "o_orderstatus")
+            ]
+        )
+    )
+    ref = ray.put(omap)
+
+    class Attach:
+        def __init__(self):
+            self.m = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            st = [self.m.get(k) for k in t["l_orderkey"].to_pylist()]
+            return t.append_column("o_orderstatus", pa.array(st, pa.string()))
+
+    out = (
+        ds.map_batches(Attach, batch_format="pyarrow", concurrency=2)
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="total_price"))
+    )
+    return _quantize(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"total_price": 100}
+    )
+
+
+SQL_ENTITIES_EXPORT_JOIN = """
+SELECT o_orderstatus, count(*) AS n_items, CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# D-family: dedup / upsert
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(sf_dir: str):
+    """D2: hash-partition + per-group first (content_hash dedup,
+    content_enricher.py:254-259). md5 computed per batch, grouped on the hash."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def h(t: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5((x or "").encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"content_hash": pa.array(hashes, pa.string()), "doc_id": t["doc_id"]})
+
+    out = ds.map_batches(h, batch_format="pyarrow").groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="keeper_id"), Count(alias_name="n_copies")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def last_event_per_user(sf_dir: str):
+    """D3: upsert-as-dedup, last-write-wins per key (omni_storage.py:155-168).
+    groupby(key) → per-group latest by (ts, id)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "event_type", "ts"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False], kind="mergesort")
+        return g.head(1)[["user_id", "event_id", "event_type"]].rename(
+            columns={"event_id": "last_event_id", "event_type": "last_event_type"}
+        )
+
+    out = ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_LAST_EVENT_PER_USER = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def content_hashes(sf_dir: str):
+    """M20/§2.8 hash parity: md5 + sha256 per document, bit-identical to SQL."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def h(t: pa.Table) -> pa.Table:
+        texts = [(x or "").encode() for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "md5_hash": pa.array([hashlib.md5(x).hexdigest() for x in texts], pa.string()),
+                "sha256_hash": pa.array([hashlib.sha256(x).hexdigest() for x in texts], pa.string()),
+            }
+        )
+
+    return ds.map_batches(h, batch_format="pyarrow")
+
+
+SQL_CONTENT_HASHES = """
+SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped: windows / sessions (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+def window_tumbling(sf_dir: str):
+    """Tumbling 1h window per user: groupby(key, window) aggregate."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        hour = pc.strftime(pc.floor_temporal(t["ts"], unit="hour"), format="%Y-%m-%d %H:00:00")
+        return pa.table({"user_id": t["user_id"], "hour": hour, "value": t["value"]})
+
+    out = ds.map_batches(win, batch_format="pyarrow").groupby(["user_id", "hour"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return _quantize(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"sum_value": 1_000_000}
+    )
+
+
+SQL_WINDOW_TUMBLING = """
+SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       count(*) AS n, CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user: partition by key, sort by ts
+    within partition, windowing inside map_groups (ray_guide streaming
+    pattern). Ordering assumption: ts strictly orderable per user with
+    event_id tiebreak."""
+    gap_us = 30 * 60 * 1_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        # normalize to us explicitly — pandas may carry datetime64[us] or [ns]
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
+        new = (ts_us.diff().fillna(0) > gap_us).astype("int64")
+        g["session_id"] = new.cumsum()
+        out = (
+            g.groupby("session_id")
+            .agg(
+                n_events=("event_id", "size"),
+                start_us=("ts", lambda s: int(s.min().value // 1000)),
+                end_us=("ts", lambda s: int(s.max().value // 1000)),
+            )
+            .reset_index()
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_id", "n_events", "start_us", "end_us"]]
+
+    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+FROM s GROUP BY user_id, session_id
+"""
+
+REGISTRY = {
+    "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "global_stats": (global_stats, SQL_GLOBAL_STATS),
+    "per_category_rollup": (per_category_rollup, SQL_PER_CATEGORY),
+    "per_domain_topk": (per_domain_topk, SQL_PER_DOMAIN_TOPK),
+    "daily_timeseries": (daily_timeseries, SQL_DAILY_TIMESERIES),
+    "daily_type_matrix": (daily_type_matrix, SQL_DAILY_TYPE_MATRIX),
+    "recent_window_count": (recent_window_count, SQL_RECENT_WINDOW),
+    "facet_bands": (facet_bands, SQL_FACET_BANDS),
+    "topk_by_value": (topk_by_value, SQL_TOPK_BY_VALUE),
+    "filtered_listing": (filtered_listing, SQL_FILTERED_LISTING),
+    "nation_revenue": (nation_revenue, SQL_NATION_REVENUE),
+    "entities_export_join": (entities_export_join, SQL_ENTITIES_EXPORT_JOIN),
+    "exact_dedup": (exact_dedup, SQL_EXACT_DEDUP),
+    "last_event_per_user": (last_event_per_user, SQL_LAST_EVENT_PER_USER),
+    "content_hashes": (content_hashes, SQL_CONTENT_HASHES),
+    "window_tumbling": (window_tumbling, SQL_WINDOW_TUMBLING),
+    "sessionize": (sessionize, SQL_SESSIONIZE),
+}

@@ -1,0 +1,49 @@
+"""Driver-style oracle checks: every REGISTRY query vs its DuckDB SQL at
+sf0.001 (fast) — row count, column names, and order-insensitive value frame
+equality (mirrors the driver's sorted-column value-hash compare)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from omni_ray.pipelines.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif not pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(str)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name):
+    fn, sql = REGISTRY[name]
+    got = fn(SF)
+    got_df = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    want_df = oracle(sql)
+    assert sorted(got_df.columns) == sorted(want_df.columns), (
+        f"{name}: columns {sorted(got_df.columns)} != {sorted(want_df.columns)}"
+    )
+    assert len(got_df) == len(want_df), f"{name}: {len(got_df)} rows != {len(want_df)}"
+    g, w = normalize(got_df), normalize(want_df)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, obj=name)
