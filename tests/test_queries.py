@@ -6,7 +6,10 @@ import duckdb
 import pandas as pd
 import pytest
 
+from omni_ray.pipelines.mlqueries import ML_REGISTRY
 from omni_ray.pipelines.queries import REGISTRY
+
+ALL = {**REGISTRY, **ML_REGISTRY}
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -35,9 +38,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.usefixtures("ray_session")
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+@pytest.mark.parametrize("name", sorted(ALL))
 def test_query_matches_oracle(name):
-    fn, sql = REGISTRY[name]
+    fn, sql = ALL[name]
     got = fn(SF)
     got_df = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
     want_df = oracle(sql)
