@@ -1,0 +1,179 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "throughput": {"crawl_urls_per_s": ..., "articles_pages_per_s": ...}}
+
+--scaling: runs the same bench twice in FRESH subprocesses at 8 and 32 CPUs
+on identical input (the sandbox proxy for N vs 4N nodes) and reports both
+plus scaling efficiency; appends the result to BASELINE.md by hand (see
+BASELINE.md table).
+
+This file owns its Ray session (the driver contract in __ray_entry__.py does
+not init Ray).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# pages universe size per sf (generated once, cached under /tmp by manifest)
+PAGES_N = {"0.001": 400, "0.01": 1200, "0.1": 8000}
+
+
+def _sf_tag(sf_dir: str) -> str:
+    for tag in ("0.001", "0.01", "0.1"):
+        if sf_dir.rstrip("/").endswith(f"sf{tag}"):
+            return tag
+    return "0.1"
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from omni_ray.pipelines import queries as Q
+    from omni_ray.pipelines.articles import article_pipeline
+    from omni_ray.pipelines.crawl import run_crawl
+    from omni_ray.sources.pages import write_pages_dataset
+
+    sf = _sf_tag(SF_DIR)
+    n_pages = PAGES_N[sf]
+    pages_base = os.path.join("/tmp", f"omni_ray_bench_pages_{n_pages}")
+    write_pages_dataset(pages_base, n_rows=n_pages, seed=42, n_buckets=16)
+
+    # untimed warmup: spin up the worker pool and warm the page cache with a
+    # read + map + shuffle so timings measure compute, not process startup
+    from ray.data.aggregate import Count as _Count
+
+    warm = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    warm.map_batches(lambda t: t, batch_format="pyarrow").groupby("l_returnflag").aggregate(
+        _Count()
+    ).count()
+
+    timings: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1) headline: full article pipeline over the pages universe (M1-M22)
+    def bench_articles():
+        import shutil
+
+        out_dir = "/tmp/omni_ray_bench_articles"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ds = ray.data.read_parquet(f"{pages_base}/pages")
+        article_pipeline(ds).write_parquet(out_dir)
+
+    timed("articles_pipeline", bench_articles)
+    throughput["articles_pages_per_s"] = round(n_pages / timings["articles_pipeline"], 1)
+
+    # 2) headline: frontier crawl loop (dedup + politeness + fetch + extract)
+    def bench_crawl():
+        import shutil
+
+        out_dir = "/tmp/omni_ray_bench_crawl"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return run_crawl(
+            pages_dir=f"{pages_base}/pages",
+            seeds_path=f"{pages_base}/seeds.parquet",
+            out_dir=out_dir,
+            budget_per_host=max(64, n_pages // 50),
+            n_buckets=16,
+            n_seen_shards=4,
+        )
+
+    totals = timed("crawl_loop", bench_crawl)
+    throughput["crawl_urls_per_s"] = round(
+        totals.get("scheduled", 0) / timings["crawl_loop"], 1
+    )
+
+    # 3) relational + ML operators over the provided sf tables
+    for name in [
+        "q1_pricing_summary", "global_stats", "per_category_rollup",
+        "daily_type_matrix", "nation_revenue", "exact_dedup",
+        "last_event_per_user", "window_tumbling", "sessionize",
+    ]:
+        fn, _sql = Q.REGISTRY[name]
+        timed(name, lambda f=fn: f(SF_DIR))
+
+    from omni_ray.pipelines.mlqueries import ML_REGISTRY, ML_ROWS_ONLY
+
+    timed("knn_bruteforce", lambda: ML_REGISTRY["knn_bruteforce"][0](SF_DIR))
+    timed("minhash_dedup", lambda: ML_ROWS_ONLY["minhash_dedup"](SF_DIR))
+    timed("text_stats", lambda: ML_ROWS_ONLY["text_stats"](SF_DIR).count())
+
+    ray.shutdown()
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "frontier-dedup+fetch+extract throughput and operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "num_cpus": NUM_CPUS,
+        "throughput": throughput,
+    }
+
+
+def run_scaling() -> dict:
+    """Same bench in fresh processes at 8 vs 32 CPUs on identical input."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (8 vs 32 CPUs, fresh sessions, same input)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "throughput_8": r_lo["throughput"],
+        "throughput_32": r_hi["throughput"],
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -251,6 +251,39 @@ def quality_score(content_len: int, title: str, total_entities: int,
     return min(score, 100)
 
 
+def sentiment_label(content: str) -> dict:
+    """M15 (content_enhancement.py:99-130): polarity/subjectivity + 3-way
+    label at ±0.1. TextBlob is unavailable here; the deterministic fallback
+    derives polarity from the word-list counts ((pos−neg)/(pos+neg)) and
+    subjectivity from the sentiment-word density — gated behind an import-try
+    so a real TextBlob slots in unchanged where installed."""
+    try:  # pragma: no cover - TextBlob absent in this environment
+        from textblob import TextBlob  # type: ignore
+
+        blob = TextBlob(content)
+        polarity = blob.sentiment.polarity
+        subjectivity = blob.sentiment.subjectivity
+    except ImportError:
+        words = _WORD_RE.findall(content.lower())
+        wordset = set(words)
+        pos = len(wordset & POSITIVE_WORDS)
+        neg = len(wordset & NEGATIVE_WORDS)
+        total = pos + neg
+        polarity = (pos - neg) / total if total else 0.0
+        subjectivity = min(1.0, (sum(1 for w in words if w in POSITIVE_WORDS or w in NEGATIVE_WORDS) / len(words)) * 10) if words else 0.0
+    if polarity > 0.1:
+        label = "positive"
+    elif polarity < -0.1:
+        label = "negative"
+    else:
+        label = "neutral"
+    return {
+        "sentiment_polarity": polarity,
+        "sentiment_subjectivity": subjectivity,
+        "sentiment_label": label,
+    }
+
+
 ENTITY_TYPE = pa.list_(pa.struct([("name", pa.string()), ("confidence", pa.float64())]))
 SENTIMENT_TYPE = pa.struct(
     [("overall", pa.float64()), ("positive", pa.int64()),

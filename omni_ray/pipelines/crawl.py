@@ -1,26 +1,31 @@
 """The crawl orchestrator: a driver loop of bounded Dataset waves
 (SURVEY.md §3.1 Ray-native restatement; north_rule's streaming frontier loop).
 
-Each wave:
-  frontier → canonicalize+hash → groupby(url_hash) dedup → SeenSet anti-join
-  (sharded filter actors) → optional robots gate → groupby(host) politeness
-  schedule → deterministic crawl-order ranking → check_and_add into the seen
-  set → bucketed-lookup fetch (groupby(bucket).map_groups against the
-  hash-partitioned pages parquet — the distributed "fetch" of SURVEY.md S3)
-  → clean/extract/enrich/validate/assemble → epoch-partitioned parquet.
+Wave anatomy — ONE fused map chain, ONE frontier shuffle, one fetch shuffle:
 
-Checkpoint/resume (north_rule): each epoch dir holds the wave's outputs,
-the NEXT frontier snapshot, serialized filter shards, per-partition lineage
-counters, and a _COMPLETE marker written last. Resume finds the last complete
-epoch, restores the shards, and continues from its frontier — finished epochs
-are never recomputed, and outputs are keyed by epoch so reruns are idempotent.
+  frontier parquet
+    → map_batches[fused: canonicalize+hash → seen-annotate (sharded filter
+      actors, J2 anti-join) → robots-annotate (robots actors, ST5)]
+    → groupby(host).map_groups[dedup by url_hash + politeness budget rank]
+      (the single frontier shuffle: dup url_hashes share a host, so host
+      grouping subsumes url_hash grouping)
+    → driver: split scheduled/deferred, assign deterministic crawl order,
+      write schedule + next-frontier snapshots, check_and_add scheduled
+      hashes into the seen shards, emit lineage counters
+    → scheduled → bucket by md5(url) → groupby(bucket).map_groups[fetch =
+      partitioned lookup against the hash-bucketed pages parquet]
+    → clean/extract/enrich/validate/assemble → epoch parquet.
 
-Scale notes: frontier metadata (urls, no html) is materialized per wave for
-scheduling/counting — at 10^10-URL scale each wave's frontier is still blocks
-in the object store; only per-wave COUNTS hit the driver. The wide rows
-(html) never enter a shuffle: fetch happens after scheduling, keyed by the
-same md5 bucket layout the pages table is written in, so the lookup join
-reads only matching buckets (partition pruning at the read).
+The frontier metadata (urls only, no html) passes through the driver per
+wave for scheduling artifacts — at 10^10-URL scale this split writes back to
+Parquet via Dataset ops keyed on the same host partitioning instead
+(threshold switch left explicit at ``DRIVER_FRONTIER_MAX``); the wide html
+rows NEVER pass through the driver in either mode.
+
+Checkpoint/resume (north_rule): each epoch dir holds the wave's outputs, the
+NEXT frontier snapshot, serialized filter shards, per-partition lineage
+counters, and a _COMPLETE marker written last. Resume restores shards from
+the last complete epoch and continues from its frontier snapshot.
 """
 
 from __future__ import annotations
@@ -38,42 +43,80 @@ from ..functions.canonical import canonicalize_batch
 from ..state.filters import SeenSet
 from ..state.robots import RobotsCache
 from .articles import article_pipeline
-from .frontier import (
-    SORT_ASC,
-    SORT_COLS,
-    crawl_order_pandas,
-    dedup_frontier_group,
-    schedule_host_group,
-)
+from .frontier import SORT_ASC, SORT_COLS
 
 FRONTIER_COLS = ["url", "source", "priority", "depth", "discovery_ts",
                  "canonical_url", "host", "url_hash"]
 
+# beyond this many frontier rows per wave, the driver-side split would need
+# to move to the distributed path (groupby(host) → write via Dataset ops)
+DRIVER_FRONTIER_MAX = 50_000_000
 
-class _SeenFilter:
-    """map_batches callable holding shard handles: drops rows whose url_hash
-    is already in the seen set (J2 anti-join), without adding."""
 
-    def __init__(self, shards, n_shards):
-        self.shards = shards
-        self.n_shards = n_shards
+def _dedup_and_rank(group: pd.DataFrame, budget_per_host: int | None) -> pd.DataFrame:
+    """Per-host group: drop already-seen rows, dedup url_hash (first-wins
+    under (priority desc, discovery_ts, url) order), then flag robots-blocked
+    rows and rank the allowed ones within the politeness budget."""
+    g = group.sort_values(SORT_COLS, ascending=SORT_ASC, kind="mergesort")
+    fresh = g[~g["seen"]].drop_duplicates("url_hash", keep="first").copy()
+    allowed_mask = fresh["robots_allowed"].to_numpy()
+    ranks = allowed_mask.cumsum() - 1  # rank among allowed rows only
+    if budget_per_host is None:
+        fresh["scheduled"] = allowed_mask
+    else:
+        fresh["scheduled"] = allowed_mask & (ranks < budget_per_host)
+    return fresh
+
+
+class _AnnotateStage:
+    """Fused per-batch stage: canonicalize + seen-annotate + robots-annotate.
+    Holds shard handles; ≤ n_shards actor round-trips per batch."""
+
+    def __init__(self, seen_shards, n_seen, robots_shards, n_robots, user_agent="omni-ray"):
+        self.seen_shards = seen_shards
+        self.n_seen = n_seen
+        self.robots_shards = robots_shards
+        self.n_robots = n_robots
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "url_hash" not in batch.column_names:
+            batch = canonicalize_batch(batch)
         hashes = batch.column("url_hash").to_pylist()
         groups: dict[int, list[int]] = {}
         for idx, h in enumerate(hashes):
-            groups.setdefault(SeenSet.shard_of(h, self.n_shards), []).append(idx)
+            groups.setdefault(SeenSet.shard_of(h, self.n_seen), []).append(idx)
         futures = {
-            sid: self.shards[sid].contains.remote(
+            sid: self.seen_shards[sid].contains.remote(
                 [bytes.fromhex(hashes[i]) for i in idxs]
             )
             for sid, idxs in groups.items()
         }
-        keep = [True] * len(hashes)
+        seen = [False] * len(hashes)
         for sid, idxs in groups.items():
-            for i, seen in zip(idxs, ray.get(futures[sid])):
-                keep[i] = not seen
-        return batch.filter(pa.array(keep))
+            for i, s in zip(idxs, ray.get(futures[sid])):
+                seen[i] = s
+        allowed = [True] * len(hashes)
+        if self.robots_shards is not None:
+            hosts = batch.column("host").to_pylist()
+            urls = batch.column("canonical_url").to_pylist()
+            rgroups: dict[int, list[int]] = {}
+            for idx, h in enumerate(hosts):
+                rgroups.setdefault(RobotsCache.shard_of(h or "", self.n_robots), []).append(idx)
+            rfut = {
+                sid: self.robots_shards[sid].allowed.remote(
+                    [hosts[i] for i in idxs], [urls[i] for i in idxs]
+                )
+                for sid, idxs in rgroups.items()
+            }
+            for sid, idxs in rgroups.items():
+                for i, ok in zip(idxs, ray.get(rfut[sid])):
+                    allowed[i] = ok
+        eligible = [not s and a for s, a in zip(seen, allowed)]
+        return (
+            batch.append_column("seen", pa.array(seen, pa.bool_()))
+            .append_column("robots_allowed", pa.array(allowed, pa.bool_()))
+            .append_column("eligible", pa.array(eligible, pa.bool_()))
+        )
 
 
 class _FetchBucket:
@@ -141,102 +184,95 @@ def run_crawl(
             seen.restore(os.path.join(last, "seen_shards"))
             frontier_path = os.path.join(last, "frontier_next.parquet")
 
+    annotate = _AnnotateStage(
+        seen.shards, seen.n_shards,
+        robots.shards if robots else None,
+        robots.n_shards if robots else 0,
+    )
+
     totals: dict[str, int] = {}
     wave = start_wave
     while wave < start_wave + max_waves:
         frontier_tbl = pq.read_table(frontier_path)
+        epoch_dir = os.path.join(out_dir, f"epoch={wave:04d}")
+        counters: list[tuple[str, str, int]] = []
         if frontier_tbl.num_rows == 0:
             break
-        epoch_dir = os.path.join(out_dir, f"epoch={wave:04d}")
         os.makedirs(epoch_dir, exist_ok=True)
-        counters: list[tuple[str, str, int]] = []  # (partition, counter, value)
-
-        fr = ray.data.from_arrow(frontier_tbl)
-        if "url_hash" not in frontier_tbl.column_names:
-            fr = fr.map_batches(canonicalize_batch, batch_format="pyarrow")
-        # within-wave exact dedup (shuffle on url_hash)
-        fr = fr.groupby("url_hash").map_groups(dedup_frontier_group, batch_format="pandas")
-        # cross-wave anti-join via filter shards (no shuffle; actor lookups)
-        fr = fr.map_batches(
-            _SeenFilter(seen.shards, seen.n_shards), batch_format="pyarrow", batch_size=4096
-        )
-        fresh = fr.materialize()  # narrow url rows; scheduling + counters reuse it
-        n_fresh = fresh.count()
         counters.append(("*", "frontier_in", frontier_tbl.num_rows))
-        counters.append(("*", "fresh_after_dedup", n_fresh))
-        if n_fresh == 0:
+
+        # ---- fused annotate chain + single host shuffle -------------------
+        fr = ray.data.from_arrow(frontier_tbl)
+        fr = fr.map_batches(annotate, batch_format="pyarrow", batch_size=8192)
+        ranked_pdf = (
+            fr.groupby("host")
+            .map_groups(lambda g: _dedup_and_rank(g, budget_per_host), batch_format="pandas")
+            .to_pandas()
+        )
+        assert len(ranked_pdf) <= DRIVER_FRONTIER_MAX
+        counters.append(("*", "fresh_after_dedup", len(ranked_pdf)))
+        if robots is not None:
+            blocked = int((~ranked_pdf["robots_allowed"]).sum()) if len(ranked_pdf) else 0
+            counters.append(("*", "robots_blocked", blocked))
+
+        if len(ranked_pdf) == 0:
             _finish_epoch(epoch_dir, seen, None, counters, wave)
             frontier_path = os.path.join(epoch_dir, "frontier_next.parquet")
             wave += 1
             break
 
-        if robots is not None:
-            rob = robots  # capture
+        sched_pdf = ranked_pdf[ranked_pdf["scheduled"]].copy()
+        # deferred = allowed but over budget (blocked urls leave the frontier)
+        deferred_pdf = ranked_pdf[
+            ~ranked_pdf["scheduled"] & ranked_pdf["robots_allowed"]
+        ].copy()
 
-            def robots_gate(batch: pa.Table) -> pa.Table:
-                ok = rob.allowed(
-                    batch.column("host").to_pylist(), batch.column("canonical_url").to_pylist()
-                )
-                return batch.filter(pa.array(ok))
-
-            before = n_fresh
-            fresh = fresh.map_batches(robots_gate, batch_format="pyarrow").materialize()
-            blocked = before - fresh.count()
-            counters.append(("*", "robots_blocked", blocked))
-
-        # politeness schedule (shuffle on host), then split
-        ranked = fresh.groupby("host").map_groups(
-            lambda g: schedule_host_group(g, budget_per_host), batch_format="pandas"
-        ).materialize()
-        scheduled = ranked.map_batches(
-            lambda t: t.filter(t.column("scheduled")), batch_format="pyarrow"
-        )
-        deferred = ranked.map_batches(
-            lambda t: t.filter(pa.compute.invert(t.column("scheduled"))), batch_format="pyarrow"
-        ).drop_columns(["scheduled"])
-
-        # deterministic crawl order for the wave (conformance artifact)
-        sched_pdf = scheduled.to_pandas()  # narrow: url+metadata only
-        sched_pdf = crawl_order_pandas(sched_pdf)
-        per_host = sched_pdf.groupby("host").size()
-        for host, cnt in per_host.items():
+        # deterministic crawl order (conformance artifact)
+        sched_pdf = sched_pdf.sort_values(SORT_COLS, ascending=SORT_ASC, kind="mergesort")
+        sched_pdf = sched_pdf.reset_index(drop=True)
+        sched_pdf["crawl_order"] = range(len(sched_pdf))
+        for host, cnt in sched_pdf.groupby("host").size().items():
             counters.append((str(host), "scheduled", int(cnt)))
-        sched_order = pa.Table.from_pandas(
-            sched_pdf[["url", "url_hash", "host", "priority", "discovery_ts", "crawl_order"]],
-            preserve_index=False,
+        pq.write_table(
+            pa.Table.from_pandas(
+                sched_pdf[["url", "url_hash", "host", "priority", "discovery_ts", "crawl_order"]],
+                preserve_index=False,
+            ),
+            os.path.join(epoch_dir, "schedule.parquet"),
         )
-        pq.write_table(sched_order, os.path.join(epoch_dir, "schedule.parquet"))
 
         # mark scheduled as seen (exactly once per url_hash)
         seen.check_and_add_hashes(sched_pdf["url_hash"].tolist())
 
-        # fetch (bucketed lookup join) + article pipeline
-        sched_ds = ray.data.from_pandas(sched_pdf)
+        # ---- fetch (bucketed lookup join) + article pipeline --------------
+        drop_cols = ["seen", "robots_allowed", "eligible", "scheduled"]
+        sched_ds = ray.data.from_pandas(sched_pdf.drop(columns=drop_cols))
         sched_ds = sched_ds.map_batches(
             lambda t: _bucket_batch(t, n_buckets), batch_format="pyarrow"
         )
         fetch = _FetchBucket(pages_dir)
         fetched = sched_ds.groupby("bucket").map_groups(
             lambda g: fetch(g), batch_format="pandas"
-        )
+        ).materialize()  # one execution: bucket shuffle + lookup join
         hits = fetched.map_batches(
             lambda t: t.filter(pa.compute.equal(t.column("http_status"), 200)),
             batch_format="pyarrow",
-        ).materialize()
-        n_hits = hits.count()
-        counters.append(("*", "fetched", n_hits))
-        counters.append(("*", "fetch_missed", len(sched_pdf) - n_hits))
-
-        if n_hits:
-            articles = article_pipeline(hits, enrich_concurrency=enrich_concurrency)
-            art_dir = os.path.join(epoch_dir, "articles")
-            articles.write_parquet(art_dir)
-            n_articles = ray.data.read_parquet(art_dir).count()
-        else:
-            n_articles = 0
+        )
+        articles = article_pipeline(hits, enrich_concurrency=enrich_concurrency).materialize()
+        n_articles = articles.count()
+        n_hits = fetched.map_batches(
+            lambda t: pa.table({"n": [int(pa.compute.sum(
+                pa.compute.cast(pa.compute.equal(t.column("http_status"), 200), pa.int64())
+            ).as_py() or 0)]}),
+            batch_format="pyarrow",
+        ).to_pandas()["n"].sum()
+        counters.append(("*", "fetched", int(n_hits)))
+        counters.append(("*", "fetch_missed", len(sched_pdf) - int(n_hits)))
+        if n_articles:
+            articles.write_parquet(os.path.join(epoch_dir, "articles"))
         counters.append(("*", "articles_stored", n_articles))
 
-        _finish_epoch(epoch_dir, seen, deferred, counters, wave)
+        _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave)
         for part, name, val in counters:
             totals[name] = totals.get(name, 0) + val
         frontier_path = os.path.join(epoch_dir, "frontier_next.parquet")
@@ -244,6 +280,7 @@ def run_crawl(
 
     totals["waves"] = wave - start_wave
     totals["seen_total"] = seen.total_size()
+    totals["scheduled"] = totals.get("scheduled", 0)
     with open(os.path.join(out_dir, "SUMMARY.json"), "w") as f:
         json.dump(totals, f)
     seen.shutdown()
@@ -252,19 +289,22 @@ def run_crawl(
     return totals
 
 
-def _finish_epoch(epoch_dir, seen, deferred, counters, wave) -> None:
-    """Write frontier snapshot + shard checkpoint + counters, then _COMPLETE."""
-    deferred_tbl = _empty_frontier()
-    if deferred is not None:
-        refs = deferred.map_batches(
-            lambda t: t.select(FRONTIER_COLS), batch_format="pyarrow"
-        ).to_arrow_refs()
-        tables = [ray.get(r) for r in refs]
-        tables = [t.select(FRONTIER_COLS).cast(deferred_tbl.schema) for t in tables if t.num_rows]
-        if tables:
-            deferred_tbl = pa.concat_tables(tables)
-    pq.write_table(deferred_tbl, os.path.join(epoch_dir, "frontier_next.parquet"))
-    seen.checkpoint(os.path.join(epoch_dir, "seen_shards"))
+def _frontier_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("url", pa.string()),
+            ("source", pa.string()),
+            ("priority", pa.int32()),
+            ("depth", pa.int32()),
+            ("discovery_ts", pa.timestamp("us")),
+            ("canonical_url", pa.string()),
+            ("host", pa.string()),
+            ("url_hash", pa.string()),
+        ]
+    )
+
+
+def _write_counters(epoch_dir, counters, wave) -> None:
     ctbl = pa.table(
         {
             "wave": pa.array([wave] * len(counters), pa.int32()),
@@ -274,20 +314,22 @@ def _finish_epoch(epoch_dir, seen, deferred, counters, wave) -> None:
         }
     )
     pq.write_table(ctbl, os.path.join(epoch_dir, "counters.parquet"))
+
+
+def _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave) -> None:
+    schema = _frontier_schema()
+    if deferred_pdf is not None and len(deferred_pdf):
+        tbl = pa.Table.from_pandas(
+            deferred_pdf[FRONTIER_COLS], preserve_index=False
+        ).cast(schema)
+    else:
+        tbl = schema.empty_table()
+    pq.write_table(tbl, os.path.join(epoch_dir, "frontier_next.parquet"))
+    seen.checkpoint(os.path.join(epoch_dir, "seen_shards"))
+    _write_counters(epoch_dir, counters, wave)
     with open(os.path.join(epoch_dir, "_COMPLETE"), "w") as f:
         f.write("ok")
 
 
-def _empty_frontier() -> pa.Table:
-    return pa.table(
-        {
-            "url": pa.array([], pa.string()),
-            "source": pa.array([], pa.string()),
-            "priority": pa.array([], pa.int32()),
-            "depth": pa.array([], pa.int32()),
-            "discovery_ts": pa.array([], pa.timestamp("us")),
-            "canonical_url": pa.array([], pa.string()),
-            "host": pa.array([], pa.string()),
-            "url_hash": pa.array([], pa.string()),
-        }
-    )
+def _finish_epoch(epoch_dir, seen, deferred, counters, wave) -> None:
+    _finish_epoch_pdf(epoch_dir, seen, None, counters, wave)

@@ -559,6 +559,61 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM s GROUP BY user_id, session_id
 """
 
+# ---------------------------------------------------------------------------
+# search surface (advanced_search.py / ES multi-match analogue, O3)
+# ---------------------------------------------------------------------------
+
+
+def keyword_search(sf_dir: str):
+    """O3/ES search analogue (dashboard.py:703-753): rank documents by term
+    occurrence count (the deterministic stand-in for ES _score), DESC with
+    doc_id tiebreak, top 20. Vectorized per batch via pyarrow count_substring."""
+    term = "data"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        cnt = pc.count_substring(t["text"], term)
+        return pa.table({"doc_id": t["doc_id"], "score": pc.cast(cnt, pa.int64())})
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .map_batches(lambda t: t.filter(pc.greater(t["score"], 0)), batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_KEYWORD_SEARCH = """
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'data', ''))) / length('data') AS BIGINT) AS score
+FROM documents
+WHERE text LIKE '%data%'
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def paginate(ds, page: int, page_size: int, sort_cols, descending):
+    """O2 pagination: ORDER BY ... LIMIT/OFFSET via sort + split_at_indices
+    (omni_storage.py:494-495). Returns the page as a pyarrow Table."""
+    sorted_ds = ds.sort(sort_cols, descending=descending)
+    start = page * page_size
+    splits = sorted_ds.limit(start + page_size).split_at_indices([start])
+    return pa.Table.from_pandas(splits[1].to_pandas(), preserve_index=False)
+
+
+def paginated_listing(sf_dir: str):
+    """Page 2 (rows 20..39) of orders by (o_orderdate DESC, o_orderkey)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    return paginate(ds, page=1, page_size=20,
+                    sort_cols=["o_orderdate", "o_orderkey"], descending=[True, False])
+
+
+SQL_PAGINATED_LISTING = """
+SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+ORDER BY o_orderdate DESC, o_orderkey LIMIT 20 OFFSET 20
+"""
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "global_stats": (global_stats, SQL_GLOBAL_STATS),
@@ -577,4 +632,6 @@ REGISTRY = {
     "content_hashes": (content_hashes, SQL_CONTENT_HASHES),
     "window_tumbling": (window_tumbling, SQL_WINDOW_TUMBLING),
     "sessionize": (sessionize, SQL_SESSIONIZE),
+    "keyword_search": (keyword_search, SQL_KEYWORD_SEARCH),
+    "paginated_listing": (paginated_listing, SQL_PAGINATED_LISTING),
 }

@@ -1,0 +1,139 @@
+"""Tests for discovery sources (S1/S2), alert engine (A10), composition
+surface (§2.10), and the M15 sentiment label."""
+
+import pyarrow as pa
+import pytest
+
+RSS_BODY = """<?xml version="1.0"?>
+<rss version="2.0"><channel><title>Feed</title>
+<item><title>Story One</title><link>https://ex.com/a/1</link><pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>
+<item><title><![CDATA[Story & Two]]></title><link>https://ex.com/a/2</link></item>
+</channel></rss>"""
+
+MALFORMED_RSS = """<rss><channel>
+<item><title>Broken & feed</title><link>https://ex.com/b/1</link></item>
+<item><link>https://ex.com/b/2</link>
+</channel>"""
+
+SITEMAP_BODY = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url><loc>https://ex.com/s/1</loc></url>
+<url><loc>https://ex.com/s/2</loc></url>
+</urlset>"""
+
+
+def test_parse_rss_and_fallback():
+    from omni_ray.sources.discovery import parse_rss
+
+    recs = parse_rss(RSS_BODY)
+    assert [r["url"] for r in recs] == ["https://ex.com/a/1", "https://ex.com/a/2"]
+    assert recs[0]["title"] == "Story One"
+    assert recs[0]["published"].startswith("Mon, 01 Jan")
+    # malformed → regex fallback still extracts linked items
+    recs2 = parse_rss(MALFORMED_RSS)
+    assert "https://ex.com/b/1" in [r["url"] for r in recs2]
+
+
+def test_parse_sitemap():
+    from omni_ray.sources.discovery import parse_sitemap
+
+    assert parse_sitemap(SITEMAP_BODY) == ["https://ex.com/s/1", "https://ex.com/s/2"]
+    assert parse_sitemap("<urlset><url><loc>https://x.com/1</loc>") == ["https://x.com/1"]
+
+
+def test_discover_batch_shapes_and_priorities():
+    from omni_ray.sources.discovery import discover_batch
+
+    batch = pa.table(
+        {
+            "feed_url": ["https://ex.com/rss", "https://ex.com/map"],
+            "kind": ["rss", "sitemap"],
+            "body": [RSS_BODY.encode(), SITEMAP_BODY.encode()],
+            "feed_seq": [0, 1],
+        }
+    )
+    out = discover_batch(batch)
+    recs = out.to_pylist()
+    rss = [r for r in recs if r["source"] == "rss"]
+    maps = [r for r in recs if r["source"] == "sitemap"]
+    assert {r["priority"] for r in rss} == {10}
+    assert {r["priority"] for r in maps} == {5}
+    # deterministic, strictly increasing discovery_ts within a feed
+    ts = [r["discovery_ts"] for r in rss]
+    assert ts == sorted(ts)
+
+
+def test_alert_engine_cooldown_and_dotpath():
+    from omni_ray.pipelines.alerts import AlertEngine, AlertRule, get_metric_value
+
+    metrics = {"crawl": {"error_rate": 0.4, "fetched": 90, "scheduled": 100}}
+    assert get_metric_value(metrics, "crawl.error_rate") == 0.4
+    assert get_metric_value(metrics, "crawl.missing") is None
+
+    eng = AlertEngine([
+        AlertRule(id="r1", name="high error rate", metric="crawl.error_rate",
+                  condition=">", threshold=0.3, cooldown_minutes=30),
+        AlertRule(id="r2", name="low fetch", metric="crawl.fetched",
+                  condition="<", threshold=50),
+    ])
+    fired = eng.evaluate(metrics, now_minutes=0)
+    assert [a["rule_id"] for a in fired] == ["r1"]
+    # cooldown: same rule not re-fired within 30 minutes
+    assert eng.evaluate(metrics, now_minutes=10) == []
+    assert [a["rule_id"] for a in eng.evaluate(metrics, now_minutes=31)] == ["r1"]
+
+
+def test_crawl_metrics_fold():
+    from omni_ray.pipelines.alerts import crawl_metrics_from_counters
+
+    rows = [
+        {"counter": "scheduled", "value": 100},
+        {"counter": "fetched", "value": 90},
+        {"counter": "scheduled", "value": 50},
+        {"counter": "fetched", "value": 45},
+    ]
+    m = crawl_metrics_from_counters(rows)
+    assert m["crawl"]["scheduled"] == 150
+    assert m["crawl"]["success_rate"] == pytest.approx(135 / 150)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_compose_and_extractor_chain():
+    import ray.data
+
+    from omni_ray.functions.clean import clean_content
+    from omni_ray.pipelines.compose import ExtractorChain, Pipeline
+
+    chain = ExtractorChain(
+        [
+            ("cleaner", lambda html, url: clean_content(html, url) or None),
+            ("basic", lambda html, url: "fallback text from basic engine"),
+        ]
+    )
+    para = ("Real content paragraph with plenty of words to pass every gate in the "
+            "cleaner ladder today. Another sentence follows with more words to be safe.")
+    tbl = pa.table(
+        {
+            "url": ["https://a.com/1", "https://a.com/2"],
+            "html": [f"<article>\n<p>{para}</p>\n<p>{para}</p>\n</article>".encode(), b"<p>x</p>"],
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    pipe = Pipeline().then("extract", lambda d: d.map_batches(chain, batch_format="pyarrow"))
+    out, counters = pipe.run(ds, count_stages=True)
+    rows = sorted(out.take_all(), key=lambda r: r["url"])
+    assert rows[0]["crawler_engine"] == "cleaner" and para in rows[0]["extracted_text"]
+    assert rows[1]["crawler_engine"] == "basic"  # fallback engine won
+    assert counters == {"extract": 2}
+
+
+def test_sentiment_label_fallback():
+    from omni_ray.functions.enrich import sentiment_label
+
+    pos = sentiment_label("what a good great excellent wonderful day")
+    neg = sentiment_label("a terrible awful horrible worst experience")
+    neu = sentiment_label("the report described the meeting schedule")
+    assert pos["sentiment_label"] == "positive" and pos["sentiment_polarity"] > 0.1
+    assert neg["sentiment_label"] == "negative"
+    assert neu["sentiment_label"] == "neutral"
+    assert 0.0 <= pos["sentiment_subjectivity"] <= 1.0
