@@ -143,11 +143,79 @@ def run_bench() -> dict:
     }
 
 
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "60000"))
+
+
+def run_scaling_worker() -> dict:
+    """One scaling measurement in THIS process: the compute-bound headline
+    (fetch+clean+extract+enrich+validate article pipeline) plus the frontier
+    crawl loop, over a large shared pages universe. The small-sf operator
+    suite is excluded here on purpose: at sf0.1 it is latency-bound and says
+    nothing about cluster scaling."""
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data
+
+    from omni_ray.pipelines.articles import article_pipeline
+    from omni_ray.pipelines.crawl import run_crawl
+    from omni_ray.sources.pages import write_pages_dataset
+
+    base = os.path.join("/tmp", f"omni_ray_scaling_pages_{SCALING_PAGES}")
+    write_pages_dataset(base, n_rows=SCALING_PAGES, seed=42, n_buckets=32, parallel=True)
+
+    # warmup: spin workers + page cache (untimed)
+    ray.data.read_parquet(f"{base}/pages", columns=["url"]).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).count()
+
+    t0 = time.perf_counter()
+    shutil.rmtree("/tmp/omni_ray_scaling_arts", ignore_errors=True)
+    ds = ray.data.read_parquet(f"{base}/pages")
+    article_pipeline(ds).write_parquet("/tmp/omni_ray_scaling_arts")
+    t_articles = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    shutil.rmtree("/tmp/omni_ray_scaling_crawl", ignore_errors=True)
+    totals = run_crawl(
+        pages_dir=f"{base}/pages",
+        seeds_path=f"{base}/seeds.parquet",
+        out_dir="/tmp/omni_ray_scaling_crawl",
+        budget_per_host=SCALING_PAGES,  # single wave: measure pipeline, not wave count
+        n_buckets=32,
+        n_seen_shards=8,
+    )
+    t_crawl = time.perf_counter() - t0
+
+    ray.shutdown()
+    return {
+        "num_cpus": NUM_CPUS,
+        "n_pages": SCALING_PAGES,
+        "articles_sec": round(t_articles, 3),
+        "articles_pages_per_s": round(SCALING_PAGES / t_articles, 1),
+        "crawl_sec": round(t_crawl, 3),
+        "crawl_urls_per_s": round(totals.get("scheduled", 0) / t_crawl, 1),
+    }
+
+
 def run_scaling() -> dict:
-    """Same bench in fresh processes at 8 vs 32 CPUs on identical input."""
+    """Same job in fresh processes at 8 vs 32 CPUs on identical input (the
+    sandbox proxy for N vs 4N nodes)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_WORKER="1",
+            GRAFT_SCALING_PAGES=str(SCALING_PAGES),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -158,22 +226,23 @@ def run_scaling() -> dict:
     lo, hi = 8, 32
     r_lo = run(lo)
     r_hi = run(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    eff_articles = (r_lo["articles_sec"] / r_hi["articles_sec"]) / (hi / lo)
+    eff_crawl = (r_lo["crawl_sec"] / r_hi["crawl_sec"]) / (hi / lo)
     return {
         "metric": "scaling efficiency (8 vs 32 CPUs, fresh sessions, same input)",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "throughput_8": r_lo["throughput"],
-        "throughput_32": r_hi["throughput"],
-        "queries_8": r_lo["queries"],
-        "queries_32": r_hi["queries"],
-        "scaling_efficiency": round(eff, 3),
-        "sf": r_hi["sf"],
+        "n_pages": SCALING_PAGES,
+        "run_8": r_lo,
+        "run_32": r_hi,
+        "scaling_efficiency_articles": round(eff_articles, 3),
+        "scaling_efficiency_crawl": round(eff_crawl, 3),
+        "scaling_efficiency": round(eff_articles, 3),
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if os.environ.get("GRAFT_SCALING_WORKER"):
+        print(json.dumps(run_scaling_worker()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -203,7 +203,9 @@ def run_crawl(
 
         # ---- fused annotate chain + single host shuffle -------------------
         fr = ray.data.from_arrow(frontier_tbl)
-        fr = fr.map_batches(annotate, batch_format="pyarrow", batch_size=8192)
+        # from_arrow yields ONE block — split so annotate/dedup parallelize
+        fr = fr.repartition(max(8, min(128, frontier_tbl.num_rows // 2048)))
+        fr = fr.map_batches(annotate, batch_format="pyarrow", batch_size=2048)
         ranked_pdf = (
             fr.groupby("host")
             .map_groups(lambda g: _dedup_and_rank(g, budget_per_host), batch_format="pandas")
@@ -258,6 +260,11 @@ def run_crawl(
             lambda t: t.filter(pa.compute.equal(t.column("http_status"), 200)),
             batch_format="pyarrow",
         )
+        # groupby().map_groups can emit ONE consolidated block, which would
+        # serialize the whole extract pipeline — split it back out so the
+        # clean/extract stages parallelize across the cluster
+        n_blocks = max(8, min(256, len(sched_pdf) // 256))
+        hits = hits.repartition(n_blocks)
         articles = article_pipeline(hits, enrich_concurrency=enrich_concurrency).materialize()
         n_articles = articles.count()
         n_hits = fetched.map_batches(

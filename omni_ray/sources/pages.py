@@ -137,12 +137,12 @@ def _article_html(rng: random.Random, host: str, title: str, author: str,
     return html_doc
 
 
-def generate_pages(n_rows: int, seed: int = 42):
-    """→ (pages pyarrow.Table, seeds pyarrow.Table). Deterministic."""
-    rng = random.Random(seed)
-    urls, tss, htmls, texts, langs = [], [], [], [], []
+def _page_record(i: int, n_rows: int, seed: int) -> dict:
+    """Pure per-row generator — the unit of the parallel path. Depends only
+    on (i, n_rows, seed), so serial and Ray-parallel generation produce
+    byte-identical rows."""
     week_us = 7 * 24 * 3600 * 1_000_000
-    for i in range(n_rows):
+    if True:
         rrow = random.Random(seed * 1_000_003 + i)  # per-row stream: stable under n_rows changes
         host = _host_for(i, rrow)
         section = rrow.choice(SECTIONS)
@@ -182,77 +182,114 @@ def generate_pages(n_rows: int, seed: int = 42):
             paragraphs = [_paragraph(rrow) for _ in range(rrow.randint(3, 10))]
             edge = ""
         html_doc = _article_html(rrow, host, title, author, pub_iso, paragraphs, edge)
-        urls.append(url)
-        tss.append(ts)
-        htmls.append(html_doc.encode("utf-8"))
-        texts.append(clean_content(html_doc, url))
-        langs.append(lang)
+        return {
+            "i": i,
+            "url": url,
+            "warc_ts": ts,
+            "html": html_doc.encode("utf-8"),
+            "text": clean_content(html_doc, url),
+            "lang": lang,
+        }
 
+
+def _seed_records(i: int, url: str, seed: int) -> list[dict]:
+    """Per-row seed membership (pure in (i, url, seed)): ~40% of pages get a
+    seed, ~10% of those a duplicate; discovery_ts = BASE + i ordering."""
+    srng = random.Random(seed * 7919 + i)
+    out = []
+    if srng.random() < 0.4:
+        src = "rss" if srng.random() < 0.6 else "sitemap"
+        out.append(
+            {"url": url, "source": src, "priority": 10 if src == "rss" else 5,
+             "depth": 0, "discovery_ts": BASE_TS_US + i * 1_000_000}
+        )
+        if srng.random() < 0.1:  # exact duplicate seed
+            out.append(
+                {"url": url, "source": "sitemap", "priority": 5, "depth": 0,
+                 "discovery_ts": BASE_TS_US + i * 1_000_000 + 500_000}
+            )
+    return out
+
+
+def _rows_to_tables(rows: list[dict], n_rows: int, seed: int):
+    rows = sorted(rows, key=lambda r: r["i"])
     pages = pa.table(
         {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(tss, pa.timestamp("us")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
         }
     )
-
-    # seeds: ~40% of pages + misses + exact duplicates (FIXTURES.md §2)
-    srng = random.Random(seed + 777)
-    s_urls, s_src, s_prio, s_depth, s_ts = [], [], [], [], []
-    j = 0
-    for i, url in enumerate(urls):
-        if srng.random() < 0.4:
-            src = "rss" if srng.random() < 0.6 else "sitemap"
-            s_urls.append(url)
-            s_src.append(src)
-            s_prio.append(10 if src == "rss" else 5)
-            s_depth.append(0)
-            s_ts.append(BASE_TS_US + j * 1_000_000)
-            j += 1
-            if srng.random() < 0.1:  # exact duplicate seed
-                s_urls.append(url)
-                s_src.append("sitemap")
-                s_prio.append(5)
-                s_depth.append(0)
-                s_ts.append(BASE_TS_US + j * 1_000_000)
-                j += 1
+    seeds_rows = []
+    for r in rows:
+        seeds_rows.extend(_seed_records(r["i"], r["url"], seed))
     for k in range(max(1, n_rows // 50)):  # fetch misses
-        s_urls.append(f"https://missing{k}.example.org/gone/{k}")
-        s_src.append("sitemap")
-        s_prio.append(5)
-        s_depth.append(0)
-        s_ts.append(BASE_TS_US + j * 1_000_000)
-        j += 1
-
+        seeds_rows.append(
+            {"url": f"https://missing{k}.example.org/gone/{k}", "source": "sitemap",
+             "priority": 5, "depth": 0,
+             "discovery_ts": BASE_TS_US + (n_rows + k) * 1_000_000}
+        )
     seeds = pa.table(
         {
-            "url": pa.array(s_urls, pa.string()),
-            "source": pa.array(s_src, pa.string()),
-            "priority": pa.array(s_prio, pa.int32()),
-            "depth": pa.array(s_depth, pa.int32()),
-            "discovery_ts": pa.array(s_ts, pa.timestamp("us")),
+            "url": pa.array([r["url"] for r in seeds_rows], pa.string()),
+            "source": pa.array([r["source"] for r in seeds_rows], pa.string()),
+            "priority": pa.array([r["priority"] for r in seeds_rows], pa.int32()),
+            "depth": pa.array([r["depth"] for r in seeds_rows], pa.int32()),
+            "discovery_ts": pa.array(
+                [r["discovery_ts"] for r in seeds_rows], pa.timestamp("us")
+            ),
         }
     )
     return pages, seeds
+
+
+def generate_pages(n_rows: int, seed: int = 42):
+    """→ (pages pyarrow.Table, seeds pyarrow.Table). Deterministic (serial)."""
+    rows = [_page_record(i, n_rows, seed) for i in range(n_rows)]
+    return _rows_to_tables(rows, n_rows, seed)
+
+
+def generate_pages_parallel(n_rows: int, seed: int = 42):
+    """Same output as ``generate_pages`` (byte-identical), computed with Ray
+    tasks — the per-row generator is pure in (i, n_rows, seed). Used for the
+    large scaling-bench universes; requires an initialized Ray session."""
+    import ray
+
+    n_chunks = max(8, min(64, n_rows // 500))
+    bounds = [(c * n_rows) // n_chunks for c in range(n_chunks + 1)]
+
+    @ray.remote
+    def gen_chunk(lo: int, hi: int):
+        return [_page_record(i, n_rows, seed) for i in range(lo, hi)]
+
+    chunks = ray.get([gen_chunk.remote(bounds[c], bounds[c + 1]) for c in range(n_chunks)])
+    rows = [r for chunk in chunks for r in chunk]
+    return _rows_to_tables(rows, n_rows, seed)
 
 
 def url_bucket(url: str, n_buckets: int) -> int:
     return int(hashlib.md5(url.encode()).hexdigest()[:8], 16) % n_buckets
 
 
-def write_pages_dataset(out_dir: str, n_rows: int, seed: int = 42, n_buckets: int = 8) -> str:
+def write_pages_dataset(out_dir: str, n_rows: int, seed: int = 42, n_buckets: int = 8,
+                        parallel: bool = False) -> str:
     """Write bucketed pages + seeds parquet under ``out_dir``. Idempotent:
-    skips if the manifest already records the same (n_rows, seed, n_buckets)."""
+    skips if the manifest already records the same (n_rows, seed, n_buckets).
+    ``parallel=True`` generates rows with Ray tasks (same bytes, faster for
+    large universes)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, "MANIFEST.txt")
-    tag = f"{n_rows}:{seed}:{n_buckets}:v3"
+    tag = f"{n_rows}:{seed}:{n_buckets}:v4"
     if os.path.exists(manifest):
         with open(manifest) as f:
             if f.read().strip() == tag:
                 return out_dir
-    pages, seeds = generate_pages(n_rows, seed)
+    if parallel:
+        pages, seeds = generate_pages_parallel(n_rows, seed)
+    else:
+        pages, seeds = generate_pages(n_rows, seed)
     buckets = [url_bucket(u, n_buckets) for u in pages.column("url").to_pylist()]
     pages = pages.append_column("bucket", pa.array(buckets, pa.int32()))
     pages_dir = os.path.join(out_dir, "pages")
