@@ -251,6 +251,30 @@ def quality_score(content_len: int, title: str, total_entities: int,
     return min(score, 100)
 
 
+def extract_key_phrases(text: str, max_phrases: int = 15) -> list[str]:
+    """ST1 key-phrase analogue (content_enhancement.py:132-153): the
+    reference uses spaCy noun chunks over the first 5,000 chars, keeps
+    10..50-char phrases, ``list(set(...))[:15]``. spaCy is unavailable; the
+    deterministic replacement takes maximal runs of ≥2 consecutive
+    non-stopword words as phrases, same length gates, sorted before
+    truncation (nondeterministic set order divergence documented,
+    SURVEY.md §7.5(4))."""
+    text = text[:5000]
+    words = _WORD_RE.findall(text)
+    phrases = set()
+    run: list[str] = []
+    for w in words + [""]:
+        if w and w.lower() not in STOPWORDS and not w.isdigit():
+            run.append(w)
+        else:
+            if len(run) >= 2:
+                phrase = " ".join(run)
+                if 10 < len(phrase) < 50:
+                    phrases.add(phrase)
+            run = []
+    return sorted(phrases)[:max_phrases]
+
+
 def sentiment_label(content: str) -> dict:
     """M15 (content_enhancement.py:99-130): polarity/subjectivity + 3-way
     label at ±0.1. TextBlob is unavailable here; the deterministic fallback

@@ -102,6 +102,43 @@ def extract_description(html: str) -> str:
     return ""
 
 
+AUTHOR_SELECTORS = [".author", ".byline", '[rel="author"]', ".article-author", ".post-author"]
+DATE_SELECTORS = ["time[datetime]", ".publish-date", ".post-date", ".article-date",
+                  '[property="article:published_time"]']
+
+
+def extract_authors_selectors(html: str) -> list[str]:
+    """Selector-based author variant (multi_engine_crawler.py:151-169):
+    CSS-selector hits, <100 chars, set-dedup (sorted — documented
+    divergence from the reference's nondeterministic set order)."""
+    from .html_mini import parse_html
+
+    root = parse_html(html)
+    authors = []
+    for sel in AUTHOR_SELECTORS:
+        for el in root.select(sel):
+            text = el.get_text().strip()
+            if text and len(text) < 100:
+                authors.append(text)
+    return sorted(set(authors))
+
+
+def extract_publish_date_selectors(html: str) -> str | None:
+    """Selector-based date variant (multi_engine_crawler.py:171-189):
+    first matching element in document order; ``datetime`` attr preferred."""
+    from .html_mini import parse_html
+
+    root = parse_html(html)
+    for sel in DATE_SELECTORS:
+        els = root.select(sel)
+        if els:
+            el = els[0]
+            if el.attrs.get("datetime"):
+                return el.attrs["datetime"]
+            return el.get_text().strip()
+    return None
+
+
 def is_article(title: str, content: str, url: str, domain: str, word_count: int) -> bool:
     """simple_crawler.py:187-213 gate (M9)."""
     if not (title and content and url and domain):

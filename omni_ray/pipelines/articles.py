@@ -36,12 +36,26 @@ def article_pipeline(
     enrich_concurrency: int | None = None,
     gate_articles: bool = True,
     merge_scores_reference_bug: bool = False,
+    dead_letter_dir: str | None = None,
 ) -> ray.data.Dataset:
-    """pages(url, warc_ts, html, ...) → 41-column EnhancedArticle Dataset."""
+    """pages(url, warc_ts, html, ...) → 41-column EnhancedArticle Dataset.
+
+    ``dead_letter_dir`` wraps the parse-heavy clean/extract stages in
+    poison-row capture (one bad page never kills a block; failures are
+    written as (url, error) parquet — the reference's drop-and-count
+    semantics, omni_orchestrator.py:141-147).
+    """
     import pyarrow.compute as pc
 
-    ds = pages.map_batches(clean_batch, batch_format="pyarrow", batch_size=RAW_BATCH_SIZE)
-    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=RAW_BATCH_SIZE)
+    clean_fn, extract_fn = clean_batch, extract_batch
+    if dead_letter_dir:
+        from .deadletter import DeadLetterWrapper
+
+        clean_fn = DeadLetterWrapper(clean_batch, dead_letter_dir)
+        extract_fn = DeadLetterWrapper(extract_batch, dead_letter_dir)
+
+    ds = pages.map_batches(clean_fn, batch_format="pyarrow", batch_size=RAW_BATCH_SIZE)
+    ds = ds.map_batches(extract_fn, batch_format="pyarrow", batch_size=RAW_BATCH_SIZE)
     ds = ds.drop_columns(["html"])
     if gate_articles:
         # M9 gate: the crawler drops non-articles (simple_crawler.py:95-98)

@@ -277,6 +277,10 @@ def run_crawl(
         counters.append(("*", "fetch_missed", len(sched_pdf) - int(n_hits)))
         if n_articles:
             articles.write_parquet(os.path.join(epoch_dir, "articles"))
+            # exploded entities child table (J1 source, omni_storage.py:228-237)
+            from .articles import entities_pipeline
+
+            entities_pipeline(articles).write_parquet(os.path.join(epoch_dir, "entities"))
         counters.append(("*", "articles_stored", n_articles))
 
         _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave)

@@ -137,3 +137,55 @@ def test_sentiment_label_fallback():
     assert neg["sentiment_label"] == "negative"
     assert neu["sentiment_label"] == "neutral"
     assert 0.0 <= pos["sentiment_subjectivity"] <= 1.0
+
+
+def test_key_phrases_deterministic():
+    from omni_ray.functions.enrich import extract_key_phrases
+
+    text = ("Buckingham Palace released an official statement praising Dame Jilly "
+            "Cooper for her charitable work and her romantic novels today.")
+    p1, p2 = extract_key_phrases(text), extract_key_phrases(text)
+    assert p1 == p2
+    assert any("Buckingham Palace" in p for p in p1)
+    assert all(10 < len(p) < 50 for p in p1)
+    assert extract_key_phrases("") == []
+
+
+def test_selector_based_extractors():
+    from omni_ray.functions.extract import (
+        extract_authors_selectors,
+        extract_publish_date_selectors,
+    )
+
+    html = ('<div><span class="byline">Jane Miller</span>'
+            '<a rel="author">Tom Okafor</a>'
+            '<time datetime="2024-01-05T10:00:00Z">Jan 5</time></div>')
+    assert extract_authors_selectors(html) == ["Jane Miller", "Tom Okafor"]
+    assert extract_publish_date_selectors(html) == "2024-01-05T10:00:00Z"
+    assert extract_publish_date_selectors('<p class="publish-date"> May 1 </p>') == "May 1"
+    assert extract_publish_date_selectors("<p>no date</p>") is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dead_letter_capture(tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from omni_ray.pipelines.deadletter import DeadLetterWrapper
+
+    def poison_fn(t: pa.Table) -> pa.Table:
+        if any((u or "").endswith("/3") for u in t.column("url").to_pylist()):
+            raise ValueError("poison page")
+        return t.append_column("n", pa.array([1] * t.num_rows, pa.int64()))
+
+    tbl = pa.table({"url": [f"https://x.com/{i}" for i in range(10)]})
+    dl_dir = str(tmp_path / "dl")
+    wrapped = DeadLetterWrapper(poison_fn, dl_dir)
+    out = ray.data.from_arrow(tbl).map_batches(wrapped, batch_format="pyarrow").take_all()
+    assert len(out) == 9  # poison row dropped, block survived
+    dl = pa.concat_tables([pq.read_table(f) for f in glob.glob(f"{dl_dir}/*.parquet")])
+    assert dl.num_rows == 1
+    assert dl.column("url")[0].as_py() == "https://x.com/3"
+    assert "poison page" in dl.column("error")[0].as_py()
