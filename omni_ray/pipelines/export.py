@@ -148,3 +148,58 @@ def export_full_dump(articles: ray.data.Dataset, entities: ray.data.Dataset,
             indent=2,
         )
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# storage projections S5/S6/S8 (omni_storage.py) — sink-specific tables
+# ---------------------------------------------------------------------------
+
+SEARCH_PROJECTION_COLS = [
+    "title", "content", "authors", "publish_date", "domain", "entities",
+    "sentiment", "quality_score", "category", "processing_timestamp",
+    "crawler_engine", "content_length",
+]
+
+RELATIONAL_COLS = [
+    "article_id", "url", "title", "content", "authors", "domain",
+    "publish_date", "quality_score", "category", "crawler_engine",
+    "processing_timestamp",
+]
+
+
+def export_search_projection(articles: ray.data.Dataset, out_dir: str) -> str:
+    """S5: the Elasticsearch doc projection (omni_storage.py:275-296) as its
+    own parquet table — search fields + derived word_count. Upsert semantics
+    (index-by-id last-write-wins) are dedup-before-write: callers dedup on
+    article_id upstream (D3, see queries.last_event_per_user pattern)."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        out = t.select([c for c in SEARCH_PROJECTION_COLS if c in t.column_names])
+        wc = pa.array(
+            [len((x or "").split()) for x in t.column("content").to_pylist()], pa.int64()
+        )
+        return out.append_column("word_count", wc)
+
+    articles.map_batches(proj, batch_format="pyarrow").write_parquet(out_dir)
+    return out_dir
+
+
+def export_relational(articles: ray.data.Dataset, entities: ray.data.Dataset,
+                      base_dir: str) -> str:
+    """S6: the PostgreSQL relational projection (omni_storage.py:210-237):
+    a 13-col ``articles`` table (content truncated at 10,000 chars — the
+    reference's storage guard, omni_storage.py:173) plus the normalized
+    ``article_entities`` child table with per-article uniqueness."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        out = t.select(RELATIONAL_COLS)
+        content = pa.array(
+            [(x or "")[:10000] for x in t.column("content").to_pylist()], pa.string()
+        )
+        return out.set_column(out.column_names.index("content"), "content", content)
+
+    articles.map_batches(proj, batch_format="pyarrow").write_parquet(
+        os.path.join(base_dir, "articles")
+    )
+    entities.write_parquet(os.path.join(base_dir, "article_entities"))
+    return base_dir

@@ -78,3 +78,27 @@ def test_full_dump_join_back(articles_ds, tmp_path):
     # join-back attached real titles
     assert all(r["title"] for r in ent_rows[:50])
     assert set(ent_rows[0]) == {"article_id", "entity_type", "entity_name", "title", "domain"}
+
+
+def test_storage_projections(articles_ds, tmp_path):
+    import ray.data
+
+    from omni_ray.pipelines.articles import entities_pipeline
+    from omni_ray.pipelines.export import (
+        RELATIONAL_COLS,
+        export_relational,
+        export_search_projection,
+    )
+
+    sdir = export_search_projection(articles_ds, str(tmp_path / "search"))
+    sp = ray.data.read_parquet(sdir)
+    assert sp.count() == articles_ds.count()
+    assert "word_count" in sp.schema().names and "url" not in sp.schema().names
+
+    rdir = export_relational(articles_ds, entities_pipeline(articles_ds), str(tmp_path / "pg"))
+    arts = ray.data.read_parquet(f"{rdir}/articles")
+    assert arts.schema().names == RELATIONAL_COLS
+    row = arts.take(1)[0]
+    assert len(row["content"]) <= 10000  # PG truncation guard
+    ents = ray.data.read_parquet(f"{rdir}/article_entities")
+    assert set(ents.schema().names) >= {"article_id", "entity_type", "entity_name"}

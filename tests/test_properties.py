@@ -1,0 +1,62 @@
+"""Property-based tests (hypothesis): the cleaner and canonicalizer must be
+total (never raise), deterministic, and respect their output invariants on
+arbitrary input — the robustness layer above the example-based suites."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from omni_ray.functions.canonical import canonicalize_url, host_of, md5_hex
+from omni_ray.functions.clean import basic_clean, clean_content, clean_text, is_valid_content
+from omni_ray.functions.enrich import extract_key_phrases, extract_keywords
+from omni_ray.functions.html_mini import parse_html
+from omni_ray.functions.textstats import quality_signals, rolling_fingerprint
+
+html_ish = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=2000
+).map(lambda s: s.replace("\x00", ""))
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_ish)
+def test_parse_never_raises_and_cleaner_total(s):
+    parse_html(s)  # malformed input must not raise
+    out = clean_content(s, "https://example.com/x")
+    assert isinstance(out, str)
+    # cleaner output is whitespace-normalized: no doubles, no leading/trailing
+    assert out == out.strip()
+    assert "  " not in out
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_ish)
+def test_clean_text_idempotent(s):
+    once = clean_text(s)
+    assert clean_text(once) == clean_text(clean_text(once))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_canonicalize_stable_and_deterministic(u):
+    c1 = canonicalize_url(u)
+    # canonicalization is idempotent — a canonical url maps to itself
+    assert canonicalize_url(c1) == canonicalize_url(canonicalize_url(c1))
+    assert md5_hex(c1) == md5_hex(c1)
+    host_of(u)  # total
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=1000))
+def test_text_ops_total_and_bounded(s):
+    assert 0.0 <= quality_signals(s)["quality"] <= 1.0
+    fp = rolling_fingerprint(s)
+    assert 1 <= len(fp) <= 4 and all(isinstance(x, int) and x >= 0 for x in fp)
+    kws = extract_keywords(s)
+    assert len(kws) <= 15
+    assert all(10 < len(p) < 50 for p in extract_key_phrases(s))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=500))
+def test_validity_gate_total(s):
+    assert is_valid_content(s) in (True, False)
+    assert isinstance(basic_clean(s), str)
