@@ -181,6 +181,14 @@ def knn_lsh_q(sf_dir: str):
     return knn_lsh(_emb(sf_dir), vecs, ids, k=KNN_K)
 
 
+def duplicate_of_q(sf_dir: str):
+    """D2 duplicate_of assignment: MinHash-LSH verified pairs folded into
+    connected components, keeper = min doc_id."""
+    from ..stages.dedup import duplicate_groups, minhash_dedup_pairs
+
+    return duplicate_groups(minhash_dedup_pairs(_docs(sf_dir), threshold=0.5))
+
+
 def text_stats_q(sf_dir: str):
     from ..functions.textstats import text_stats_batch
 
@@ -207,6 +215,7 @@ ML_REGISTRY = {
 
 ML_ROWS_ONLY = {
     "minhash_dedup": minhash_dedup_q,
+    "duplicate_of": duplicate_of_q,
     "simhash_dedup": simhash_dedup_q,
     "embedding_neardup": embedding_neardup_q,
     "knn_lsh": knn_lsh_q,

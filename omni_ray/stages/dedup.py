@@ -375,3 +375,43 @@ def embedding_neardup_pairs(
         )
     out = out.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_of assignment (D2: enhanced_article.duplicate_of semantics)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_groups(pairs: pa.Table) -> pa.Table:
+    """Fold verified near-dup pairs into connected components and assign
+    ``duplicate_of`` = the component's minimum doc_id (the keeper), matching
+    the reference's mark-first-keep-rest semantics (D2, content_hash dedup +
+    enhanced_article.py:51). Union-find on the driver — the pair set is the
+    (small) OUTPUT of LSH verification, not the corpus; at cluster scale with
+    huge pair sets, iterate min-label propagation via groupby instead
+    (ray_guide near-dup pattern)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    for a, b in zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()):
+        union(int(a), int(b))
+    rows = sorted((x, find(x)) for x in parent)
+    dup_rows = [(x, r) for x, r in rows if x != r]
+    return pa.table(
+        {
+            "doc_id": pa.array([x for x, _ in dup_rows], pa.int64()),
+            "duplicate_of": pa.array([r for _, r in dup_rows], pa.int64()),
+        }
+    )

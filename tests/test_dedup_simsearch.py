@@ -192,3 +192,28 @@ def test_multimodal_plumbing():
     ).take_all()
     assert all(f["frame_ts_ms"] % 500 == 0 for f in frames)
     assert len(frames) > 0
+
+
+def test_duplicate_groups_union_find():
+    from omni_ray.stages.dedup import duplicate_groups
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 10, 11, 20], pa.int64()),
+            "doc_b": pa.array([2, 3, 11, 12, 21], pa.int64()),
+        }
+    )
+    out = duplicate_groups(pairs)
+    m = dict(zip(out["doc_id"].to_pylist(), out["duplicate_of"].to_pylist()))
+    # chains collapse to min-id keeper; keepers themselves are absent
+    assert m == {2: 1, 3: 1, 11: 10, 12: 10, 21: 20}
+
+
+def test_minhash_to_duplicate_of(planted):
+    from omni_ray.stages.dedup import duplicate_groups, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(planted, threshold=0.5)
+    groups = duplicate_groups(pairs)
+    m = dict(zip(groups["doc_id"].to_pylist(), groups["duplicate_of"].to_pylist()))
+    assert all(k > v for k, v in m.items())  # keeper is always the smaller id
+    assert len(m) >= 8  # the planted near-dups collapse onto their bases
