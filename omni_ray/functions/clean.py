@@ -135,15 +135,29 @@ def _clean_element_text(element: Node) -> str:
     return _WS_RE.sub(" ", text).strip()
 
 
+_UNWANTED_TAG_SET = frozenset(UNWANTED_TAGS)
+
+
 def _remove_unwanted_elements(root: Node) -> None:
-    for tag in UNWANTED_TAGS:
-        for el in root.find_all(tag):
-            el.decompose()
-    for rex in _AD_RE:
-        for el in root.find_all(class_re=rex):
-            el.decompose()
-        for el in root.find_all(id_re=rex):
-            el.decompose()
+    """Single traversal collecting every node slated for removal — equivalent
+    to the reference's 17 tag + 13×2 class/id find_all passes
+    (content_cleaner.py:100-125): removal criteria are node-local, so the
+    union of matches is order-independent."""
+    doomed = []
+    for n in root.iter_desc():
+        if n.name in _UNWANTED_TAG_SET:
+            doomed.append(n)
+            continue
+        classes = n.classes()
+        idv = n.attrs.get("id")
+        for rex in _AD_RE:
+            if (classes and any(rex.search(c) for c in classes)) or (
+                idv is not None and rex.search(idv)
+            ):
+                doomed.append(n)
+                break
+    for el in doomed:
+        el.decompose()
 
 
 def _extract_generic_content(root: Node) -> str | None:

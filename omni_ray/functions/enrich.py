@@ -138,11 +138,62 @@ def extract_people(text: str) -> list[dict]:
     return people[:10]
 
 
+_ORG_SUFFIXES_1 = frozenset(
+    s.lower() for s in ["Inc", "Corp", "Corporation", "Company", "Co", "LLC", "Ltd"]
+)
+_ORG_SUFFIXES_2 = frozenset(
+    s.lower() for s in ["International", "Global", "Technologies", "Systems"]
+)
+_ORG_SUFFIX_HINT = re.compile(
+    r"\b(inc|corp|corporation|company|co|llc|ltd|international|global|technologies|systems)\b",
+    re.IGNORECASE,
+)
+_ALPHA_RUN_RE = re.compile(r"[A-Za-z]+")
+
+
+def _org_matches_linear(text: str, suffixes: frozenset) -> list[str]:
+    """Linear-time equivalent of the reference org regex
+    ``\\b([A-Z][a-z]+(?:\\s+[A-Z][a-z]+)*)\\s+(SUFFIX)\\b`` with IGNORECASE
+    (content_enricher.py:139-142). Nodes are maximal alpha runs of length ≥2
+    (the only spans ``[A-Z][a-z]+`` can fully consume between ``\\b``/``\\s``);
+    chain edges require the inter-word gap to be non-empty pure whitespace;
+    a greedy match starts at the earliest unconsumed chain word and ends at
+    the LAST reachable suffix word. Equivalence is pinned by a
+    hypothesis test against the actual regexes. Avoids the regex engine's
+    quadratic retry scan over long all-caps-free prose."""
+    words = [m for m in _ALPHA_RUN_RE.finditer(text) if m.end() - m.start() >= 2]
+    out = []
+    n = len(words)
+    i = 0
+    while i < n:
+        # build the chain [i..k]: consecutive words joined by pure whitespace
+        k = i
+        while k + 1 < n and text[words[k].end() : words[k + 1].start()].isspace() and words[k + 1].start() > words[k].end():
+            k += 1
+        # emit greedy matches inside the chain
+        pos = i
+        while pos < k:  # need ≥1 name word before a suffix
+            last_suffix = -1
+            for j in range(pos + 1, k + 1):
+                if words[j].group().lower() in suffixes:
+                    last_suffix = j
+            if last_suffix <= pos:
+                break
+            out.append(text[words[pos].start() : words[last_suffix].end()])
+            pos = last_suffix + 1
+        i = k + 1
+    return out
+
+
 def extract_organizations(text: str) -> list[dict]:
+    # cheap necessary-condition scan first; then the linear-time chain scan
+    # (equivalent to the reference's backtracking regexes — see tests)
+    if not _ORG_SUFFIX_HINT.search(text):
+        return []
     orgs = []
-    for pat in _ORG_PATTERNS:
-        for m in pat.finditer(text):
-            orgs.append({"name": m.group(0), "confidence": 0.7})
+    for suffixes in (_ORG_SUFFIXES_1, _ORG_SUFFIXES_2):
+        for name in _org_matches_linear(text, suffixes):
+            orgs.append({"name": name, "confidence": 0.7})
             if len(orgs) >= 10:
                 return orgs
     return orgs[:10]

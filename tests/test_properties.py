@@ -60,3 +60,27 @@ def test_text_ops_total_and_bounded(s):
 def test_validity_gate_total(s):
     assert is_valid_content(s) in (True, False)
     assert isinstance(basic_clean(s), str)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["Acme", "Corp", "Inc", "systems", "global", "a", "xy", "Beta-Corp",
+             "big,", "Ltd.", "Co", "and", "Incorporated", "x1y", "Technologies"]
+        ),
+        max_size=12,
+    ).map(" ".join)
+)
+def test_org_linear_scan_equals_reference_regex(text):
+    from omni_ray.functions.enrich import (
+        _ORG_PATTERNS,
+        _ORG_SUFFIXES_1,
+        _ORG_SUFFIXES_2,
+        _org_matches_linear,
+    )
+
+    for pat, suffixes in zip(_ORG_PATTERNS, (_ORG_SUFFIXES_1, _ORG_SUFFIXES_2)):
+        want = [m.group(0) for m in pat.finditer(text)]
+        got = _org_matches_linear(text, suffixes)
+        assert got == want, (text, got, want)
