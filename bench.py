@@ -143,7 +143,7 @@ def run_bench() -> dict:
     }
 
 
-SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "60000"))
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "200000"))
 
 
 def run_scaling_worker() -> dict:
