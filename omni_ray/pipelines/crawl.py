@@ -54,17 +54,29 @@ DRIVER_FRONTIER_MAX = 50_000_000
 
 
 def _dedup_and_rank(group: pd.DataFrame, budget_per_host: int | None) -> pd.DataFrame:
-    """Per-host group: drop already-seen rows, dedup url_hash (first-wins
-    under (priority desc, discovery_ts, url) order), then flag robots-blocked
-    rows and rank the allowed ones within the politeness budget."""
-    g = group.sort_values(SORT_COLS, ascending=SORT_ASC, kind="mergesort")
+    """Vectorized dedup + politeness rank over a frame holding WHOLE host
+    groups (one host never spans two calls — the shuffle key is
+    hash(host) % N buckets). Per host: drop already-seen rows, dedup url_hash
+    (first-wins under (priority desc, discovery_ts, url) order), rank allowed
+    rows, flag ``scheduled`` within the budget. All column-wise pandas ops —
+    no per-host Python apply (a long host tail makes per-group calls the
+    bottleneck: ~1.5 ms × #hosts)."""
+    g = group.sort_values(["host"] + SORT_COLS, ascending=[True] + SORT_ASC,
+                          kind="mergesort")
     fresh = g[~g["seen"]].drop_duplicates("url_hash", keep="first").copy()
-    allowed_mask = fresh["robots_allowed"].to_numpy()
-    ranks = allowed_mask.cumsum() - 1  # rank among allowed rows only
+    allowed = fresh["robots_allowed"].to_numpy()
     if budget_per_host is None:
-        fresh["scheduled"] = allowed_mask
+        fresh["scheduled"] = allowed
     else:
-        fresh["scheduled"] = allowed_mask & (ranks < budget_per_host)
+        # rank among allowed rows within each host, vectorized (cumsum per host)
+        ranks = (
+            pd.Series(allowed.astype("int64"), index=fresh.index)
+            .groupby(fresh["host"].to_numpy(), sort=False)
+            .cumsum()
+            .to_numpy()
+            - 1
+        )
+        fresh["scheduled"] = allowed & (ranks < budget_per_host)
     return fresh
 
 
@@ -112,10 +124,17 @@ class _AnnotateStage:
                 for i, ok in zip(idxs, ray.get(rfut[sid])):
                     allowed[i] = ok
         eligible = [not s and a for s, a in zip(seen, allowed)]
+        import hashlib as _hashlib
+
+        hb = [
+            int(_hashlib.md5((h or "").encode()).hexdigest()[:8], 16) % 64
+            for h in batch.column("host").to_pylist()
+        ]
         return (
             batch.append_column("seen", pa.array(seen, pa.bool_()))
             .append_column("robots_allowed", pa.array(allowed, pa.bool_()))
             .append_column("eligible", pa.array(eligible, pa.bool_()))
+            .append_column("host_bucket", pa.array(hb, pa.int32()))
         )
 
 
@@ -206,11 +225,16 @@ def run_crawl(
         # from_arrow yields ONE block — split so annotate/dedup parallelize
         fr = fr.repartition(max(8, min(128, frontier_tbl.num_rows // 2048)))
         fr = fr.map_batches(annotate, batch_format="pyarrow", batch_size=2048)
+        # shuffle on hash(host)%64 buckets (not raw host): a long host tail
+        # would make per-group overhead dominate; the rank fn is vectorized
+        # over whole buckets and host groups never span buckets
         ranked_pdf = (
-            fr.groupby("host")
+            fr.groupby("host_bucket")
             .map_groups(lambda g: _dedup_and_rank(g, budget_per_host), batch_format="pandas")
             .to_pandas()
         )
+        if "host_bucket" in ranked_pdf.columns:
+            ranked_pdf = ranked_pdf.drop(columns=["host_bucket"])
         assert len(ranked_pdf) <= DRIVER_FRONTIER_MAX
         counters.append(("*", "fresh_after_dedup", len(ranked_pdf)))
         if robots is not None:
