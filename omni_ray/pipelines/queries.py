@@ -369,6 +369,26 @@ GROUP BY n_name
 """
 
 
+def nation_revenue_hashjoin(sf_dir: str):
+    """J1, hash-join strategy (both-sides-large path): ``Dataset.join``
+    hash-partitioned on the key — the alternative to the broadcast join in
+    ``nation_revenue`` for when the dimension side outgrows the object store.
+    Same oracle as nation_revenue (identical result)."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    j1 = orders.join(cust, join_type="inner", on=("o_custkey",),
+                     right_on=("c_custkey",), num_partitions=8)
+    j2 = j1.join(nation, join_type="inner", on=("c_nationkey",),
+                 right_on=("n_nationkey",), num_partitions=4)
+    out = j2.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    )
+    return _quantize(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"revenue": 100}
+    )
+
+
 def entities_export_join(sf_dir: str):
     """J1 exact shape (data_exporter.py:391-396): child rows joined back to
     parent attributes. Here: lineitem (child) ⋈ orders (parent) — parent side
@@ -626,6 +646,7 @@ REGISTRY = {
     "topk_by_value": (topk_by_value, SQL_TOPK_BY_VALUE),
     "filtered_listing": (filtered_listing, SQL_FILTERED_LISTING),
     "nation_revenue": (nation_revenue, SQL_NATION_REVENUE),
+    "nation_revenue_hashjoin": (nation_revenue_hashjoin, SQL_NATION_REVENUE),
     "entities_export_join": (entities_export_join, SQL_ENTITIES_EXPORT_JOIN),
     "exact_dedup": (exact_dedup, SQL_EXACT_DEDUP),
     "last_event_per_user": (last_event_per_user, SQL_LAST_EVENT_PER_USER),
