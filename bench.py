@@ -250,8 +250,36 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print the headline pipeline's per-stage ds.stats() (fusion, UDF share,
+    block sizes) — the wall-time-is-useful-compute evidence."""
+    import shutil
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    from omni_ray.pipelines.articles import article_pipeline
+    from omni_ray.sources.pages import write_pages_dataset
+
+    base = os.path.join("/tmp", "omni_ray_stats_pages_20000")
+    write_pages_dataset(base, n_rows=20000, seed=42, n_buckets=16, parallel=True)
+    shutil.rmtree("/tmp/omni_ray_stats_arts", ignore_errors=True)
+    out = article_pipeline(ray.data.read_parquet(f"{base}/pages"))
+    out.write_parquet("/tmp/omni_ray_stats_arts")
+    print(out.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
-    if os.environ.get("GRAFT_SCALING_WORKER"):
+    if "--stats" in sys.argv:
+        run_stats()
+    elif os.environ.get("GRAFT_SCALING_WORKER"):
         print(json.dumps(run_scaling_worker()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))

@@ -634,6 +634,56 @@ SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
 ORDER BY o_orderdate DESC, o_orderkey LIMIT 20 OFFSET 20
 """
 
+def sliding_window(sf_dir: str):
+    """Sliding window: 2-hour windows stepped hourly, per event_type counts.
+    Each event expands to the 2 windows containing it (flat expansion inside
+    map_batches — the standard stream-to-batch window explode), then a plain
+    groupby. Window key = window START hour (epoch hours, int64)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        hours = pc.cast(
+            pc.floor(pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)), pa.int64()
+        )
+        h = hours.to_pylist()
+        types = t["event_type"].to_pylist()
+        vals = t["value"].to_pylist()
+        out_w, out_ty, out_v = [], [], []
+        for hour, ty, v in zip(h, types, vals):
+            for w in (hour - 1, hour):  # 2h window starting at w contains hour
+                out_w.append(w)
+                out_ty.append(ty)
+                out_v.append(v)
+        return pa.table(
+            {
+                "window_start_hour": pa.array(out_w, pa.int64()),
+                "event_type": pa.array(out_ty, pa.string()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["window_start_hour", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return _quantize(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False),
+        {"sum_value": 1_000_000},
+    )
+
+
+SQL_SLIDING_WINDOW = """
+WITH expanded AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) - offs AS window_start_hour,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS offs)
+)
+SELECT window_start_hour, event_type, count(*) AS n,
+       CAST(round(sum(value) * 1000000) AS BIGINT) AS sum_value
+FROM expanded GROUP BY 1, 2
+"""
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "global_stats": (global_stats, SQL_GLOBAL_STATS),
@@ -653,6 +703,7 @@ REGISTRY = {
     "content_hashes": (content_hashes, SQL_CONTENT_HASHES),
     "window_tumbling": (window_tumbling, SQL_WINDOW_TUMBLING),
     "sessionize": (sessionize, SQL_SESSIONIZE),
+    "sliding_window": (sliding_window, SQL_SLIDING_WINDOW),
     "keyword_search": (keyword_search, SQL_KEYWORD_SEARCH),
     "paginated_listing": (paginated_listing, SQL_PAGINATED_LISTING),
 }
