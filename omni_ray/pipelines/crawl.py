@@ -172,6 +172,39 @@ def _bucket_batch(batch: pa.Table, n_buckets: int) -> pa.Table:
     return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
+class _SeenAdd:
+    """map_batches passthrough that marks every row's url_hash as seen in the
+    sharded filter actors (distributed check_and_add; idempotent set-add, so
+    Ray task retries are safe)."""
+
+    def __init__(self, shards, n_shards):
+        self.shards = shards
+        self.n_shards = n_shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = batch.column("url_hash").to_pylist()
+        groups: dict[int, list[bytes]] = {}
+        for h in hashes:
+            groups.setdefault(SeenSet.shard_of(h, self.n_shards), []).append(bytes.fromhex(h))
+        ray.get(
+            [self.shards[sid].check_and_add.remote(dig) for sid, dig in groups.items()]
+        )
+        return batch
+
+
+def _read_frontier(path: str) -> pa.Table:
+    """Frontier snapshot reader: a single parquet file (driver mode) or a
+    directory of part files (distributed mode)."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not files:
+            return _frontier_schema().empty_table()
+        return pa.concat_tables([pq.read_table(f) for f in files])
+    return pq.read_table(path)
+
+
 def run_crawl(
     pages_dir: str,
     seeds_path: str,
@@ -184,8 +217,17 @@ def run_crawl(
     max_waves: int = 100,
     resume: bool = True,
     enrich_concurrency: int | None = None,
+    distributed_frontier: bool = False,
 ) -> dict:
-    """Run the full crawl to frontier exhaustion. Returns summary counters."""
+    """Run the full crawl to frontier exhaustion. Returns summary counters.
+
+    ``distributed_frontier`` selects the 10^10-scale wave regime: the frontier
+    split, seen-set marking, schedule artifact and next-frontier snapshot all
+    stay Dataset operations (nothing but per-wave COUNTS reaches the driver).
+    The driver-pandas path (default) is faster below DRIVER_FRONTIER_MAX rows
+    per wave and produces bit-identical schedules; the distributed path
+    orders the schedule by writing sorted part files (global crawl_order =
+    row position in filename order — same deterministic order)."""
     os.makedirs(out_dir, exist_ok=True)
     seen = SeenSet(n_shards=n_seen_shards)
     robots = RobotsCache(robots_map, n_shards=2) if respect_robots else None
@@ -201,7 +243,9 @@ def run_crawl(
             last = os.path.join(out_dir, done[-1])
             start_wave = int(done[-1].split("=")[1]) + 1
             seen.restore(os.path.join(last, "seen_shards"))
-            frontier_path = os.path.join(last, "frontier_next.parquet")
+            # snapshot is a file (driver mode) or a parts dir (distributed)
+            fp = os.path.join(last, "frontier_next.parquet")
+            frontier_path = fp if os.path.exists(fp) else os.path.join(last, "frontier_next")
 
     annotate = _AnnotateStage(
         seen.shards, seen.n_shards,
@@ -212,7 +256,7 @@ def run_crawl(
     totals: dict[str, int] = {}
     wave = start_wave
     while wave < start_wave + max_waves:
-        frontier_tbl = pq.read_table(frontier_path)
+        frontier_tbl = _read_frontier(frontier_path)
         epoch_dir = os.path.join(out_dir, f"epoch={wave:04d}")
         counters: list[tuple[str, str, int]] = []
         if frontier_tbl.num_rows == 0:
@@ -228,51 +272,66 @@ def run_crawl(
         # shuffle on hash(host)%64 buckets (not raw host): a long host tail
         # would make per-group overhead dominate; the rank fn is vectorized
         # over whole buckets and host groups never span buckets
-        ranked_pdf = (
-            fr.groupby("host_bucket")
-            .map_groups(lambda g: _dedup_and_rank(g, budget_per_host), batch_format="pandas")
-            .to_pandas()
-        )
-        if "host_bucket" in ranked_pdf.columns:
-            ranked_pdf = ranked_pdf.drop(columns=["host_bucket"])
-        assert len(ranked_pdf) <= DRIVER_FRONTIER_MAX
-        counters.append(("*", "fresh_after_dedup", len(ranked_pdf)))
-        if robots is not None:
-            blocked = int((~ranked_pdf["robots_allowed"]).sum()) if len(ranked_pdf) else 0
-            counters.append(("*", "robots_blocked", blocked))
-
-        if len(ranked_pdf) == 0:
-            _finish_epoch(epoch_dir, seen, None, counters, wave)
-            frontier_path = os.path.join(epoch_dir, "frontier_next.parquet")
-            wave += 1
-            break
-
-        sched_pdf = ranked_pdf[ranked_pdf["scheduled"]].copy()
-        # deferred = allowed but over budget (blocked urls leave the frontier)
-        deferred_pdf = ranked_pdf[
-            ~ranked_pdf["scheduled"] & ranked_pdf["robots_allowed"]
-        ].copy()
-
-        # deterministic crawl order (conformance artifact)
-        sched_pdf = sched_pdf.sort_values(SORT_COLS, ascending=SORT_ASC, kind="mergesort")
-        sched_pdf = sched_pdf.reset_index(drop=True)
-        sched_pdf["crawl_order"] = range(len(sched_pdf))
-        for host, cnt in sched_pdf.groupby("host").size().items():
-            counters.append((str(host), "scheduled", int(cnt)))
-        pq.write_table(
-            pa.Table.from_pandas(
-                sched_pdf[["url", "url_hash", "host", "priority", "discovery_ts", "crawl_order"]],
-                preserve_index=False,
-            ),
-            os.path.join(epoch_dir, "schedule.parquet"),
+        ranked = fr.groupby("host_bucket").map_groups(
+            lambda g: _dedup_and_rank(g, budget_per_host), batch_format="pandas"
         )
 
-        # mark scheduled as seen (exactly once per url_hash)
-        seen.check_and_add_hashes(sched_pdf["url_hash"].tolist())
+        if distributed_frontier:
+            out = _wave_distributed(
+                ranked, seen, epoch_dir, counters, robots is not None
+            )
+            if out is None:
+                _finish_epoch(epoch_dir, seen, None, counters, wave)
+                frontier_path = os.path.join(epoch_dir, "frontier_next")
+                wave += 1
+                break
+            sched_ds, n_sched = out
+            frontier_next_path = os.path.join(epoch_dir, "frontier_next")
+        else:
+            ranked_pdf = ranked.to_pandas()
+            if "host_bucket" in ranked_pdf.columns:
+                ranked_pdf = ranked_pdf.drop(columns=["host_bucket"])
+            assert len(ranked_pdf) <= DRIVER_FRONTIER_MAX
+            counters.append(("*", "fresh_after_dedup", len(ranked_pdf)))
+            if robots is not None:
+                blocked = int((~ranked_pdf["robots_allowed"]).sum()) if len(ranked_pdf) else 0
+                counters.append(("*", "robots_blocked", blocked))
+
+            if len(ranked_pdf) == 0:
+                _finish_epoch(epoch_dir, seen, None, counters, wave)
+                frontier_path = os.path.join(epoch_dir, "frontier_next.parquet")
+                wave += 1
+                break
+
+            sched_pdf = ranked_pdf[ranked_pdf["scheduled"]].copy()
+            # deferred = allowed but over budget (blocked urls leave the frontier)
+            deferred_pdf = ranked_pdf[
+                ~ranked_pdf["scheduled"] & ranked_pdf["robots_allowed"]
+            ].copy()
+
+            # deterministic crawl order (conformance artifact)
+            sched_pdf = sched_pdf.sort_values(SORT_COLS, ascending=SORT_ASC, kind="mergesort")
+            sched_pdf = sched_pdf.reset_index(drop=True)
+            sched_pdf["crawl_order"] = range(len(sched_pdf))
+            for host, cnt in sched_pdf.groupby("host").size().items():
+                counters.append((str(host), "scheduled", int(cnt)))
+            pq.write_table(
+                pa.Table.from_pandas(
+                    sched_pdf[["url", "url_hash", "host", "priority", "discovery_ts", "crawl_order"]],
+                    preserve_index=False,
+                ),
+                os.path.join(epoch_dir, "schedule.parquet"),
+            )
+
+            # mark scheduled as seen (exactly once per url_hash)
+            seen.check_and_add_hashes(sched_pdf["url_hash"].tolist())
+
+            drop_cols = ["seen", "robots_allowed", "eligible", "scheduled"]
+            sched_ds = ray.data.from_pandas(sched_pdf.drop(columns=drop_cols))
+            n_sched = len(sched_pdf)
+            frontier_next_path = os.path.join(epoch_dir, "frontier_next.parquet")
 
         # ---- fetch (bucketed lookup join) + article pipeline --------------
-        drop_cols = ["seen", "robots_allowed", "eligible", "scheduled"]
-        sched_ds = ray.data.from_pandas(sched_pdf.drop(columns=drop_cols))
         sched_ds = sched_ds.map_batches(
             lambda t: _bucket_batch(t, n_buckets), batch_format="pyarrow"
         )
@@ -287,7 +346,7 @@ def run_crawl(
         # groupby().map_groups can emit ONE consolidated block, which would
         # serialize the whole extract pipeline — split it back out so the
         # clean/extract stages parallelize across the cluster
-        n_blocks = max(8, min(256, len(sched_pdf) // 256))
+        n_blocks = max(8, min(256, n_sched // 256))
         hits = hits.repartition(n_blocks)
         articles = article_pipeline(hits, enrich_concurrency=enrich_concurrency).materialize()
         n_articles = articles.count()
@@ -298,7 +357,7 @@ def run_crawl(
             batch_format="pyarrow",
         ).to_pandas()["n"].sum()
         counters.append(("*", "fetched", int(n_hits)))
-        counters.append(("*", "fetch_missed", len(sched_pdf) - int(n_hits)))
+        counters.append(("*", "fetch_missed", n_sched - int(n_hits)))
         if n_articles:
             articles.write_parquet(os.path.join(epoch_dir, "articles"))
             # exploded entities child table (J1 source, omni_storage.py:228-237)
@@ -307,10 +366,17 @@ def run_crawl(
             entities_pipeline(articles).write_parquet(os.path.join(epoch_dir, "entities"))
         counters.append(("*", "articles_stored", n_articles))
 
-        _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave)
+        if distributed_frontier:
+            # deferred snapshot was already written by _wave_distributed
+            _write_counters(epoch_dir, counters, wave)
+            seen.checkpoint(os.path.join(epoch_dir, "seen_shards"))
+            with open(os.path.join(epoch_dir, "_COMPLETE"), "w") as f:
+                f.write("ok")
+        else:
+            _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave)
         for part, name, val in counters:
             totals[name] = totals.get(name, 0) + val
-        frontier_path = os.path.join(epoch_dir, "frontier_next.parquet")
+        frontier_path = frontier_next_path
         wave += 1
 
     totals["waves"] = wave - start_wave
@@ -322,6 +388,71 @@ def run_crawl(
     if robots is not None:
         robots.shutdown()
     return totals
+
+
+def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on):
+    """Distributed frontier split: everything stays Dataset ops; only counts
+    reach the driver. Returns (scheduled Dataset, n_scheduled) or None when
+    the wave is empty."""
+    from ray.data.aggregate import Count, Sum
+
+    ranked = ranked.map_batches(
+        lambda t: t.drop_columns(["host_bucket"]) if "host_bucket" in t.column_names else t,
+        batch_format="pyarrow",
+    ).materialize()
+    n_ranked = ranked.count()
+    counters.append(("*", "fresh_after_dedup", n_ranked))
+    if robots_on and n_ranked:
+        blocked = ranked.map_batches(
+            lambda t: pa.table({"b": [int(t.num_rows - pa.compute.sum(
+                pa.compute.cast(t.column("robots_allowed"), pa.int64())).as_py())]}),
+            batch_format="pyarrow",
+        ).to_pandas()["b"].sum()
+        counters.append(("*", "robots_blocked", int(blocked)))
+    if n_ranked == 0:
+        os.makedirs(os.path.join(epoch_dir, "frontier_next"), exist_ok=True)
+        return None
+
+    sched = ranked.map_batches(
+        lambda t: t.filter(t.column("scheduled")), batch_format="pyarrow"
+    )
+    # distributed seen-set marking (idempotent actor adds)
+    sched = sched.map_batches(
+        _SeenAdd(seen.shards, seen.n_shards), batch_format="pyarrow", batch_size=4096
+    ).materialize()
+    n_sched = sched.count()
+    if n_sched:
+        # per-host lineage counters (small aggregate)
+        hc = sched.groupby("host").aggregate(Count(alias_name="n")).to_pandas()
+        for host, cnt in zip(hc["host"], hc["n"]):
+            counters.append((str(host), "scheduled", int(cnt)))
+        # schedule artifact: globally sorted part files; crawl_order = row
+        # position in filename order (deterministic)
+        sched.sort(SORT_COLS, descending=[not a for a in SORT_ASC]).select_columns(
+            ["url", "url_hash", "host", "priority", "discovery_ts"]
+        ).write_parquet(os.path.join(epoch_dir, "schedule"))
+
+    # deferred = allowed but over budget → next frontier snapshot (parts dir)
+    deferred = ranked.map_batches(
+        lambda t: t.filter(
+            pa.compute.and_(
+                pa.compute.invert(t.column("scheduled")), t.column("robots_allowed")
+            )
+        ).select(FRONTIER_COLS).cast(_frontier_schema()),
+        batch_format="pyarrow",
+    )
+    fdir = os.path.join(epoch_dir, "frontier_next")
+    deferred.write_parquet(fdir)
+    os.makedirs(fdir, exist_ok=True)  # an all-empty write may create nothing
+    if not any(f.endswith(".parquet") for f in os.listdir(fdir)):
+        pq.write_table(_frontier_schema().empty_table(),
+                       os.path.join(fdir, "empty.parquet"))
+    drop_cols = ["seen", "robots_allowed", "eligible", "scheduled"]
+    sched = sched.map_batches(
+        lambda t: t.drop_columns([c for c in drop_cols if c in t.column_names]),
+        batch_format="pyarrow",
+    )
+    return sched, n_sched
 
 
 def _frontier_schema() -> pa.Schema:

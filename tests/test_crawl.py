@@ -133,3 +133,60 @@ def test_robots_gating(pages_dir, tmp_path):
     assert not any(
         (h == host and "/sport/" in u) for h, u in zip(sched["host"], sched["url"])
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_frontier_equals_driver_mode(pages_dir, tmp_path):
+    """The 10^10-scale regime: same scheduled sets per wave, same final
+    URL-seen set, same stored articles as the driver-pandas path."""
+    drv = str(tmp_path / "drv")
+    dst = str(tmp_path / "dst")
+    t1 = _run(pages_dir, drv, budget_per_host=7)
+    t2 = _run(pages_dir, dst, budget_per_host=7, distributed_frontier=True)
+    assert t1["seen_total"] == t2["seen_total"]
+    assert t1["scheduled"] == t2["scheduled"]
+    assert t1["waves"] == t2["waves"]
+
+    def sched_sets(d):
+        out = {}
+        for e in sorted(os.listdir(d)):
+            p = os.path.join(d, e)
+            if not e.startswith("epoch="):
+                continue
+            f1 = os.path.join(p, "schedule.parquet")
+            f2 = os.path.join(p, "schedule")
+            if os.path.exists(f1):
+                out[e] = set(pq.read_table(f1).column("url").to_pylist())
+            elif os.path.isdir(f2):
+                out[e] = set(pq.read_table(f2).column("url").to_pylist())
+        return out
+
+    s1, s2 = sched_sets(drv), sched_sets(dst)
+    assert s1 == s2  # identical per-wave scheduled URL sets
+
+    # distributed schedule order (sorted parts) equals driver crawl order
+    import pandas as pd
+
+    e0 = sorted(k for k in s1)[0]
+    drv_order = pq.read_table(os.path.join(drv, e0, "schedule.parquet")).to_pandas()
+    drv_order = drv_order.sort_values("crawl_order")["url"].tolist()
+    parts = sorted(
+        os.path.join(dst, e0, "schedule", f)
+        for f in os.listdir(os.path.join(dst, e0, "schedule"))
+        if f.endswith(".parquet")
+    )
+    dst_order = [u for f in parts for u in pq.read_table(f).column("url").to_pylist()]
+    assert dst_order == drv_order
+
+    def articles(d):
+        import ray.data
+
+        ids = []
+        for e in sorted(os.listdir(d)):
+            p = os.path.join(d, e, "articles")
+            if os.path.isdir(p):
+                ids.extend(r["article_id"] for r in ray.data.read_parquet(p)
+                           .select_columns(["article_id"]).take_all())
+        return sorted(ids)
+
+    assert articles(drv) == articles(dst)
