@@ -190,3 +190,53 @@ def test_distributed_frontier_equals_driver_mode(pages_dir, tmp_path):
         return sorted(ids)
 
     assert articles(drv) == articles(dst)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_host_skew(tmp_path):
+    """Skew guard: a frontier where ONE host owns ~70% of all urls must still
+    respect per-wave politeness, match the oracle order, and terminate."""
+    import pyarrow as pa
+
+    from omni_ray.sources.pages import write_pages_dataset
+
+    base = str(tmp_path / "skewpages")
+    write_pages_dataset(base, n_rows=300, seed=55, n_buckets=8)
+    # replace seeds: 70% hot host (bbc.com pages), rest long tail
+    pages = pq.read_table(f"{base}/pages")
+    urls = pages.column("url").to_pylist()
+    hot = [u for u in urls if "bbc" in u]
+    tail = [u for u in urls if "bbc" not in u][:60]
+    seeds_urls = hot + tail
+    base_ts = 1_700_000_000_000_000
+    seeds = pa.table(
+        {
+            "url": pa.array(seeds_urls, pa.string()),
+            "source": pa.array(["rss"] * len(seeds_urls), pa.string()),
+            "priority": pa.array([10] * len(seeds_urls), pa.int32()),
+            "depth": pa.array([0] * len(seeds_urls), pa.int32()),
+            "discovery_ts": pa.array(
+                [base_ts + i * 1_000_000 for i in range(len(seeds_urls))], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(seeds, f"{base}/skew_seeds.parquet")
+
+    out_dir = str(tmp_path / "skewcrawl")
+    from omni_ray.pipelines.crawl import run_crawl
+
+    totals = run_crawl(
+        pages_dir=f"{base}/pages", seeds_path=f"{base}/skew_seeds.parquet",
+        out_dir=out_dir, budget_per_host=8, n_buckets=8, n_seen_shards=2,
+    )
+    sched = _all_schedules(out_dir)
+    per = sched.groupby(["wave", "host"]).size()
+    assert per.max() <= 8  # politeness holds under skew
+    # the hot host drains across many waves; tail hosts finish in wave 0
+    seeds_pdf = seeds.to_pandas()
+    seeds_pdf["canonical_url"] = seeds_pdf["url"].map(canonicalize_url)
+    seeds_pdf["host"] = seeds_pdf["canonical_url"].map(host_of)
+    seeds_pdf["url_hash"] = seeds_pdf["canonical_url"].map(md5_hex)
+    oracle = reference_oracle_schedule(seeds_pdf, budget_per_host=8)
+    assert sched["url"].tolist() == oracle["url"].tolist()
+    assert totals["seen_total"] == len(oracle)

@@ -189,3 +189,27 @@ def test_dead_letter_capture(tmp_path):
     assert dl.num_rows == 1
     assert dl.column("url")[0].as_py() == "https://x.com/3"
     assert "poison page" in dl.column("error")[0].as_py()
+
+
+def test_crawl_config_from_dict():
+    from omni_ray.pipelines.config import CrawlConfig
+
+    cfg = CrawlConfig.from_dict(
+        {
+            "crawler": {"max_concurrent_crawls": 3, "respect_robots_txt": False,
+                        "crawl_interval_seconds": 60},
+            "sources": [
+                {"url": "https://a.com/rss", "kind": "rss", "enabled": True},
+                {"url": "https://b.com/map", "type": "sitemap", "enabled": False},
+            ],
+            "validation": {"blocked_domains": ["bad.example"]},
+            "engine": {"n_seen_shards": 2, "distributed_frontier": True},
+        }
+    )
+    assert cfg.budget_per_host == 3 and not cfg.respect_robots_txt
+    assert [s.url for s in cfg.enabled_sources()] == ["https://a.com/rss"]
+    assert cfg.blocked_domains == ["bad.example"]
+    assert cfg.distributed_frontier and cfg.n_seen_shards == 2
+    # defaults mirror the reference config
+    d = CrawlConfig()
+    assert d.budget_per_host == 5 and d.crawl_interval_seconds == 300
