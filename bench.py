@@ -62,7 +62,7 @@ def run_bench() -> dict:
     sf = _sf_tag(SF_DIR)
     n_pages = PAGES_N[sf]
     pages_base = os.path.join("/tmp", f"omni_ray_bench_pages_{n_pages}")
-    write_pages_dataset(pages_base, n_rows=n_pages, seed=42, n_buckets=16)
+    write_pages_dataset(pages_base, n_rows=n_pages, seed=42, n_buckets=16, parallel=True)
 
     # untimed warmup: spin up the worker pool and warm the page cache with a
     # read + map + shuffle so timings measure compute, not process startup
