@@ -91,24 +91,39 @@ class MinHashLSH:
                 out_band.append(band)
                 out_hash.append(bh)
                 out_id.append(doc_id)
+        bucket = [int(h[:4], 16) % 128 for h in out_hash]
         return pa.table(
             {
                 "band_id": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_hash, pa.string()),
                 "doc_id": pa.array(out_id, pa.int64()),
+                "bucket": pa.array(bucket, pa.int32()),
             }
         )
 
 
 def _bucket_pairs(group: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
-    """Candidate pairs within one (band_id, band_hash) bucket; degenerate
-    buckets dropped (skew guard — counted upstream by bucket size)."""
-    ids = sorted(set(group["doc_id"].tolist()))
-    if len(ids) < 2 or len(ids) > max_bucket:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-    return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
+    """Candidate pairs within one hash bucket (a COARSE bucket holding many
+    (band_id, band_hash) groups): vectorized dup-key detection first, Python
+    pair expansion only for the (rare) colliding keys. Degenerate keys with
+    more than ``max_bucket`` docs are dropped (skew guard). One call per
+    coarse bucket — per-key map_groups calls would cost ~1.5 ms x #keys."""
+    key_cols = [c for c in ("band_id", "band_hash") if c in group.columns]
+    dup_mask = group.duplicated(key_cols, keep=False)
+    dups = group[dup_mask]
+    out_a: list[int] = []
+    out_b: list[int] = []
+    if len(dups):
+        for _, g in dups.groupby(key_cols, sort=False):
+            ids = sorted(set(g["doc_id"].tolist()))
+            if len(ids) < 2 or len(ids) > max_bucket:
+                continue
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    out_a.append(a)
+                    out_b.append(b)
+    return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                         "doc_b": pd.Series(out_b, dtype="int64")})
 
 
 def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> tuple[int, int]:
@@ -133,7 +148,7 @@ def minhash_dedup_pairs(
         MinHashLSH(n_perm, n_bands, text_col, id_col), batch_format="pyarrow"
     )
     cand = (
-        bands.groupby(["band_id", "band_hash"])
+        bands.groupby("bucket")
         .map_groups(_bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
@@ -189,27 +204,42 @@ def ngram_jaccard_pairs(
     """
 
     def explode(t: pa.Table) -> pa.Table:
-        ids, shs = [], []
+        ids, shs, buckets = [], [], []
         for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
             for s in word_shingles(txt or "", k):
                 ids.append(i)
                 shs.append(s)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()), "shingle": pa.array(shs, pa.string())})
+                buckets.append(_hash64(s) % 256)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shingle": pa.array(shs, pa.string()),
+            "bucket": pa.array(buckets, pa.int32()),
+        })
 
     inv = docs.map_batches(explode, batch_format="pyarrow")
 
     def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) < 2 or len(ids) > max_posting:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
+        # one call per COARSE shingle-hash bucket: vectorized dup filter,
+        # Python pair expansion only on shared shingles (skew guard on
+        # stop-shingles via max_posting)
+        dup = g[g.duplicated("shingle", keep=False)]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for _, gg in dup.groupby("shingle", sort=False):
+            ids = sorted(set(gg["doc_id"].tolist()))
+            if len(ids) < 2 or len(ids) > max_posting:
+                continue
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
 
     from ray.data.aggregate import Count
 
     common = (
-        inv.groupby("shingle")
+        inv.groupby("bucket")
         .map_groups(posting_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_common"))
@@ -297,8 +327,24 @@ def simhash_dedup_pairs(
 
     frames = []
     for band in range(4):
-        b = sigs.select_columns([f"band{band}", "doc_id"]).groupby(f"band{band}").map_groups(
-            lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
+        col = f"band{band}"
+
+        def add_bucket(t: pa.Table, col=col) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.append_column(
+                "bucket", pc.cast(pc.bit_wise_and(t.column(col), 127), pa.int32())
+            )
+
+        def pairs_in_bucket(g: pd.DataFrame, col=col) -> pd.DataFrame:
+            g = g.rename(columns={col: "band_hash"})
+            return _bucket_pairs(g, max_bucket)
+
+        b = (
+            sigs.select_columns([col, "doc_id"])
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pairs_in_bucket, batch_format="pandas")
         )
         pdf = b.to_pandas()
         if len(pdf):
