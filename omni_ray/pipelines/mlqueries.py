@@ -181,6 +181,19 @@ def knn_lsh_q(sf_dir: str):
     return knn_lsh(_emb(sf_dir), vecs, ids, k=KNN_K)
 
 
+def knn_ivf_q(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..stages.simsearch import knn_ivf
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, N_QUERIES)
+    ids = head.column("vec_id").to_pylist()
+    vecs = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
+    return knn_ivf(_emb(sf_dir), vecs, ids, k=KNN_K)
+
+
 def duplicate_of_q(sf_dir: str):
     """D2 duplicate_of assignment: MinHash-LSH verified pairs folded into
     connected components, keeper = min doc_id."""
@@ -219,6 +232,7 @@ ML_ROWS_ONLY = {
     "simhash_dedup": simhash_dedup_q,
     "embedding_neardup": embedding_neardup_q,
     "knn_lsh": knn_lsh_q,
+    "knn_ivf": knn_ivf_q,
     "text_stats": text_stats_q,
     "media_features": media_features_q,
 }

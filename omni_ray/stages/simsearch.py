@@ -171,3 +171,105 @@ def knn_lsh(
     out = scored.groupby("query_id").map_groups(topk, batch_format="pandas").to_pandas()
     out = out.sort_values(["query_id", "rnk"]).reset_index(drop=True)
     return pa.Table.from_pandas(out.astype("int64"), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 8, seed: int = 17) -> np.ndarray:
+    """Deterministic mini k-means on normalized vectors (cosine ≙ dot):
+    seeded init from the sample, fixed iteration count, empty clusters
+    re-seeded deterministically. All numpy; runs once on the driver over a
+    bounded sample — the trained "index" is then broadcast."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(sample.astype(np.float64))
+    idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+            else:  # deterministic re-seed: farthest point from its centroid
+                far = int(np.argmin(sims.max(axis=1)))
+                cents[c] = sample[far]
+    return cents
+
+
+def knn_ivf(
+    emb: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF ANN: train a coarse quantizer on a bounded sample (driver, once),
+    assign each vector to its nearest centroid list (map_batches, broadcast
+    centroids), probe the ``n_probe`` nearest lists per query, exact rerank
+    among candidates. → (query_id, neighbor_id, rnk). At cluster scale the
+    list id is the shuffle/partition key and only probed lists are read."""
+    sample_rows = emb.limit(train_sample).to_pandas()
+    sample = np.stack(sample_rows[vec_col].to_list())
+    cents = _kmeans_lite(sample, n_lists)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+        lists = (mat @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists, pa.int32()))
+
+    assigned = emb.map_batches(assign, batch_format="pyarrow")
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qsims = qn @ cents.T
+    probe: dict[int, list[int]] = {}
+    for qi, qid in enumerate(query_ids):
+        for lst in np.argsort(-qsims[qi])[:n_probe]:
+            probe.setdefault(int(lst), []).append(int(qid))
+    probe_ref = ray.put((probe, {int(q): qn[i] for i, q in enumerate(query_ids)}))
+
+    def score(batch: pa.Table) -> pa.Table:
+        probe_l, qvecs = ray.get(probe_ref)
+        out_q, out_n, out_s = [], [], []
+        ids = batch.column(id_col).to_pylist()
+        lists = batch.column("ivf_list").to_pylist()
+        mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+        for j, (vid, lst) in enumerate(zip(ids, lists)):
+            for qid in probe_l.get(int(lst), ()):
+                if int(vid) == qid:
+                    continue
+                out_q.append(qid)
+                out_n.append(int(vid))
+                out_s.append(float(qvecs[qid] @ mat[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    scored = assigned.map_batches(score, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("neighbor_id")
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = range(1, len(g) + 1)
+        return g[["query_id", "neighbor_id", "rnk"]]
+
+    out = scored.groupby("query_id").map_groups(topk, batch_format="pandas").to_pandas()
+    out = out.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out.astype("int64"), preserve_index=False)

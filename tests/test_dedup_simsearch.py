@@ -217,3 +217,31 @@ def test_minhash_to_duplicate_of(planted):
     m = dict(zip(groups["doc_id"].to_pylist(), groups["duplicate_of"].to_pylist()))
     assert all(k > v for k, v in m.items())  # keeper is always the smaller id
     assert len(m) >= 8  # the planted near-dups collapse onto their bases
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_ivf_recall_vs_bruteforce(sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from omni_ray.stages.simsearch import knn_bruteforce, knn_ivf
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, 5)
+    ids = head["vec_id"].to_pylist()
+    vecs = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+
+    exact = knn_bruteforce(emb, vecs, ids, k=10)
+    approx = knn_ivf(emb, vecs, ids, k=10, n_lists=8, n_probe=4)
+    a1, a2 = knn_ivf(emb, vecs, ids, k=10), knn_ivf(emb, vecs, ids, k=10)
+    assert a1.equals(a2)  # deterministic index + probe
+
+    def topsets(t):
+        out = {}
+        for q, n in zip(t["query_id"].to_pylist(), t["neighbor_id"].to_pylist()):
+            out.setdefault(q, set()).add(n)
+        return out
+
+    ex, ap = topsets(exact), topsets(approx)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.3
