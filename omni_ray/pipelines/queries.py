@@ -684,6 +684,58 @@ SELECT window_start_hour, event_type, count(*) AS n,
 FROM expanded GROUP BY 1, 2
 """
 
+def json_props_stats(sf_dir: str):
+    """§2.8 map/json surface: dot-path extraction from the free-form props
+    JSON column (the reference's json.loads round-trips + dot-path metric
+    access, omni_storage.py:506-517 / alert_engine.py:142-151), aggregated
+    per event_type."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t["props"].to_pylist():
+            try:
+                ks.append(int(_json.loads(p or "{}").get("k", 0)))
+            except (ValueError, TypeError):
+                ks.append(0)
+        return pa.table({"event_type": t["event_type"], "k": pa.array(ks, pa.int64())})
+
+    out = ds.map_batches(ext, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("k", alias_name="sum_k"), Mean("k", alias_name="avg_k")
+    )
+    return _quantize(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"avg_k": 1_000_000}
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(round(avg(CAST(json_extract(props, '$.k') AS BIGINT)) * 1000000) AS BIGINT) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def systematic_sample(sf_dir: str):
+    """O6 sampling, deterministic form: every 20th doc by id (reproducible
+    across engines, unlike PRNG sampling)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def every_20th(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    return ds.map_batches(every_20th, batch_format="pyarrow")
+
+
+SQL_SYSTEMATIC_SAMPLE = """
+SELECT doc_id, n_chars FROM documents WHERE doc_id % 20 = 0
+"""
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "global_stats": (global_stats, SQL_GLOBAL_STATS),
@@ -704,6 +756,8 @@ REGISTRY = {
     "window_tumbling": (window_tumbling, SQL_WINDOW_TUMBLING),
     "sessionize": (sessionize, SQL_SESSIONIZE),
     "sliding_window": (sliding_window, SQL_SLIDING_WINDOW),
+    "json_props_stats": (json_props_stats, SQL_JSON_PROPS),
+    "systematic_sample": (systematic_sample, SQL_SYSTEMATIC_SAMPLE),
     "keyword_search": (keyword_search, SQL_KEYWORD_SEARCH),
     "paginated_listing": (paginated_listing, SQL_PAGINATED_LISTING),
 }
