@@ -114,3 +114,61 @@ def test_keywords_parity(corpus):
         assert ours == stored, (r["article_id"], ours[:5], stored[:5])
         checked += 1
     assert checked >= 40
+
+
+def test_sentiment_topics_entities_confidence_parity(corpus):
+    """Bit-for-bit parity on the deterministic enrichers, including the
+    entities trio (which validates the linear-time org scan against the
+    reference's regex output on real pages)."""
+    from omni_ray.functions.enrich import (
+        analyze_sentiment,
+        confidence_score,
+        extract_keywords,
+        extract_locations,
+        extract_organizations,
+        extract_people,
+        extract_topics,
+    )
+
+    checked = 0
+    for r in corpus:
+        if not r["article_id"].startswith("article_"):
+            continue
+        tc = f"{r['title']} {r['content']}"
+        if r["sentiment"]:
+            stored_sent = json.loads(r["sentiment"])
+            if set(stored_sent) == {"overall", "positive", "negative", "neutral"}:
+                # rows with {} hit the reference's exception fallback
+                # (content_enricher.py:62-74) — nothing to compare
+                assert analyze_sentiment(r["content"]) == stored_sent, r["article_id"]
+        if r["topics"]:
+            assert extract_topics(r["title"], r["content"]) == json.loads(r["topics"])
+        if r["entities"]:
+            ours = {
+                "people": extract_people(tc),
+                "organizations": extract_organizations(tc),
+                "locations": extract_locations(tc),
+            }
+            assert ours == json.loads(r["entities"]), r["article_id"]
+        if r["confidence_score"] is not None:
+            te = (len(extract_people(tc)) + len(extract_organizations(tc))
+                  + len(extract_locations(tc)))
+            ours_c = confidence_score(len(r["content"]), te, len(extract_keywords(tc)))
+            assert abs(ours_c - r["confidence_score"]) < 1e-9, r["article_id"]
+        checked += 1
+    assert checked >= 50
+
+
+def test_summary_divergence_is_punkt_only(corpus):
+    """Summary uses nltk punkt in the reference; our regex splitter is the
+    documented divergence (enrich.py M10 note). It still matches on the
+    majority of real pages — pin the floor so regressions surface."""
+    from omni_ray.functions.enrich import generate_summary
+
+    n = ok = 0
+    for r in corpus:
+        if r["summary"] and r["article_id"].startswith("article_"):
+            n += 1
+            if generate_summary(r["content"])[1] == r["summary"]:
+                ok += 1
+    assert n >= 40 and ok / n >= 0.5
