@@ -100,37 +100,38 @@ def export_articles_json(articles: ray.data.Dataset, out_dir: str, run_tag: str 
 def export_full_dump(articles: ray.data.Dataset, entities: ray.data.Dataset,
                      out_dir: str, run_tag: str = "run") -> str:
     """S12: articles.json + entities.json (entities joined back to article
-    title/domain — J1, broadcast small projection) + schema metadata."""
-    import ray
-
+    title/domain — J1) + schema metadata. The parent side is the FULL article
+    corpus, not a dimension table, so the join-back is a distributed
+    ``Dataset.join`` hash join — no driver-side lookup dict."""
     os.makedirs(out_dir, exist_ok=True)
     articles.write_json(os.path.join(out_dir, "articles"))
 
-    # J1 join-back: broadcast (article_id -> title, domain)
-    lookup = {}
-    for b in articles.select_columns(["article_id", "title", "domain"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        for aid, title, dom in zip(
-            b.column("article_id").to_pylist(),
-            b.column("title").to_pylist(),
-            b.column("domain").to_pylist(),
-        ):
-            lookup[aid] = (title, dom)
-    ref = ray.put(lookup)
+    def _titles(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "article_id": t.column("article_id"),
+            "title": t.column("title"),
+            "domain": t.column("domain"),
+        })
 
-    def attach(t: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        titles, doms = [], []
-        for aid in t.column("article_id").to_pylist():
-            title, dom = lk.get(aid, ("", ""))
-            titles.append(title)
-            doms.append(dom)
-        return t.append_column("title", pa.array(titles, pa.string())).append_column(
-            "domain", pa.array(doms, pa.string())
-        )
+    titles_side = articles.map_batches(_titles, batch_format="pyarrow")
+    joined = entities.join(
+        titles_side, join_type="left_outer", num_partitions=8,
+        on=("article_id",), right_suffix="_r",
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
 
-    entities.map_batches(attach, batch_format="pyarrow").write_json(
+    def finalize(t: pa.Table) -> pa.Table:
+        # missing parents → "" (the reference's lookup.get default)
+        import pyarrow.compute as pc
+
+        for c in ("title", "domain"):
+            t = t.set_column(
+                t.column_names.index(c), c,
+                pc.coalesce(t.column(c).cast(pa.string()), pa.scalar("", pa.string())),
+            )
+        return t.select(["article_id", "entity_type", "entity_name", "title", "domain"])
+
+    joined.map_batches(finalize, batch_format="pyarrow").write_json(
         os.path.join(out_dir, "entities")
     )
     from ..schema import ARTICLE41_SCHEMA

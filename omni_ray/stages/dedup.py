@@ -8,29 +8,43 @@ future-work, built out as first-class operators):
   * MinHash + LSH   — k permutations, banded; shingle→minhash per batch
                       (numpy-vectorized), explode to (band_id, band_hash,
                       doc_id), groupby band bucket → candidate pairs →
-                      verified with exact Jaccard
-  * SimHash         — 64-bit weighted-unigram simhash; banded by 4×16-bit
-                      chunks; verified by Hamming distance
-  * embedding cosine— near-dup pairs above a cosine threshold via blocked
-                      numpy matmul against a broadcast matrix
+                      verified with exact Jaccard INSIDE the cluster: the
+                      candidate pair set is hash-joined back to the doc texts
+                      (two Dataset.join exchanges), never materialized on the
+                      driver
+  * SimHash         — 64-bit weighted-unigram simhash (vectorized: cached
+                      word-bit matrix, one matmul per doc); banded by 4×16-bit
+                      chunks exploded into ONE bucketed shuffle that carries
+                      the signature, so Hamming verification happens inside
+                      the bucket's map_groups — no driver signature map
+  * embedding cosine— near-dup pairs above a cosine threshold: hyperplane-LSH
+                      candidate generation (T tables × B bits, id-only rows
+                      through the shuffle), exact cosine rerank via the same
+                      pair→payload hash-join verify; a blocked all-pairs
+                      ``mode="exact"`` baseline exists for equivalence tests
 
 Scale notes: every stage is shuffle-by-key (shingle / band bucket / simhash
-band), never all-pairs; all-pairs work only happens INSIDE a bucket, and a
-``max_bucket`` guard drops degenerate buckets (stop-shingle equivalent) with
-a counter instead of exploding — the documented skew guard. The exact-Jaccard
-verify joins candidates back to shingle sets by doc_id (broadcast at test
-scale; hash-join by doc_id at cluster scale).
+band / hyperplane signature), never all-pairs; all-pairs work only happens
+INSIDE a bucket, and a ``max_bucket`` guard drops degenerate buckets
+(stop-shingle equivalent) — truncation is logged per dropped key
+(logger ``omni_ray.dedup``) so skew-guard coverage loss is observable.
+Verification never round-trips corpus data through the driver: candidate
+pairs (the small LSH output) are joined back to their payloads with
+``Dataset.join`` hash joins and verified inside ``map_batches``.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+logger = logging.getLogger("omni_ray.dedup")
 
 MERSENNE = (1 << 61) - 1
 
@@ -106,17 +120,24 @@ def _bucket_pairs(group: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
     """Candidate pairs within one hash bucket (a COARSE bucket holding many
     (band_id, band_hash) groups): vectorized dup-key detection first, Python
     pair expansion only for the (rare) colliding keys. Degenerate keys with
-    more than ``max_bucket`` docs are dropped (skew guard). One call per
-    coarse bucket — per-key map_groups calls would cost ~1.5 ms x #keys."""
+    more than ``max_bucket`` docs are dropped and LOGGED (skew guard — the
+    truncation is observable in the worker/driver logs). One call per coarse
+    bucket — per-key map_groups calls would cost ~1.5 ms x #keys."""
     key_cols = [c for c in ("band_id", "band_hash") if c in group.columns]
     dup_mask = group.duplicated(key_cols, keep=False)
     dups = group[dup_mask]
     out_a: list[int] = []
     out_b: list[int] = []
     if len(dups):
-        for _, g in dups.groupby(key_cols, sort=False):
+        for key, g in dups.groupby(key_cols, sort=False):
             ids = sorted(set(g["doc_id"].tolist()))
-            if len(ids) < 2 or len(ids) > max_bucket:
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                logger.warning(
+                    "dedup skew guard: dropping degenerate bucket key=%s with %d docs "
+                    "(max_bucket=%d)", key, len(ids), max_bucket,
+                )
                 continue
             for i, a in enumerate(ids):
                 for b in ids[i + 1 :]:
@@ -133,6 +154,71 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> tuple[int, int]:
     return inter, union
 
 
+# ---------------------------------------------------------------------------
+# distributed pair→payload verification (shared by minhash / embedding)
+# ---------------------------------------------------------------------------
+
+
+def _distinct_pairs(cand: ray.data.Dataset) -> ray.data.Dataset:
+    """Dedup candidate (doc_a, doc_b) rows across bands/tables — a groupby
+    exchange, no driver materialization."""
+    from ray.data.aggregate import Count
+
+    return (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_cnt"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+
+def _join_pairs_to_payload(
+    pairs: ray.data.Dataset,
+    source: ray.data.Dataset,
+    id_col: str,
+    payload_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Hash-join candidate pairs back to their payloads on BOTH sides:
+    pairs(doc_a, doc_b) ⋈ source → (doc_a, doc_b, payload_a, payload_b).
+    Two ``Dataset.join`` exchanges; the pair side is the (small) LSH output,
+    the source side is hash-partitioned — nothing lands on the driver.
+    BOTH joins' aggregator actors coexist under streaming execution, so their
+    combined CPU reservation must leave room for the map stages: fractional
+    CPUs per aggregator, partition count sized to the cluster (≈CPUs/4 per
+    join; at 4 test CPUs that is 2+2 aggregators at 0.25 CPU each)."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(32, cpus // 4))
+    agg_args = {"num_cpus": 0.25}
+
+    def _renamed(suffix: str):
+        def r(t: pa.Table) -> pa.Table:
+            return pa.table({
+                f"doc_{suffix}": t.column(id_col).cast(pa.int64()),
+                f"payload_{suffix}": t.column(payload_col),
+            })
+
+        return source.select_columns([id_col, payload_col]).map_batches(
+            r, batch_format="pyarrow"
+        )
+
+    j1 = pairs.join(
+        _renamed("a"), join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), aggregator_ray_remote_args=agg_args,
+    )
+    return j1.join(
+        _renamed("b"), join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), aggregator_ray_remote_args=agg_args,
+    )
+
+
+def _sorted_pair_table(rows: list[tuple], cols: list[str]) -> pa.Table:
+    rows.sort()
+    return pa.table(
+        {c: pa.array([r[i] for r in rows], pa.int64()) for i, c in enumerate(cols)}
+    )
+
+
 def minhash_dedup_pairs(
     docs: ray.data.Dataset,
     threshold: float = 0.5,
@@ -143,44 +229,44 @@ def minhash_dedup_pairs(
 ) -> pa.Table:
     """Full MinHash-LSH dedup: → verified (doc_a, doc_b, n_common, n_union)
     pairs with Jaccard ≥ threshold. Ties exact counts, so downstream can
-    recompute the ratio exactly."""
+    recompute the ratio exactly. Verification is DISTRIBUTED: candidates are
+    hash-joined back to texts (``_join_pairs_to_payload``) and exact Jaccard
+    runs inside ``map_batches`` — no driver-side text dict."""
     bands = docs.map_batches(
         MinHashLSH(n_perm, n_bands, text_col, id_col), batch_format="pyarrow"
     )
-    cand = (
-        bands.groupby("bucket")
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    cand = cand.drop_duplicates(["doc_a", "doc_b"]) if len(cand) else cand
-    if not len(cand):
+    cand = _distinct_pairs(
+        bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
+    ).materialize()
+    if cand.count() == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "n_common": pa.array([], pa.int64()), "n_union": pa.array([], pa.int64())}
         )
-    # verify: join candidate ids back to texts (broadcast at this scale)
-    texts = dict(
-        zip(
-            *[
-                pd.concat([b.to_pandas() for b in docs.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow")])[c]
-                for c in (id_col, text_col)
-            ]
+
+    joined = _join_pairs_to_payload(cand, docs, id_col, text_col)
+
+    def verify(t: pa.Table) -> pa.Table:
+        out = []
+        for a, b, ta, tb in zip(
+            t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist(),
+            t.column("payload_a").to_pylist(), t.column("payload_b").to_pylist(),
+        ):
+            inter, union = exact_jaccard(ta or "", tb or "")
+            if union and inter / union >= threshold:
+                out.append((int(a), int(b), inter, union))
+        return pa.table(
+            {
+                "doc_a": pa.array([r[0] for r in out], pa.int64()),
+                "doc_b": pa.array([r[1] for r in out], pa.int64()),
+                "n_common": pa.array([r[2] for r in out], pa.int64()),
+                "n_union": pa.array([r[3] for r in out], pa.int64()),
+            }
         )
-    )
-    rows = []
-    for a_id, b_id in zip(cand["doc_a"], cand["doc_b"]):
-        inter, union = exact_jaccard(texts.get(a_id, "") or "", texts.get(b_id, "") or "")
-        if union and inter / union >= threshold:
-            rows.append((int(a_id), int(b_id), inter, union))
-    rows.sort()
-    return pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "n_common": pa.array([r[2] for r in rows], pa.int64()),
-            "n_union": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
+
+    verified = joined.map_batches(verify, batch_format="pyarrow").take_all()
+    rows = [(r["doc_a"], r["doc_b"], r["n_common"], r["n_union"]) for r in verified]
+    return _sorted_pair_table(rows, ["doc_a", "doc_b", "n_common", "n_union"])
 
 
 # ---------------------------------------------------------------------------
@@ -225,9 +311,15 @@ def ngram_jaccard_pairs(
         dup = g[g.duplicated("shingle", keep=False)]
         out_a: list[int] = []
         out_b: list[int] = []
-        for _, gg in dup.groupby("shingle", sort=False):
+        for sh, gg in dup.groupby("shingle", sort=False):
             ids = sorted(set(gg["doc_id"].tolist()))
-            if len(ids) < 2 or len(ids) > max_posting:
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_posting:
+                logger.warning(
+                    "ngram skew guard: dropping stop-shingle with %d docs "
+                    "(max_posting=%d)", len(ids), max_posting,
+                )
                 continue
             for i, a in enumerate(ids):
                 for b in ids[i + 1 :]:
@@ -271,21 +363,41 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+# word → ±1 bit-sign row (64,), cached per worker process; bounded so a huge
+# vocabulary can't grow the heap unboundedly
+_SIGN_CACHE: dict[str, np.ndarray] = {}
+_SIGN_CACHE_MAX = 1 << 20
+
+
+def _word_sign_bits(word: str) -> np.ndarray:
+    v = _SIGN_CACHE.get(word)
+    if v is None:
+        digest = hashlib.md5(word.encode()).digest()[:8]
+        # bit i of the big-endian uint64 == unpackbits(little) of reversed bytes
+        bits = np.unpackbits(
+            np.frombuffer(digest[::-1], dtype=np.uint8), bitorder="little"
+        )
+        v = (bits.astype(np.int64) * 2 - 1)
+        if len(_SIGN_CACHE) >= _SIGN_CACHE_MAX:
+            _SIGN_CACHE.clear()
+        _SIGN_CACHE[word] = v
+    return v
+
 
 def simhash64(text: str) -> int:
-    """64-bit simhash over word unigrams weighted by count."""
+    """64-bit simhash over word unigrams weighted by count. Vectorized: one
+    (n_words × 64) sign matrix (rows cached across calls) and one matvec."""
     from collections import Counter
 
-    acc = np.zeros(64, dtype=np.int64)
-    for word, cnt in Counter(text.split()).items():
-        h = int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "big")
-        for bit in range(64):
-            acc[bit] += cnt if (h >> bit) & 1 else -cnt
-    out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
-    return out
+    counts = Counter(text.split())
+    if not counts:
+        return 0
+    words = list(counts)
+    m = np.stack([_word_sign_bits(w) for w in words])
+    wts = np.fromiter((counts[w] for w in words), dtype=np.int64, count=len(words))
+    acc = wts @ m
+    bits = (acc > 0).astype(np.uint8)
+    return int.from_bytes(np.packbits(bits, bitorder="little").tobytes(), "little")
 
 
 class SimHashStage:
@@ -311,6 +423,47 @@ class SimHashStage:
         return pa.table(out)
 
 
+class SimHashExplode:
+    """map_batches: text → FOUR rows per doc (band_id, band_val, doc_id,
+    simhash, bucket) so all 4 pigeonhole bands travel through ONE bucketed
+    shuffle, carrying the signature for in-bucket Hamming verification."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 256):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
+        hs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        n = len(ids)
+        band_ids = np.repeat(np.arange(4, dtype=np.int32), n)
+        doc_ids = np.tile(ids, 4)
+        sims = np.tile(hs.view(np.int64) + np.int64(-(1 << 63)), 4)
+        band_vals = np.concatenate(
+            [((hs >> np.uint64(b * 16)) & np.uint64(0xFFFF)).astype(np.int32)
+             for b in range(4)]
+        )
+        # mix band_id into the coarse bucket so band collisions spread
+        buckets = ((band_vals.astype(np.int64) * 2654435761 + band_ids * 40503)
+                   % self.n_buckets).astype(np.int32)
+        return pa.table({
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_val": pa.array(band_vals, pa.int32()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "simhash": pa.array(sims, pa.int64()),
+            "bucket": pa.array(buckets, pa.int32()),
+        })
+
+
+def _hamming_int64(xa: np.ndarray, xb: np.ndarray) -> np.ndarray:
+    """Popcount of xor over int64 bit patterns (shift-invariant)."""
+    x = np.bitwise_xor(xa, xb).view(np.uint64)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
 def simhash_dedup_pairs(
     docs: ray.data.Dataset,
     max_hamming: int = 3,
@@ -319,55 +472,58 @@ def simhash_dedup_pairs(
     max_bucket: int = 500,
 ) -> pa.Table:
     """Near-dup pairs with Hamming distance ≤ max_hamming. By pigeonhole, any
-    pair within distance 3 shares at least one of the 4 16-bit bands → bucket
-    by each band value, pair within buckets, verify Hamming exactly."""
-    sigs = docs.map_batches(SimHashStage(text_col, id_col), batch_format="pyarrow")
-    sig_pdf = sigs.to_pandas()  # (doc_id, simhash) — narrow; needed for verify
-    sim_map = {i: h + (1 << 63) for i, h in zip(sig_pdf["doc_id"], sig_pdf["simhash"])}
+    pair within distance 3 shares at least one of the 4 16-bit bands → all 4
+    bands explode into ONE bucketed shuffle carrying the signature; pairing
+    AND exact-Hamming verification happen inside the bucket's map_groups; a
+    final (doc_a, doc_b) groupby dedups across bands. No driver-side
+    signature map, single Dataset execution."""
+    exploded = docs.map_batches(SimHashExplode(text_col, id_col), batch_format="pyarrow")
 
-    frames = []
-    for band in range(4):
-        col = f"band{band}"
+    def verify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(["band_id", "band_val"], keep=False)]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_sa: list[int] = []
+        out_sb: list[int] = []
+        for key, gg in dup.groupby(["band_id", "band_val"], sort=False):
+            sub = gg.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy()
+            sigs = sub["simhash"].to_numpy()
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                logger.warning(
+                    "simhash skew guard: dropping degenerate band key=%s with %d "
+                    "docs (max_bucket=%d)", key, len(ids), max_bucket,
+                )
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.extend(ids[iu].tolist())
+            out_b.extend(ids[ju].tolist())
+            out_sa.extend(sigs[iu].tolist())
+            out_sb.extend(sigs[ju].tolist())
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        ham = _hamming_int64(np.asarray(out_sa, dtype=np.int64),
+                             np.asarray(out_sb, dtype=np.int64))
+        out = pd.DataFrame({"doc_a": np.asarray(out_a, dtype=np.int64),
+                            "doc_b": np.asarray(out_b, dtype=np.int64),
+                            "hamming": ham.astype(np.int64)})
+        return out[out["hamming"] <= max_hamming]
 
-        def add_bucket(t: pa.Table, col=col) -> pa.Table:
-            import pyarrow.compute as pc
+    from ray.data.aggregate import Min
 
-            return t.append_column(
-                "bucket", pc.cast(pc.bit_wise_and(t.column(col), 127), pa.int32())
-            )
-
-        def pairs_in_bucket(g: pd.DataFrame, col=col) -> pd.DataFrame:
-            g = g.rename(columns={col: "band_hash"})
-            return _bucket_pairs(g, max_bucket)
-
-        b = (
-            sigs.select_columns([col, "doc_id"])
-            .map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(pairs_in_bucket, batch_format="pandas")
-        )
-        pdf = b.to_pandas()
-        if len(pdf):
-            frames.append(pdf)
-    if not frames:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "hamming": pa.array([], pa.int64())}
-        )
-    cand = pd.concat(frames, ignore_index=True).drop_duplicates(["doc_a", "doc_b"])
-    rows = []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        d = bin(sim_map[a] ^ sim_map[b]).count("1")
-        if d <= max_hamming:
-            rows.append((int(a), int(b), d))
-    rows.sort()
-    return pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "hamming": pa.array([r[2] for r in rows], pa.int64()),
-        }
+    pairs = (
+        exploded.groupby("bucket")
+        .map_groups(verify_in_bucket, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min(on="hamming", alias_name="hamming"))
+        .take_all()
     )
+    rows = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs]
+    return _sorted_pair_table(rows, ["doc_a", "doc_b", "hamming"])
 
 
 # ---------------------------------------------------------------------------
@@ -375,22 +531,149 @@ def simhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+class _HyperplaneExplode:
+    """map_batches: embedding → T rows (table_id, sig, vec_id) — id-only LSH
+    candidate rows (the vector itself does NOT travel through the shuffle;
+    exact rerank joins pairs back to vectors afterwards)."""
+
+    def __init__(self, n_tables: int, n_bits: int, dim: int,
+                 id_col: str, vec_col: str, n_buckets: int = 256, seed: int = 29):
+        rng = np.random.RandomState(seed)
+        # (T, B, dim) stack of hyperplane tables, built once per actor/task
+        self.planes = rng.normal(size=(n_tables, n_bits, dim))
+        self.n_tables = n_tables
+        self.n_bits = n_bits
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        mat = np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64)
+        n = len(ids)
+        powers = (1 << np.arange(self.n_bits, dtype=np.int64))
+        t_ids, sigs, d_ids = [], [], []
+        for t in range(self.n_tables):
+            bits = (mat @ self.planes[t].T) >= 0  # (n, B)
+            sig = bits.astype(np.int64) @ powers
+            t_ids.append(np.full(n, t, dtype=np.int32))
+            sigs.append(sig)
+            d_ids.append(ids)
+        t_ids = np.concatenate(t_ids)
+        sigs = np.concatenate(sigs)
+        d_ids = np.concatenate(d_ids)
+        buckets = ((sigs * 2654435761 + t_ids.astype(np.int64) * 97) %
+                   self.n_buckets).astype(np.int32)
+        return pa.table({
+            "band_id": pa.array(t_ids, pa.int32()),
+            "band_hash": pa.array(sigs.astype(np.int64), pa.int64()),
+            "doc_id": pa.array(d_ids, pa.int64()),
+            "bucket": pa.array(buckets, pa.int32()),
+        })
+
+
 def embedding_neardup_pairs(
     emb: ray.data.Dataset,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "lsh",
+    n_tables: int = 12,
+    n_bits: int = 8,
+    max_bucket: int = 2000,
 ) -> pa.Table:
-    """Pairs (a<b) with cosine ≥ threshold: the full normalized matrix is
-    ray.put-broadcast; each batch matmuls its rows against it (blocked
-    all-pairs — at cluster scale swap in the LSH-bucketed variant from
-    simsearch.py; this is the exact baseline)."""
+    """Pairs (a<b) with cosine ≥ threshold.
+
+    ``mode="lsh"`` (default, the 100-TB path): hyperplane-LSH candidate
+    generation — T tables × B bits, id-only rows through one bucketed
+    shuffle — then exact cosine verification by hash-joining the candidate
+    pairs back to their vectors (``_join_pairs_to_payload``); nothing is
+    materialized on the driver. At cos ≥ 0.95 the 12×8 configuration has a
+    per-pair miss probability ≈ 1.3e-3, → 0 for tighter dups.
+
+    ``mode="exact"``: blocked all-pairs matmul against a ray.put-broadcast
+    matrix — the exact baseline used by the equivalence pytest; test-scale
+    only (pulls the matrix to the driver once).
+    """
+    if mode == "exact":
+        return _embedding_neardup_exact(emb, threshold, id_col, vec_col)
+
+    sample = emb.take(1)
+    if not sample:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    dim = len(sample[0][vec_col])
+
+    exploded = emb.map_batches(
+        _HyperplaneExplode(n_tables, n_bits, dim, id_col, vec_col),
+        batch_format="pyarrow",
+    )
+    cand = _distinct_pairs(
+        exploded.groupby("bucket").map_groups(
+            lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
+        )
+    ).materialize()
+    if cand.count() == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+
+    # acero hash joins reject list<float> non-key fields → ship vectors as
+    # fixed-width binary through the join, decode with np.frombuffer after
+    def _pack(t: pa.Table) -> pa.Table:
+        mats = np.stack(t.column(vec_col).to_pylist()).astype(np.float64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "vec_bytes": pa.array([m.tobytes() for m in mats], pa.binary()),
+        })
+
+    packed = emb.map_batches(_pack, batch_format="pyarrow")
+    joined = _join_pairs_to_payload(cand, packed, id_col, "vec_bytes")
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)
+        b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)
+        va = _normalize_rows(np.stack(
+            [np.frombuffer(x, dtype=np.float64) for x in t.column("payload_a").to_pylist()]
+        ))
+        vb = _normalize_rows(np.stack(
+            [np.frombuffer(x, dtype=np.float64) for x in t.column("payload_b").to_pylist()]
+        ))
+        cos = (va * vb).sum(axis=1)
+        keep = cos >= threshold
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        return pa.table({"doc_a": pa.array(lo, pa.int64()),
+                         "doc_b": pa.array(hi, pa.int64())})
+
+    verified = joined.map_batches(verify, batch_format="pyarrow").take_all()
+    rows = sorted({(r["doc_a"], r["doc_b"]) for r in verified})
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def _embedding_neardup_exact(
+    emb: ray.data.Dataset, threshold: float, id_col: str, vec_col: str
+) -> pa.Table:
+    """Exact all-pairs baseline: full normalized matrix ray.put-broadcast,
+    each batch matmuls its rows against it. Test-scale equivalence oracle for
+    the LSH path — NOT the cluster path (driver pulls the matrix once)."""
     pdf = emb.select_columns([id_col, vec_col]).to_pandas()
     ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[vec_col].to_list()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    matn = mat / norms
+    matn = _normalize_rows(np.stack(pdf[vec_col].to_list()).astype(np.float64))
     mat_ref = ray.put((ids, matn))
 
     class Block:
@@ -399,10 +682,8 @@ def embedding_neardup_pairs(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bids = np.asarray(batch.column(id_col).to_pylist())
-            bmat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-            bn = np.linalg.norm(bmat, axis=1, keepdims=True)
-            bn[bn == 0] = 1.0
-            sims = (bmat / bn) @ self.matn.T
+            bmat = _normalize_rows(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            sims = bmat @ self.matn.T
             ai, bj = np.nonzero(sims >= threshold)
             doc_a, doc_b = [], []
             for i, j in zip(ai, bj):
@@ -432,10 +713,10 @@ def duplicate_groups(pairs: pa.Table) -> pa.Table:
     """Fold verified near-dup pairs into connected components and assign
     ``duplicate_of`` = the component's minimum doc_id (the keeper), matching
     the reference's mark-first-keep-rest semantics (D2, content_hash dedup +
-    enhanced_article.py:51). Union-find on the driver — the pair set is the
-    (small) OUTPUT of LSH verification, not the corpus; at cluster scale with
-    huge pair sets, iterate min-label propagation via groupby instead
-    (ray_guide near-dup pattern)."""
+    enhanced_article.py:51). Union-find on the driver — appropriate when the
+    pair set is the (small) OUTPUT of LSH verification; for huge pair sets
+    use :func:`duplicate_groups_distributed` (hash-to-min label propagation,
+    all Dataset ops)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -461,3 +742,75 @@ def duplicate_groups(pairs: pa.Table) -> pa.Table:
             "duplicate_of": pa.array([r for _, r in dup_rows], pa.int64()),
         }
     )
+
+
+def duplicate_groups_distributed(
+    pairs: ray.data.Dataset, max_iters: int = 50
+) -> ray.data.Dataset:
+    """Connected components over a HUGE verified-pair set with pure Dataset
+    ops: "hash-to-min" label propagation (Rastogi et al., Finding Connected
+    Components in MapReduce) — each node's cluster view shrinks to the
+    component minimum in O(log n) groupby rounds; no driver union-find.
+
+    State per round: rows (node, member). Init from the edge list with self
+    rows. Round: groupby(node) → mn = min(members) → emit (mn, m) for every
+    member and (m, mn) for every member; distinct. Converges when the row
+    multiset stops changing (checked with a tiny count+sum aggregate).
+    Returns (doc_id, duplicate_of) for non-keeper nodes, duplicate_of =
+    component min."""
+
+    def seed(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)
+        b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)
+        node = np.concatenate([a, b, a, b])
+        member = np.concatenate([b, a, a, b])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "member": pa.array(member, pa.int64())})
+
+    state = pairs.map_batches(seed, batch_format="pyarrow")
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        node = int(g["node"].iloc[0])
+        # the node belongs to its own cluster view even when its self-row was
+        # not re-emitted last round — without this, satellite nodes vanish
+        members = np.unique(np.append(g["member"].to_numpy(), node))
+        mn = int(members[0])
+        out_node = np.concatenate([np.full(len(members), mn, dtype=np.int64), members])
+        out_member = np.concatenate([members, np.full(len(members), mn, dtype=np.int64)])
+        return pd.DataFrame({"node": out_node, "member": out_member})
+
+    from ray.data.aggregate import Count, Sum
+
+    def signature(ds: ray.data.Dataset) -> tuple[int, int, int]:
+        # ds is already distinct (node, member) rows — one cheap aggregate
+        row = ds.aggregate(Count(alias_name="n"), Sum(on="node", alias_name="sn"),
+                           Sum(on="member", alias_name="sm"))
+        return (row["n"], int(row["sn"] or 0), int(row["sm"] or 0))
+
+    prev_sig = None
+    for _ in range(max_iters):
+        state = (
+            state.groupby("node")
+            .map_groups(step, batch_format="pandas")
+            .groupby(["node", "member"])
+            .aggregate(Count(alias_name="_c"))
+            .select_columns(["node", "member"])
+            .materialize()
+        )
+        sig = signature(state)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    from ray.data.aggregate import Min
+
+    labels = state.groupby("node").aggregate(Min(on="member", alias_name="duplicate_of"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        node = np.asarray(t.column("node").to_pylist(), dtype=np.int64)
+        lab = np.asarray(t.column("duplicate_of").to_pylist(), dtype=np.int64)
+        keep = lab < node
+        return pa.table({"doc_id": pa.array(node[keep], pa.int64()),
+                         "duplicate_of": pa.array(lab[keep], pa.int64())})
+
+    return labels.map_batches(finalize, batch_format="pyarrow")

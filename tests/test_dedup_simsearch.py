@@ -194,6 +194,79 @@ def test_multimodal_plumbing():
     assert len(frames) > 0
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_neardup_lsh_equals_exact(sf_dir):
+    """The LSH-bucketed scale path must reproduce the blocked all-pairs
+    baseline: on the real sf embeddings table AND on planted near-identical
+    duplicates (where recall must be ~1)."""
+    import ray.data
+
+    from omni_ray.stages.dedup import embedding_neardup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"]).materialize()
+    exact = embedding_neardup_pairs(emb, threshold=0.95, mode="exact")
+    lsh = embedding_neardup_pairs(emb, threshold=0.95, mode="lsh")
+    assert exact.to_pydict() == lsh.to_pydict()
+
+    # planted duplicates: tight clusters around 3 base vectors
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(3, 16))
+    vecs, ids = [], []
+    vid = 0
+    for b in base:
+        for _ in range(4):  # 4 copies with tiny jitter -> pairwise cos ~ 1
+            vecs.append((b + rng.normal(scale=1e-3, size=16)).tolist())
+            ids.append(vid)
+            vid += 1
+    for _ in range(20):  # noise vectors
+        vecs.append(rng.normal(size=16).tolist())
+        ids.append(vid)
+        vid += 1
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl).materialize()
+    exact_p = embedding_neardup_pairs(ds, threshold=0.95, mode="exact")
+    lsh_p = embedding_neardup_pairs(ds, threshold=0.95, mode="lsh")
+    assert exact_p.num_rows >= 18  # 3 clusters x C(4,2)
+    assert exact_p.to_pydict() == lsh_p.to_pydict()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_groups_distributed_equals_driver():
+    """Hash-to-min label propagation (pure Dataset ops) must match the driver
+    union-find on chains, stars, and a larger random component set."""
+    import random
+
+    import ray.data
+
+    from omni_ray.stages.dedup import duplicate_groups, duplicate_groups_distributed
+
+    def compare(pairs_tbl):
+        want = duplicate_groups(pairs_tbl)
+        got = (
+            duplicate_groups_distributed(ray.data.from_arrow(pairs_tbl))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got.to_dict("list") == {
+            "doc_id": want["doc_id"].to_pylist(),
+            "duplicate_of": want["duplicate_of"].to_pylist(),
+        }
+
+    compare(pa.table({"doc_a": pa.array([1, 2, 10, 11, 20], pa.int64()),
+                      "doc_b": pa.array([2, 3, 11, 12, 21], pa.int64())}))
+    # chain (worst case for naive one-hop propagation; hash-to-min is O(log))
+    n = 17
+    compare(pa.table({"doc_a": pa.array(list(range(n - 1)), pa.int64()),
+                      "doc_b": pa.array(list(range(1, n)), pa.int64())}))
+    # random graph: many components, one giant (bench.py exercises 1e6 pairs)
+    rng = random.Random(11)
+    a = [rng.randrange(300) for _ in range(450)]
+    b = [(x + rng.randrange(1, 30)) % 300 for x in a]
+    compare(pa.table({"doc_a": pa.array(a, pa.int64()),
+                      "doc_b": pa.array(b, pa.int64())}))
+
+
 def test_duplicate_groups_union_find():
     from omni_ray.stages.dedup import duplicate_groups
 
