@@ -77,6 +77,49 @@ FROM documents
 """
 
 
+# -- quality-signal counts — oracle-checked ----------------------------------
+# The SQL-expressible core of functions/textstats.py quality_signals: raw
+# integer counts (no ratios, so no float-rounding divergence). The full
+# text_stats (trigram profile, rolling fingerprint, banded quality) stays a
+# rows-only entry — those are not SQL-expressible.
+
+_PUNCT_SET = ".,;:!?'\"()-"
+
+
+def text_quality_stats(sf_dir: str):
+    ds = _docs(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = t.column("text")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+            "n_tokens": pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64()),
+            "n_alpha": pc.cast(pc.count_substring_regex(txt, "[a-zA-Z]"), pa.int64()),
+            "n_upper": pc.cast(pc.count_substring_regex(txt, "[A-Z]"), pa.int64()),
+            "n_punct": pc.cast(
+                pc.count_substring_regex(txt, r"""[.,;:!?'"()\-]"""), pa.int64()
+            ),
+            "n_wordchars": pc.cast(pc.count_substring_regex(txt, r"\S"), pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_TEXT_QUALITY_STATS = r"""
+SELECT doc_id,
+       length(text)                                            AS n_chars,
+       length(regexp_extract_all(text, '\S+'))                 AS n_tokens,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))      AS n_alpha,
+       length(regexp_replace(text, '[^A-Z]', '', 'g'))         AS n_upper,
+       length(text) - length(translate(text, '.,;:!?''"()-', '')) AS n_punct,
+       length(regexp_replace(text, '\s', '', 'g'))             AS n_wordchars
+FROM documents
+"""
+
+
 # -- exact n-gram Jaccard pairs — oracle-checked ----------------------------
 
 
@@ -221,6 +264,7 @@ def media_features_q(sf_dir: str):
 
 ML_REGISTRY = {
     "token_counts": (token_counts, SQL_TOKEN_COUNTS),
+    "text_quality_stats": (text_quality_stats, SQL_TEXT_QUALITY_STATS),
     "lang_id": (lang_id, SQL_LANG_ID),
     "ngram_jaccard": (ngram_jaccard, SQL_NGRAM_JACCARD),
     "knn_bruteforce": (knn_bruteforce_q, SQL_KNN_BRUTEFORCE),

@@ -613,6 +613,119 @@ ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+MFS_TERMS = ["data", "merge", "src1"]  # third term exercises the domain boost
+MFS_TITLE_LEN = 60
+MFS_PREVIEW_LEN = 150
+
+
+def multi_field_search(sf_dir: str):
+    """ES multi-match analogue (advanced_search.py:46-62 + dashboard.py:703-
+    753): multi-term OR query scored across boosted fields — title×3 (title :=
+    first 60 chars, the documents table has no separate title), content×2,
+    domain×1.2 — with filter conditions (lang='en', min length) pushed to the
+    read, deterministic integer score (×10 so the 1.2 boost stays integral),
+    a content preview (the reference's 150-char highlight fallback,
+    advanced_search.py:228-236), ORDER BY _score DESC + id tiebreak, size 20.
+    Fully vectorized: pyarrow count_substring per term, no Python row loop."""
+    ds = _read(
+        sf_dir, "documents",
+        columns=["doc_id", "text", "source"],
+        filter=((pc.field("lang") == "en") & (pc.field("n_chars") >= 100)),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        title = pc.utf8_slice_codeunits(t["text"], 0, MFS_TITLE_LEN)
+        total = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        for term in MFS_TERMS:
+            s = pc.add(
+                pc.add(
+                    pc.multiply(pc.cast(pc.count_substring(title, term), pa.int64()), 30),
+                    pc.multiply(pc.cast(pc.count_substring(t["text"], term), pa.int64()), 20),
+                ),
+                pc.multiply(
+                    pc.cast(pc.greater(pc.count_substring(t["source"], term), 0), pa.int64()),
+                    12,
+                ),
+            )
+            total = pc.add(total, s)
+        out = pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "score": total,
+            "preview": pc.utf8_slice_codeunits(t["text"], 0, MFS_PREVIEW_LEN),
+        })
+        return out.filter(pc.greater(out["score"], 0))
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_MULTI_FIELD_SEARCH = f"""
+WITH f AS (
+  SELECT doc_id, source, text, left(text, {MFS_TITLE_LEN}) AS title
+  FROM documents WHERE lang = 'en' AND n_chars >= 100
+), scored AS (
+  SELECT doc_id, source,
+         CAST(
+           {' + '.join(
+             f"30*(length(title)-length(replace(title,'{t}','')))/{len(t)}"
+             f" + 20*(length(text)-length(replace(text,'{t}','')))/{len(t)}"
+             f" + 12*(CASE WHEN source LIKE '%{t}%' THEN 1 ELSE 0 END)"
+             for t in MFS_TERMS)}
+         AS BIGINT) AS score,
+         left(text, {MFS_PREVIEW_LEN}) AS preview
+  FROM f
+)
+SELECT doc_id, source, score, preview FROM scored
+WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def search_analytics(sf_dir: str):
+    """ST8 search-analytics accumulator (advanced_search.py:250-276 +
+    get_popular_searches :278-287): per-query count, total result count and
+    last-searched timestamp, top-10 by popularity. The search log is modeled
+    on the events table (event_type = the query key, value = result count,
+    ts = search time); the reference's driver dict becomes one groupby."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "search_key": t["event_type"],
+            "results": t["value"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("search_key")
+        .aggregate(
+            Count(alias_name="n_searches"),
+            Sum("results", alias_name="total_results"),
+            Max("ts_us", alias_name="last_searched_us"),
+        )
+        .sort(["n_searches", "search_key"], descending=[True, False])
+        .limit(10)
+    )
+    return _quantize(
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False),
+        {"total_results": 1_000_000},
+    )
+
+
+SQL_SEARCH_ANALYTICS = """
+SELECT event_type AS search_key, count(*) AS n_searches,
+       CAST(round(sum(value) * 1000000) AS BIGINT) AS total_results,
+       epoch_us(max(ts)) AS last_searched_us
+FROM events GROUP BY 1
+ORDER BY n_searches DESC, search_key LIMIT 10
+"""
+
+
 def paginate(ds, page: int, page_size: int, sort_cols, descending):
     """O2 pagination: ORDER BY ... LIMIT/OFFSET via sort + split_at_indices
     (omni_storage.py:494-495). Returns the page as a pyarrow Table."""
@@ -642,25 +755,20 @@ def sliding_window(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def expand(t: pa.Table) -> pa.Table:
+        # fully vectorized window explode: the batch concatenated with itself,
+        # once at window start = hour-1 and once at hour (no Python row loop)
         hours = pc.cast(
             pc.floor(pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)), pa.int64()
         )
-        h = hours.to_pylist()
-        types = t["event_type"].to_pylist()
-        vals = t["value"].to_pylist()
-        out_w, out_ty, out_v = [], [], []
-        for hour, ty, v in zip(h, types, vals):
-            for w in (hour - 1, hour):  # 2h window starting at w contains hour
-                out_w.append(w)
-                out_ty.append(ty)
-                out_v.append(v)
-        return pa.table(
-            {
-                "window_start_hour": pa.array(out_w, pa.int64()),
-                "event_type": pa.array(out_ty, pa.string()),
-                "value": pa.array(out_v, pa.float64()),
-            }
-        )
+        ty = t["event_type"]
+        val = pc.cast(t["value"], pa.float64())
+        shifted = pa.table({
+            "window_start_hour": pc.subtract(hours, 1), "event_type": ty, "value": val,
+        })
+        current = pa.table({
+            "window_start_hour": hours, "event_type": ty, "value": val,
+        })
+        return pa.concat_tables([shifted, current])
 
     out = (
         ds.map_batches(expand, batch_format="pyarrow")
@@ -712,8 +820,8 @@ def json_props_stats(sf_dir: str):
 
 SQL_JSON_PROPS = """
 SELECT event_type, count(*) AS n,
-       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(round(avg(CAST(json_extract(props, '$.k') AS BIGINT)) * 1000000) AS BIGINT) AS avg_k
+       CAST(sum(CAST(coalesce(json_extract_string(props, '$.k'), '0') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(round(avg(CAST(coalesce(json_extract_string(props, '$.k'), '0') AS BIGINT)) * 1000000) AS BIGINT) AS avg_k
 FROM events GROUP BY event_type
 """
 
@@ -759,5 +867,7 @@ REGISTRY = {
     "json_props_stats": (json_props_stats, SQL_JSON_PROPS),
     "systematic_sample": (systematic_sample, SQL_SYSTEMATIC_SAMPLE),
     "keyword_search": (keyword_search, SQL_KEYWORD_SEARCH),
+    "multi_field_search": (multi_field_search, SQL_MULTI_FIELD_SEARCH),
+    "search_analytics": (search_analytics, SQL_SEARCH_ANALYTICS),
     "paginated_listing": (paginated_listing, SQL_PAGINATED_LISTING),
 }
