@@ -119,6 +119,7 @@ def run_bench() -> dict:
         "q1_pricing_summary", "global_stats", "per_category_rollup",
         "daily_type_matrix", "nation_revenue", "exact_dedup",
         "last_event_per_user", "window_tumbling", "sessionize",
+        "multi_field_search", "search_analytics",
     ]:
         fn, _sql = Q.REGISTRY[name]
         timed(name, lambda f=fn: f(SF_DIR))
@@ -127,7 +128,31 @@ def run_bench() -> dict:
 
     timed("knn_bruteforce", lambda: ML_REGISTRY["knn_bruteforce"][0](SF_DIR))
     timed("minhash_dedup", lambda: ML_ROWS_ONLY["minhash_dedup"](SF_DIR))
+    timed("simhash_dedup", lambda: ML_ROWS_ONLY["simhash_dedup"](SF_DIR))
+    timed("embedding_neardup", lambda: ML_ROWS_ONLY["embedding_neardup"](SF_DIR))
     timed("text_stats", lambda: ML_ROWS_ONLY["text_stats"](SF_DIR).count())
+
+    # distributed connected components over a synthetic 1e6-pair set (the
+    # huge-pair-set duplicate_of path: hash-to-min label propagation)
+    def bench_dupgroups_1m():
+        import numpy as np
+        import pyarrow as pa
+
+        from omni_ray.stages.dedup import duplicate_groups_distributed
+
+        n = 1_000_000
+        rng = np.random.RandomState(3)
+        # 80% isolated 2-node components, 20% random chains over a 1e6 space
+        a1 = np.arange(0, int(n * 0.8) * 2, 2, dtype=np.int64)
+        b1 = a1 + 1
+        a2 = rng.randint(2_000_000, 3_000_000, size=n - len(a1)).astype(np.int64)
+        b2 = a2 + rng.randint(1, 40, size=len(a2)).astype(np.int64)
+        pairs = pa.table({"doc_a": np.concatenate([a1, a2]),
+                          "doc_b": np.concatenate([b1, b2])})
+        ds = ray.data.from_arrow(pairs).repartition(64)
+        return duplicate_groups_distributed(ds).count()
+
+    timed("dupgroups_1m_pairs", bench_dupgroups_1m)
 
     ray.shutdown()
 

@@ -217,17 +217,23 @@ def run_crawl(
     max_waves: int = 100,
     resume: bool = True,
     enrich_concurrency: int | None = None,
-    distributed_frontier: bool = False,
+    distributed_frontier: bool = True,
 ) -> dict:
     """Run the full crawl to frontier exhaustion. Returns summary counters.
 
-    ``distributed_frontier`` selects the 10^10-scale wave regime: the frontier
-    split, seen-set marking, schedule artifact and next-frontier snapshot all
-    stay Dataset operations (nothing but per-wave COUNTS reaches the driver).
-    The driver-pandas path (default) is faster below DRIVER_FRONTIER_MAX rows
-    per wave and produces bit-identical schedules; the distributed path
-    orders the schedule by writing sorted part files (global crawl_order =
-    row position in filename order — same deterministic order)."""
+    ``distributed_frontier`` (the DEFAULT) selects the 10^10-scale wave
+    regime: the frontier split, seen-set marking, schedule artifact and
+    next-frontier snapshot all stay Dataset operations (nothing but per-wave
+    COUNTS reaches the driver), and the epoch checkpoint writes (schedule
+    sort, deferred snapshot, seen-shard checkpoint) run in background threads
+    overlapped with the wave's fetch+extract stage — _COMPLETE is only
+    written after they all land. The driver-pandas path
+    (``distributed_frontier=False``) is competitive below
+    DRIVER_FRONTIER_MAX rows per wave and produces bit-identical schedules;
+    the distributed path orders the schedule by writing sorted part files
+    (global crawl_order = row position in filename order — same
+    deterministic order)."""
+    import concurrent.futures as _cf
     os.makedirs(out_dir, exist_ok=True)
     seen = SeenSet(n_shards=n_seen_shards)
     robots = RobotsCache(robots_map, n_shards=2) if respect_robots else None
@@ -254,6 +260,14 @@ def run_crawl(
     )
 
     totals: dict[str, int] = {}
+
+    def _acc(counters) -> None:
+        # fold this wave's counters into the run totals — called on EVERY
+        # wave exit path, including the terminating empty wave
+        for _part, name, val in counters:
+            totals[name] = totals.get(name, 0) + val
+
+    pool = _cf.ThreadPoolExecutor(max_workers=4)
     wave = start_wave
     while wave < start_wave + max_waves:
         frontier_tbl = _read_frontier(frontier_path)
@@ -278,14 +292,15 @@ def run_crawl(
 
         if distributed_frontier:
             out = _wave_distributed(
-                ranked, seen, epoch_dir, counters, robots is not None
+                ranked, seen, epoch_dir, counters, robots is not None, pool
             )
             if out is None:
                 _finish_epoch(epoch_dir, seen, None, counters, wave)
+                _acc(counters)
                 frontier_path = os.path.join(epoch_dir, "frontier_next")
                 wave += 1
                 break
-            sched_ds, n_sched = out
+            sched_ds, n_sched, pending = out
             frontier_next_path = os.path.join(epoch_dir, "frontier_next")
         else:
             ranked_pdf = ranked.to_pandas()
@@ -299,6 +314,7 @@ def run_crawl(
 
             if len(ranked_pdf) == 0:
                 _finish_epoch(epoch_dir, seen, None, counters, wave)
+                _acc(counters)
                 frontier_path = os.path.join(epoch_dir, "frontier_next.parquet")
                 wave += 1
                 break
@@ -367,18 +383,21 @@ def run_crawl(
         counters.append(("*", "articles_stored", n_articles))
 
         if distributed_frontier:
-            # deferred snapshot was already written by _wave_distributed
+            # schedule/deferred/seen-checkpoint writes were launched in the
+            # background by _wave_distributed, overlapped with fetch+extract;
+            # they must all land before the epoch is marked complete
+            for fut in pending:
+                fut.result()
             _write_counters(epoch_dir, counters, wave)
-            seen.checkpoint(os.path.join(epoch_dir, "seen_shards"))
             with open(os.path.join(epoch_dir, "_COMPLETE"), "w") as f:
                 f.write("ok")
         else:
             _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave)
-        for part, name, val in counters:
-            totals[name] = totals.get(name, 0) + val
+        _acc(counters)
         frontier_path = frontier_next_path
         wave += 1
 
+    pool.shutdown(wait=True)
     totals["waves"] = wave - start_wave
     totals["seen_total"] = seen.total_size()
     totals["scheduled"] = totals.get("scheduled", 0)
@@ -390,11 +409,15 @@ def run_crawl(
     return totals
 
 
-def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on):
+def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool):
     """Distributed frontier split: everything stays Dataset ops; only counts
-    reach the driver. Returns (scheduled Dataset, n_scheduled) or None when
-    the wave is empty."""
-    from ray.data.aggregate import Count, Sum
+    reach the driver. The three independent checkpoint artifacts — sorted
+    schedule, deferred frontier snapshot, seen-shard checkpoint — are written
+    in background threads (returned as futures) so they overlap the wave's
+    fetch+extract stage; the caller joins them before _COMPLETE. Returns
+    (scheduled Dataset, n_scheduled, pending futures) or None when the wave
+    is empty."""
+    from ray.data.aggregate import Count
 
     ranked = ranked.map_batches(
         lambda t: t.drop_columns(["host_bucket"]) if "host_bucket" in t.column_names else t,
@@ -421,8 +444,10 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on):
         _SeenAdd(seen.shards, seen.n_shards), batch_format="pyarrow", batch_size=4096
     ).materialize()
     n_sched = sched.count()
-    if n_sched:
-        # per-host lineage counters (small aggregate)
+
+    def _write_schedule() -> None:
+        # per-host lineage counters (small aggregate; list.append is atomic,
+        # and the caller joins this future before serializing counters)
         hc = sched.groupby("host").aggregate(Count(alias_name="n")).to_pandas()
         for host, cnt in zip(hc["host"], hc["n"]):
             counters.append((str(host), "scheduled", int(cnt)))
@@ -432,27 +457,37 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on):
             ["url", "url_hash", "host", "priority", "discovery_ts"]
         ).write_parquet(os.path.join(epoch_dir, "schedule"))
 
-    # deferred = allowed but over budget → next frontier snapshot (parts dir)
-    deferred = ranked.map_batches(
-        lambda t: t.filter(
-            pa.compute.and_(
-                pa.compute.invert(t.column("scheduled")), t.column("robots_allowed")
-            )
-        ).select(FRONTIER_COLS).cast(_frontier_schema()),
-        batch_format="pyarrow",
-    )
-    fdir = os.path.join(epoch_dir, "frontier_next")
-    deferred.write_parquet(fdir)
-    os.makedirs(fdir, exist_ok=True)  # an all-empty write may create nothing
-    if not any(f.endswith(".parquet") for f in os.listdir(fdir)):
-        pq.write_table(_frontier_schema().empty_table(),
-                       os.path.join(fdir, "empty.parquet"))
+    def _write_deferred() -> None:
+        # deferred = allowed but over budget → next frontier snapshot
+        deferred = ranked.map_batches(
+            lambda t: t.filter(
+                pa.compute.and_(
+                    pa.compute.invert(t.column("scheduled")), t.column("robots_allowed")
+                )
+            ).select(FRONTIER_COLS).cast(_frontier_schema()),
+            batch_format="pyarrow",
+        )
+        fdir = os.path.join(epoch_dir, "frontier_next")
+        deferred.write_parquet(fdir)
+        os.makedirs(fdir, exist_ok=True)  # an all-empty write may create nothing
+        if not any(f.endswith(".parquet") for f in os.listdir(fdir)):
+            pq.write_table(_frontier_schema().empty_table(),
+                           os.path.join(fdir, "empty.parquet"))
+
+    pending = []
+    if n_sched:
+        pending.append(pool.submit(_write_schedule))
+    pending.append(pool.submit(_write_deferred))
+    # the seen set is final for this wave once marking completed above —
+    # checkpoint it now, overlapped with fetch+extract
+    pending.append(pool.submit(seen.checkpoint, os.path.join(epoch_dir, "seen_shards")))
+
     drop_cols = ["seen", "robots_allowed", "eligible", "scheduled"]
     sched = sched.map_batches(
         lambda t: t.drop_columns([c for c in drop_cols if c in t.column_names]),
         batch_format="pyarrow",
     )
-    return sched, n_sched
+    return sched, n_sched, pending
 
 
 def _frontier_schema() -> pa.Schema:

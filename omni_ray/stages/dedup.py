@@ -753,36 +753,63 @@ def duplicate_groups_distributed(
     component minimum in O(log n) groupby rounds; no driver union-find.
 
     State per round: rows (node, member). Init from the edge list with self
-    rows. Round: groupby(node) → mn = min(members) → emit (mn, m) for every
-    member and (m, mn) for every member; distinct. Converges when the row
-    multiset stops changing (checked with a tiny count+sum aggregate).
+    rows. Round: per node, mn = min(members ∪ {node}); emit (mn, m) for
+    every member and (m, mn) for every member; distinct. Converges when the
+    row multiset stops changing (checked with a tiny count+sum aggregate).
     Returns (doc_id, duplicate_of) for non-keeper nodes, duplicate_of =
-    component min."""
+    component min.
+
+    The per-node step runs VECTORIZED over coarse buckets (node % 256 — node
+    groups never span buckets): a pandas groupby-min + two column maps per
+    bucket, never a per-node map_groups call (per-group overhead ≈1.5 ms ×
+    #nodes would be fatal at 10^6 pairs)."""
+
+    N_CC_BUCKETS = 256
 
     def seed(t: pa.Table) -> pa.Table:
         a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)
         b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)
-        node = np.concatenate([a, b, a, b])
-        member = np.concatenate([b, a, a, b])
+        node = np.concatenate([a, b])
+        member = np.concatenate([b, a])
         return pa.table({"node": pa.array(node, pa.int64()),
                          "member": pa.array(member, pa.int64())})
 
     state = pairs.map_batches(seed, batch_format="pyarrow")
 
-    def step(g: pd.DataFrame) -> pd.DataFrame:
-        node = int(g["node"].iloc[0])
-        # the node belongs to its own cluster view even when its self-row was
-        # not re-emitted last round — without this, satellite nodes vanish
-        members = np.unique(np.append(g["member"].to_numpy(), node))
-        mn = int(members[0])
-        out_node = np.concatenate([np.full(len(members), mn, dtype=np.int64), members])
-        out_member = np.concatenate([members, np.full(len(members), mn, dtype=np.int64)])
-        return pd.DataFrame({"node": out_node, "member": out_member})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        node = np.asarray(t.column("node").to_pylist(), dtype=np.int64)
+        return t.append_column(
+            "bucket", pa.array((node % N_CC_BUCKETS).astype(np.int32), pa.int32())
+        )
+
+    def bucket_step(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per coarse bucket; everything inside is columnar pandas.
+        # Input rows are deduped HERE (all duplicates of a (node, member) row
+        # share the node → same bucket), so no global many-key distinct
+        # groupby is needed — a groupby over millions of distinct keys runs
+        # per-key reduce code and would dominate the whole computation.
+        g = g.drop_duplicates(["node", "member"])
+        nodes = g["node"].to_numpy()
+        members = g["member"].to_numpy()
+        uniq = np.unique(nodes)
+        all_nodes = np.concatenate([nodes, uniq])      # + self rows
+        all_members = np.concatenate([members, uniq])
+        df = pd.DataFrame({"node": all_nodes, "member": all_members})
+        gmin = df.groupby("node")["member"].min()
+        mn = df["node"].map(gmin).to_numpy()
+        out = pd.DataFrame({
+            "node": np.concatenate([mn, df["member"].to_numpy()]),
+            "member": np.concatenate([df["member"].to_numpy(), mn]),
+        })
+        return out.drop_duplicates()
 
     from ray.data.aggregate import Count, Sum
 
     def signature(ds: ray.data.Dataset) -> tuple[int, int, int]:
-        # ds is already distinct (node, member) rows — one cheap aggregate
+        # multiset signature (count + keyed sums): the per-bucket-deduped
+        # state is a deterministic function of the previous state's row SET,
+        # so an unchanged multiset signature ⇒ set fixpoint (detected at most
+        # one round late)
         row = ds.aggregate(Count(alias_name="n"), Sum(on="node", alias_name="sn"),
                            Sum(on="member", alias_name="sm"))
         return (row["n"], int(row["sn"] or 0), int(row["sm"] or 0))
@@ -790,11 +817,9 @@ def duplicate_groups_distributed(
     prev_sig = None
     for _ in range(max_iters):
         state = (
-            state.groupby("node")
-            .map_groups(step, batch_format="pandas")
-            .groupby(["node", "member"])
-            .aggregate(Count(alias_name="_c"))
-            .select_columns(["node", "member"])
+            state.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_step, batch_format="pandas")
             .materialize()
         )
         sig = signature(state)
@@ -802,15 +827,16 @@ def duplicate_groups_distributed(
             break
         prev_sig = sig
 
-    from ray.data.aggregate import Min
+    def bucket_labels(g: pd.DataFrame) -> pd.DataFrame:
+        # per-node min, vectorized per bucket (a groupby("node").Min() here
+        # would run per-key reduce code over millions of keys)
+        gmin = g.groupby("node")["member"].min().reset_index()
+        gmin.columns = ["doc_id", "duplicate_of"]
+        return gmin[gmin["duplicate_of"] < gmin["doc_id"]]
 
-    labels = state.groupby("node").aggregate(Min(on="member", alias_name="duplicate_of"))
-
-    def finalize(t: pa.Table) -> pa.Table:
-        node = np.asarray(t.column("node").to_pylist(), dtype=np.int64)
-        lab = np.asarray(t.column("duplicate_of").to_pylist(), dtype=np.int64)
-        keep = lab < node
-        return pa.table({"doc_id": pa.array(node[keep], pa.int64()),
-                         "duplicate_of": pa.array(lab[keep], pa.int64())})
-
-    return labels.map_batches(finalize, batch_format="pyarrow")
+    return (
+        state.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_labels, batch_format="pandas")
+        .select_columns(["doc_id", "duplicate_of"])
+    )

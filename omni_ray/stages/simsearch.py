@@ -190,6 +190,7 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 8, seed: int = 17) -> 
     for _ in range(iters):
         sims = sample @ cents.T
         assign = sims.argmax(axis=1)
+        empties: list[int] = []
         for c in range(len(cents)):
             members = sample[assign == c]
             if len(members):
@@ -197,9 +198,15 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 8, seed: int = 17) -> 
                 n = np.linalg.norm(v)
                 if n > 0:
                     cents[c] = v / n
-            else:  # deterministic re-seed: farthest point from its centroid
-                far = int(np.argmin(sims.max(axis=1)))
-                cents[c] = sample[far]
+            else:
+                empties.append(c)
+        if empties:
+            # deterministic re-seed, each empty cluster from a DISTINCT point
+            # (farthest-first order): seeding several empties from the same
+            # point would duplicate centroids and unbalance the lists
+            order = np.argsort(sims.max(axis=1))
+            for i, c in enumerate(empties):
+                cents[c] = sample[int(order[i % len(order)])]
     return cents
 
 

@@ -149,6 +149,19 @@ class SeenSet:
         )
 
     def restore(self, dir_path: str) -> int:
+        # digest→shard routing is hash % n_shards: restoring with a different
+        # shard count than the checkpoint would silently misroute digests and
+        # re-crawl seen URLs — validate against the checkpoint's shard files
+        ckpt_shards = sorted(
+            f for f in os.listdir(dir_path)
+            if f.startswith("shard-") and f.endswith(".npz")
+        )
+        if len(ckpt_shards) != self.n_shards:
+            raise ValueError(
+                f"seen-set checkpoint at {dir_path} has {len(ckpt_shards)} shards "
+                f"but this run uses n_seen_shards={self.n_shards}; shard routing "
+                "is hash % n_shards, so counts must match to resume"
+            )
         return sum(
             ray.get(
                 [

@@ -37,13 +37,28 @@ def _run(pages_dir, out_dir, **kw):
 
 
 def _all_schedules(out_dir) -> pd.DataFrame:
+    """Read per-wave schedules in either layout: single schedule.parquet with
+    a crawl_order column (driver mode) or a sorted-parts schedule/ directory
+    where crawl_order = row position in filename order (distributed mode)."""
     frames = []
     for d in sorted(os.listdir(out_dir)):
-        p = os.path.join(out_dir, d, "schedule.parquet")
-        if d.startswith("epoch=") and os.path.exists(p):
-            f = pq.read_table(p).to_pandas()
-            f["wave"] = int(d.split("=")[1])
-            frames.append(f)
+        if not d.startswith("epoch="):
+            continue
+        p1 = os.path.join(out_dir, d, "schedule.parquet")
+        p2 = os.path.join(out_dir, d, "schedule")
+        if os.path.exists(p1):
+            f = pq.read_table(p1).to_pandas()
+        elif os.path.isdir(p2):
+            parts = sorted(
+                os.path.join(p2, f) for f in os.listdir(p2) if f.endswith(".parquet")
+            )
+            f = pd.concat([pq.read_table(fp).to_pandas() for fp in parts],
+                          ignore_index=True)
+            f["crawl_order"] = range(len(f))
+        else:
+            continue
+        f["wave"] = int(d.split("=")[1])
+        frames.append(f)
     out = pd.concat(frames, ignore_index=True)
     out = out.sort_values(["wave", "crawl_order"], kind="mergesort").reset_index(drop=True)
     out["global_order"] = range(len(out))
@@ -141,7 +156,7 @@ def test_distributed_frontier_equals_driver_mode(pages_dir, tmp_path):
     URL-seen set, same stored articles as the driver-pandas path."""
     drv = str(tmp_path / "drv")
     dst = str(tmp_path / "dst")
-    t1 = _run(pages_dir, drv, budget_per_host=7)
+    t1 = _run(pages_dir, drv, budget_per_host=7, distributed_frontier=False)
     t2 = _run(pages_dir, dst, budget_per_host=7, distributed_frontier=True)
     assert t1["seen_total"] == t2["seen_total"]
     assert t1["scheduled"] == t2["scheduled"]
