@@ -37,6 +37,7 @@ def article_pipeline(
     gate_articles: bool = True,
     merge_scores_reference_bug: bool = False,
     dead_letter_dir: str | None = None,
+    use_engine_chain: bool = False,
 ) -> ray.data.Dataset:
     """pages(url, warc_ts, html, ...) → 41-column EnhancedArticle Dataset.
 
@@ -44,14 +45,26 @@ def article_pipeline(
     poison-row capture (one bad page never kills a block; failures are
     written as (url, error) parquet — the reference's drop-and-count
     semantics, omni_orchestrator.py:141-147).
+
+    ``use_engine_chain`` swaps the single cleaner for the two-engine
+    priority-fallback registry (S4, multi_engine_crawler.py:33-50):
+    semantic-main first, reference cleaner as fallback; ``crawler_engine``
+    records which one produced each row. Default off — the single cleaner is
+    the byte-identical-parity configuration.
     """
     import pyarrow.compute as pc
 
-    clean_fn, extract_fn = clean_batch, extract_batch
+    if use_engine_chain:
+        from ..functions.engines import default_engine_chain
+
+        clean_fn = default_engine_chain()
+    else:
+        clean_fn = clean_batch
+    extract_fn = extract_batch
     if dead_letter_dir:
         from .deadletter import DeadLetterWrapper
 
-        clean_fn = DeadLetterWrapper(clean_batch, dead_letter_dir)
+        clean_fn = DeadLetterWrapper(clean_fn, dead_letter_dir)
         extract_fn = DeadLetterWrapper(extract_batch, dead_letter_dir)
 
     ds = pages.map_batches(clean_fn, batch_format="pyarrow", batch_size=RAW_BATCH_SIZE)

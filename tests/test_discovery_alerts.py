@@ -127,6 +127,53 @@ def test_pipeline_compose_and_extractor_chain():
     assert counters == {"extract": 2}
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_two_real_engines_fallback_order():
+    """S4: the two-engine registry (semantic-main primary, reference cleaner
+    fallback) — engine 2 must fill rows engine 1 rejects, and the full
+    article pipeline must record which engine produced each row."""
+    import ray.data
+
+    from omni_ray.functions.engines import extract_fallback, extract_semantic_main
+    from omni_ray.pipelines.articles import article_pipeline
+
+    para = ("Real content paragraph with plenty of words to pass every gate in the "
+            "cleaner ladder today. Another sentence follows with more words to be safe. "
+            "A third sentence keeps the average sentence length inside the band.")
+    # page A: title + <article> container → semantic engine succeeds
+    html_a = (f"<html><head><title>A proper headline</title></head><body>"
+              f"<article><p>{para}</p><p>{para}</p></article></body></html>")
+    # page B: same content but in plain divs, no semantic container → engine 1
+    # returns None ("insufficient content"), reference cleaner extracts it
+    html_b = (f"<html><head><title>Another headline</title></head><body>"
+              f"<div class='content'><p>{para}</p><p>{para}</p></div></body></html>")
+    # page C: semantic container but thin content → engine 1 rejects (<200 chars)
+    html_c = ("<html><head><title>Thin</title></head><body>"
+              "<article><p>too short</p></article></body></html>")
+
+    assert extract_semantic_main(html_a) and para in extract_semantic_main(html_a)
+    assert extract_semantic_main(html_b) is None
+    assert extract_semantic_main(html_c) is None
+    assert extract_fallback(html_b) and para in extract_fallback(html_b)
+
+    import pandas as pd
+
+    base_ts = pd.Timestamp("2024-01-05")
+    tbl = pa.table({
+        "url": ["https://e.com/a", "https://e.com/b", "https://e.com/c"],
+        "warc_ts": pa.array([base_ts] * 3, pa.timestamp("us")),
+        "html": [html_a.encode(), html_b.encode(), html_c.encode()],
+    })
+    arts = article_pipeline(
+        ray.data.from_arrow(tbl), gate_articles=False, use_engine_chain=True
+    ).take_all()
+    engines = {r["url"][-1]: r["crawler_engine"] for r in arts}
+    assert engines["a"] == "semantic_main"
+    assert engines["b"] == "fallback"  # engine-2 fills what engine-1 rejected
+    texts = {r["url"][-1]: r["content"] for r in arts}
+    assert para in texts["a"] and para in texts["b"]
+
+
 def test_sentiment_label_fallback():
     from omni_ray.functions.enrich import sentiment_label
 
