@@ -159,16 +159,70 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 
-def _distinct_pairs(cand: ray.data.Dataset) -> ray.data.Dataset:
-    """Dedup candidate (doc_a, doc_b) rows across bands/tables — a groupby
-    exchange, no driver materialization."""
-    from ray.data.aggregate import Count
+def _collect_distinct_pairs(cand: ray.data.Dataset) -> list[tuple[int, int]]:
+    """Collect the candidate (doc_a, doc_b) rows (the SMALL output of LSH
+    banding — the same size-class as the function's return value) and dedup
+    on the driver. Corpus payloads never come with them."""
+    seen: set[tuple[int, int]] = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        seen.update(zip(b.column("doc_a").to_pylist(), b.column("doc_b").to_pylist()))
+    return sorted(seen)
 
-    return (
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_cnt"))
-        .select_columns(["doc_a", "doc_b"])
+
+def _verify_pairs_broadcast(
+    pairs: list[tuple[int, int]],
+    source: ray.data.Dataset,
+    id_col: str,
+    payload_col: str,
+    verify_bucket_fn,
+    n_buckets: int = 64,
+) -> list[dict]:
+    """Distributed pair verification in ONE narrow shuffle: broadcast the
+    (small) pair list as a doc_id→[(pair_id, side)] map, explode ONLY the
+    candidate docs' payloads to (pair_id, side, payload) rows inside
+    map_batches, then verify per pair inside a coarse-bucketed map_groups
+    (bucket = pair_id % n_buckets — a pair's two sides always co-locate).
+    Corpus payloads for non-candidate docs are filtered out at the map stage
+    and never shuffle; nothing round-trips through the driver.
+
+    This replaces a 2×Dataset.join verify: same semantics, one exchange of
+    candidate payloads instead of two full hash-join exchanges (whose
+    per-query aggregator-actor spawn cost dominates at interactive scale).
+    The pair list is broadcast state (object-store resident, zero-copy to
+    workers) — the same small-output assumption as duplicate_groups; for
+    pair sets too big to broadcast, fall back to _join_pairs_to_payload."""
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for pid, (a, b) in enumerate(pairs):
+        by_doc.setdefault(int(a), []).append((pid, 0))
+        by_doc.setdefault(int(b), []).append((pid, 1))
+    ref = ray.put(by_doc)
+
+    def explode_sides(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        pids, sides, payloads = [], [], []
+        ids = t.column(id_col).to_pylist()
+        pls = t.column(payload_col).to_pylist()
+        for i, pl in zip(ids, pls):
+            for pid, side in m.get(int(i), ()):
+                pids.append(pid)
+                sides.append(side)
+                payloads.append(pl)
+        return pa.table({
+            "pair_id": pa.array(pids, pa.int64()),
+            "side": pa.array(sides, pa.int32()),
+            "payload": pa.array(payloads, type=t.column(payload_col).type),
+            "bucket": pa.array([p % n_buckets for p in pids], pa.int32()),
+        })
+
+    exploded = source.select_columns([id_col, payload_col]).map_batches(
+        explode_sides, batch_format="pyarrow"
     )
+    out = (
+        exploded.groupby("bucket")
+        .map_groups(verify_bucket_fn, batch_format="pandas")
+        .take_all()
+    )
+    return out
 
 
 def _join_pairs_to_payload(
@@ -235,37 +289,35 @@ def minhash_dedup_pairs(
     bands = docs.map_batches(
         MinHashLSH(n_perm, n_bands, text_col, id_col), batch_format="pyarrow"
     )
-    cand = _distinct_pairs(
-        bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
-    ).materialize()
-    if cand.count() == 0:
+    cand = bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
+    pairs = _collect_distinct_pairs(cand)
+    if not pairs:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "n_common": pa.array([], pa.int64()), "n_union": pa.array([], pa.int64())}
         )
 
-    joined = _join_pairs_to_payload(cand, docs, id_col, text_col)
-
-    def verify(t: pa.Table) -> pa.Table:
-        out = []
-        for a, b, ta, tb in zip(
-            t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist(),
-            t.column("payload_a").to_pylist(), t.column("payload_b").to_pylist(),
-        ):
-            inter, union = exact_jaccard(ta or "", tb or "")
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_p, out_c, out_u = [], [], []
+        for pid, gg in g.groupby("pair_id", sort=False):
+            if len(gg) < 2:
+                continue
+            s = gg.sort_values("side")
+            inter, union = exact_jaccard(s["payload"].iloc[0] or "",
+                                         s["payload"].iloc[1] or "")
             if union and inter / union >= threshold:
-                out.append((int(a), int(b), inter, union))
-        return pa.table(
-            {
-                "doc_a": pa.array([r[0] for r in out], pa.int64()),
-                "doc_b": pa.array([r[1] for r in out], pa.int64()),
-                "n_common": pa.array([r[2] for r in out], pa.int64()),
-                "n_union": pa.array([r[3] for r in out], pa.int64()),
-            }
-        )
+                out_p.append(int(pid))
+                out_c.append(inter)
+                out_u.append(union)
+        return pd.DataFrame({"pair_id": pd.Series(out_p, dtype="int64"),
+                             "n_common": pd.Series(out_c, dtype="int64"),
+                             "n_union": pd.Series(out_u, dtype="int64")})
 
-    verified = joined.map_batches(verify, batch_format="pyarrow").take_all()
-    rows = [(r["doc_a"], r["doc_b"], r["n_common"], r["n_union"]) for r in verified]
+    verified = _verify_pairs_broadcast(pairs, docs, id_col, text_col, verify_bucket)
+    rows = [
+        (pairs[r["pair_id"]][0], pairs[r["pair_id"]][1], r["n_common"], r["n_union"])
+        for r in verified
+    ]
     return _sorted_pair_table(rows, ["doc_a", "doc_b", "n_common", "n_union"])
 
 
@@ -305,14 +357,16 @@ def ngram_jaccard_pairs(
     inv = docs.map_batches(explode, batch_format="pyarrow")
 
     def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # one call per COARSE shingle-hash bucket: vectorized dup filter,
-        # Python pair expansion only on shared shingles (skew guard on
-        # stop-shingles via max_posting)
+        # one call per COARSE shingle-hash bucket. Pair expansion is numpy
+        # (triu indices per posting), and counts are PARTIALLY AGGREGATED
+        # inside the bucket (a pair sharing many shingles of this bucket
+        # emits ONE row with n) — the global many-key groupby then sums few
+        # rows per pair instead of counting millions of raw expansion rows.
         dup = g[g.duplicated("shingle", keep=False)]
-        out_a: list[int] = []
-        out_b: list[int] = []
+        parts_a: list[np.ndarray] = []
+        parts_b: list[np.ndarray] = []
         for sh, gg in dup.groupby("shingle", sort=False):
-            ids = sorted(set(gg["doc_id"].tolist()))
+            ids = np.unique(gg["doc_id"].to_numpy())
             if len(ids) < 2:
                 continue
             if len(ids) > max_posting:
@@ -321,20 +375,38 @@ def ngram_jaccard_pairs(
                     "(max_posting=%d)", len(ids), max_posting,
                 )
                 continue
-            for i, a in enumerate(ids):
-                for b in ids[i + 1 :]:
-                    out_a.append(a)
-                    out_b.append(b)
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64")})
+            iu, ju = np.triu_indices(len(ids), k=1)
+            parts_a.append(ids[iu])
+            parts_b.append(ids[ju])
+        if not parts_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        raw = pd.DataFrame({"doc_a": np.concatenate(parts_a),
+                            "doc_b": np.concatenate(parts_b)})
+        out = raw.groupby(["doc_a", "doc_b"], sort=False).size().reset_index(name="n")
+        out = out.astype({"doc_a": "int64", "doc_b": "int64", "n": "int64"})
+        # re-bucket by the PAIR key for the global sum (a Ray aggregate over
+        # millions of distinct (doc_a, doc_b) keys runs per-key reduce code
+        # and dominates everything; a bucketed vectorized sum does not)
+        out["pair_bucket"] = (
+            (out["doc_a"] * 2654435761 + out["doc_b"]) % 256
+        ).astype("int32")
+        return out
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["doc_a", "doc_b"], sort=False)["n"].sum().reset_index(name="n_common")
+        )
+        return out.astype({"doc_a": "int64", "doc_b": "int64", "n_common": "int64"})
 
     from ray.data.aggregate import Count
 
     common = (
         inv.groupby("bucket")
         .map_groups(posting_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_common"))
+        .groupby("pair_bucket")
+        .map_groups(sum_pairs, batch_format="pandas")
         .to_pandas()
     )
     # shingle-set sizes (small aggregate → broadcastable)
@@ -513,17 +585,15 @@ def simhash_dedup_pairs(
                             "hamming": ham.astype(np.int64)})
         return out[out["hamming"] <= max_hamming]
 
-    from ray.data.aggregate import Min
-
-    pairs = (
+    # cross-band duplicates of a pair carry identical hamming values — dedup
+    # the (small) verified output on the driver instead of a second shuffle
+    verified = (
         exploded.groupby("bucket")
         .map_groups(verify_in_bucket, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min(on="hamming", alias_name="hamming"))
         .take_all()
     )
-    rows = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs]
-    return _sorted_pair_table(rows, ["doc_a", "doc_b", "hamming"])
+    rows = sorted({(r["doc_a"], r["doc_b"], r["hamming"]) for r in verified})
+    return _sorted_pair_table(list(rows), ["doc_a", "doc_b", "hamming"])
 
 
 # ---------------------------------------------------------------------------
@@ -615,50 +685,35 @@ def embedding_neardup_pairs(
         _HyperplaneExplode(n_tables, n_bits, dim, id_col, vec_col),
         batch_format="pyarrow",
     )
-    cand = _distinct_pairs(
-        exploded.groupby("bucket").map_groups(
-            lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
-        )
-    ).materialize()
-    if cand.count() == 0:
+    cand = exploded.groupby("bucket").map_groups(
+        lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
+    )
+    pairs = _collect_distinct_pairs(cand)
+    if not pairs:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
         )
 
-    # acero hash joins reject list<float> non-key fields → ship vectors as
-    # fixed-width binary through the join, decode with np.frombuffer after
-    def _pack(t: pa.Table) -> pa.Table:
-        mats = np.stack(t.column(vec_col).to_pylist()).astype(np.float64)
-        return pa.table({
-            id_col: t.column(id_col),
-            "vec_bytes": pa.array([m.tobytes() for m in mats], pa.binary()),
-        })
-
-    packed = emb.map_batches(_pack, batch_format="pyarrow")
-    joined = _join_pairs_to_payload(cand, packed, id_col, "vec_bytes")
-
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-            )
-        a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)
-        b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)
-        va = _normalize_rows(np.stack(
-            [np.frombuffer(x, dtype=np.float64) for x in t.column("payload_a").to_pylist()]
-        ))
-        vb = _normalize_rows(np.stack(
-            [np.frombuffer(x, dtype=np.float64) for x in t.column("payload_b").to_pylist()]
-        ))
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized within the bucket: pivot the two sides into aligned
+        # matrices, one batched dot product (pairs missing a side drop out
+        # of the inner merge)
+        a_side = g[g["side"] == 0].drop_duplicates("pair_id")
+        b_side = g[g["side"] == 1].drop_duplicates("pair_id")
+        merged = a_side.merge(b_side, on="pair_id", suffixes=("_a", "_b"))
+        if not len(merged):
+            return pd.DataFrame({"pair_id": pd.Series(dtype="int64")})
+        va = _normalize_rows(np.stack(merged["payload_a"].to_list()).astype(np.float64))
+        vb = _normalize_rows(np.stack(merged["payload_b"].to_list()).astype(np.float64))
         cos = (va * vb).sum(axis=1)
-        keep = cos >= threshold
-        lo = np.minimum(a[keep], b[keep])
-        hi = np.maximum(a[keep], b[keep])
-        return pa.table({"doc_a": pa.array(lo, pa.int64()),
-                         "doc_b": pa.array(hi, pa.int64())})
+        return pd.DataFrame(
+            {"pair_id": merged["pair_id"].to_numpy()[cos >= threshold].astype("int64")}
+        )
 
-    verified = joined.map_batches(verify, batch_format="pyarrow").take_all()
-    rows = sorted({(r["doc_a"], r["doc_b"]) for r in verified})
+    verified = _verify_pairs_broadcast(pairs, emb, id_col, vec_col, verify_bucket)
+    rows = sorted(
+        {(min(pairs[r["pair_id"]]), max(pairs[r["pair_id"]])) for r in verified}
+    )
     return pa.table({
         "doc_a": pa.array([r[0] for r in rows], pa.int64()),
         "doc_b": pa.array([r[1] for r in rows], pa.int64()),
