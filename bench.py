@@ -217,7 +217,9 @@ def run_scaling_worker() -> dict:
         out_dir="/tmp/omni_ray_scaling_crawl",
         budget_per_host=SCALING_PAGES,  # single wave: measure pipeline, not wave count
         n_buckets=32,
-        n_seen_shards=8,
+        # shard count scales with parallelism: 8 shard actors bottleneck the
+        # annotate stage's contains() round-trips once 32 cores feed them
+        n_seen_shards=max(8, NUM_CPUS // 2),
     )
     t_crawl = time.perf_counter() - t0
 

@@ -138,17 +138,49 @@ class _AnnotateStage:
         )
 
 
+@ray.remote(num_cpus=0)
+class _WaveCounter:
+    """Per-wave lineage tally for the streaming fetch stage (fetch is fused
+    into the extract execution, so there is no materialized dataset to count
+    afterwards — the north_rule's per-partition counters come from here)."""
+
+    def __init__(self):
+        self.total = 0
+        self.hits = 0
+
+    def add(self, total: int, hits: int) -> None:
+        self.total += total
+        self.hits += hits
+
+    def get(self) -> tuple[int, int]:
+        return self.total, self.hits
+
+    def reset(self) -> None:
+        self.total = 0
+        self.hits = 0
+
+
 class _FetchBucket:
     """groupby('bucket').map_groups body: look up html for a bucket's urls in
-    the hash-partitioned pages table (reads ONLY that bucket's file)."""
+    the hash-partitioned pages table (reads ONLY that bucket's file).
 
-    def __init__(self, pages_dir: str):
+    The group key may be a FINE bucket (``n_files × k``): md5 % (n·k) % n ==
+    md5 % n, so every fine bucket maps to exactly one pages file. Fine
+    bucketing exists purely to emit more, smaller output blocks — with one
+    block per file, the downstream extract stage runs one task per core and
+    goes straggler-bound (measured ~35% idle at 32 cpus)."""
+
+    def __init__(self, pages_dir: str, n_files: int | None = None, counter=None):
         self.pages_dir = pages_dir
+        self.n_files = n_files
+        self.counter = counter
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.compute as pc
 
         bucket = int(group["bucket"].iloc[0])
+        if self.n_files:
+            bucket = bucket % self.n_files
         path = os.path.join(self.pages_dir, f"bucket-{bucket:04d}.parquet")
         urls = group["url"].tolist()
         if os.path.exists(path):
@@ -162,6 +194,12 @@ class _FetchBucket:
             pages = pd.DataFrame(columns=["url", "warc_ts", "html", "lang"])
         merged = group.merge(pages, on="url", how="left")
         merged["http_status"] = [200 if ok else 404 for ok in merged["html"].notna()]
+        if self.counter is not None:
+            # synchronous add: the stage's completion must imply the tally
+            # is readable (fire-and-forget could race the driver's get())
+            ray.get(self.counter.add.remote(
+                len(merged), int(merged["html"].notna().sum())
+            ))
         return merged
 
 
@@ -268,9 +306,23 @@ def run_crawl(
             totals[name] = totals.get(name, 0) + val
 
     pool = _cf.ThreadPoolExecutor(max_workers=4)
+    wave_counter = _WaveCounter.remote()  # per-wave fetch lineage tally
+    import time as _time
+
+    _timing = os.environ.get("OMNI_RAY_TIMING") == "1"
+    _t0 = [_time.perf_counter()]
+
+    def _tick(label: str) -> None:
+        if _timing:
+            now = _time.perf_counter()
+            print(f"[crawl-timing] {label}: {now - _t0[0]:.2f}s", flush=True)
+            _t0[0] = now
+
     wave = start_wave
     while wave < start_wave + max_waves:
+        _tick("loop-top")
         frontier_tbl = _read_frontier(frontier_path)
+        _tick("read-frontier")
         epoch_dir = os.path.join(out_dir, f"epoch={wave:04d}")
         counters: list[tuple[str, str, int]] = []
         if frontier_tbl.num_rows == 0:
@@ -300,7 +352,16 @@ def run_crawl(
                 frontier_path = os.path.join(epoch_dir, "frontier_next")
                 wave += 1
                 break
-            sched_ds, n_sched, pending = out
+            sched_ds, pending = out
+            # seen-marking fuses into the fetch/extract execution below
+            # (idempotent actor adds; completed before this wave's extract
+            # materializes, i.e. before the next wave's annotate runs)
+            sched_ds = sched_ds.map_batches(
+                _SeenAdd(seen.shards, seen.n_shards),
+                batch_format="pyarrow", batch_size=4096,
+            )
+            n_sched = None  # known after the fused execution (wave_counter)
+            _tick("wave-split")
             frontier_next_path = os.path.join(epoch_dir, "frontier_next")
         else:
             ranked_pdf = ranked.to_pandas()
@@ -347,40 +408,55 @@ def run_crawl(
             n_sched = len(sched_pdf)
             frontier_next_path = os.path.join(epoch_dir, "frontier_next.parquet")
 
-        # ---- fetch (bucketed lookup join) + article pipeline --------------
+        # ---- fetch + extract: ONE fused streaming execution ---------------
+        # fine-bucket so the fetch emits ~4 blocks per core (same file per
+        # fine bucket — see _FetchBucket), keeping extract straggler-free;
+        # fetch is NOT materialized — the streaming executor overlaps the
+        # bucket shuffle / file lookups with the extract stage's compute, and
+        # the wave lineage (fetched/missed) comes from the _WaveCounter actor
+        ray.get(wave_counter.reset.remote())
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_fine = n_buckets * max(1, (4 * cpus) // n_buckets)
         sched_ds = sched_ds.map_batches(
-            lambda t: _bucket_batch(t, n_buckets), batch_format="pyarrow"
+            lambda t: _bucket_batch(t, n_fine), batch_format="pyarrow"
         )
-        fetch = _FetchBucket(pages_dir)
+        fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter)
         fetched = sched_ds.groupby("bucket").map_groups(
             lambda g: fetch(g), batch_format="pandas"
-        ).materialize()  # one execution: bucket shuffle + lookup join
+        )
         hits = fetched.map_batches(
             lambda t: t.filter(pa.compute.equal(t.column("http_status"), 200)),
             batch_format="pyarrow",
         )
-        # groupby().map_groups can emit ONE consolidated block, which would
-        # serialize the whole extract pipeline — split it back out so the
-        # clean/extract stages parallelize across the cluster
-        n_blocks = max(8, min(256, n_sched // 256))
-        hits = hits.repartition(n_blocks)
         articles = article_pipeline(hits, enrich_concurrency=enrich_concurrency).materialize()
+        _tick("extract")
         n_articles = articles.count()
-        n_hits = fetched.map_batches(
-            lambda t: pa.table({"n": [int(pa.compute.sum(
-                pa.compute.cast(pa.compute.equal(t.column("http_status"), 200), pa.int64())
-            ).as_py() or 0)]}),
-            batch_format="pyarrow",
-        ).to_pandas()["n"].sum()
+        n_total, n_hits = ray.get(wave_counter.get.remote())
+        if n_sched is None:
+            n_sched = n_total  # every scheduled row flowed through fetch
         counters.append(("*", "fetched", int(n_hits)))
         counters.append(("*", "fetch_missed", n_sched - int(n_hits)))
+        if distributed_frontier:
+            # marking completed inside the fused execution — checkpoint now,
+            # overlapped with the store writes below
+            pending.append(
+                pool.submit(seen.checkpoint, os.path.join(epoch_dir, "seen_shards"))
+            )
         if n_articles:
-            articles.write_parquet(os.path.join(epoch_dir, "articles"))
-            # exploded entities child table (J1 source, omni_storage.py:228-237)
+            # the two store writes consume the same materialized dataset —
+            # run them concurrently, joined before _COMPLETE
             from .articles import entities_pipeline
 
-            entities_pipeline(articles).write_parquet(os.path.join(epoch_dir, "entities"))
+            w1 = pool.submit(articles.write_parquet, os.path.join(epoch_dir, "articles"))
+            w2 = pool.submit(
+                lambda: entities_pipeline(articles).write_parquet(
+                    os.path.join(epoch_dir, "entities")
+                )
+            )
+            w1.result()
+            w2.result()
         counters.append(("*", "articles_stored", n_articles))
+        _tick("store")
 
         if distributed_frontier:
             # schedule/deferred/seen-checkpoint writes were launched in the
@@ -388,6 +464,7 @@ def run_crawl(
             # they must all land before the epoch is marked complete
             for fut in pending:
                 fut.result()
+            _tick("join-writes")
             _write_counters(epoch_dir, counters, wave)
             with open(os.path.join(epoch_dir, "_COMPLETE"), "w") as f:
                 f.write("ok")
@@ -411,12 +488,14 @@ def run_crawl(
 
 def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool):
     """Distributed frontier split: everything stays Dataset ops; only counts
-    reach the driver. The three independent checkpoint artifacts — sorted
-    schedule, deferred frontier snapshot, seen-shard checkpoint — are written
-    in background threads (returned as futures) so they overlap the wave's
-    fetch+extract stage; the caller joins them before _COMPLETE. Returns
-    (scheduled Dataset, n_scheduled, pending futures) or None when the wave
-    is empty."""
+    reach the driver. Only ``ranked`` is materialized; the scheduled slice is
+    returned LAZY so seen-marking, fetch and extract fuse into one streaming
+    execution. The checkpoint artifacts — sorted schedule (which also emits
+    the per-host lineage counters), deferred frontier snapshot — are written
+    in background threads (returned as futures) overlapped with
+    fetch+extract; the caller joins them before _COMPLETE. Returns
+    (scheduled Dataset [unmarked], pending futures) or None when the wave is
+    empty."""
     from ray.data.aggregate import Count
 
     ranked = ranked.map_batches(
@@ -439,11 +518,6 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool):
     sched = ranked.map_batches(
         lambda t: t.filter(t.column("scheduled")), batch_format="pyarrow"
     )
-    # distributed seen-set marking (idempotent actor adds)
-    sched = sched.map_batches(
-        _SeenAdd(seen.shards, seen.n_shards), batch_format="pyarrow", batch_size=4096
-    ).materialize()
-    n_sched = sched.count()
 
     def _write_schedule() -> None:
         # per-host lineage counters (small aggregate; list.append is atomic,
@@ -451,6 +525,8 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool):
         hc = sched.groupby("host").aggregate(Count(alias_name="n")).to_pandas()
         for host, cnt in zip(hc["host"], hc["n"]):
             counters.append((str(host), "scheduled", int(cnt)))
+        if not len(hc):
+            return
         # schedule artifact: globally sorted part files; crawl_order = row
         # position in filename order (deterministic)
         sched.sort(SORT_COLS, descending=[not a for a in SORT_ASC]).select_columns(
@@ -474,20 +550,14 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool):
             pq.write_table(_frontier_schema().empty_table(),
                            os.path.join(fdir, "empty.parquet"))
 
-    pending = []
-    if n_sched:
-        pending.append(pool.submit(_write_schedule))
-    pending.append(pool.submit(_write_deferred))
-    # the seen set is final for this wave once marking completed above —
-    # checkpoint it now, overlapped with fetch+extract
-    pending.append(pool.submit(seen.checkpoint, os.path.join(epoch_dir, "seen_shards")))
+    pending = [pool.submit(_write_schedule), pool.submit(_write_deferred)]
 
     drop_cols = ["seen", "robots_allowed", "eligible", "scheduled"]
     sched = sched.map_batches(
         lambda t: t.drop_columns([c for c in drop_cols if c in t.column_names]),
         batch_format="pyarrow",
     )
-    return sched, n_sched, pending
+    return sched, pending
 
 
 def _frontier_schema() -> pa.Schema:
