@@ -408,12 +408,10 @@ def run_crawl(
             n_sched = len(sched_pdf)
             frontier_next_path = os.path.join(epoch_dir, "frontier_next.parquet")
 
-        # ---- fetch + extract: ONE fused streaming execution ---------------
+        # ---- fetch, then extract ------------------------------------------
         # fine-bucket so the fetch emits ~4 blocks per core (same file per
-        # fine bucket — see _FetchBucket), keeping extract straggler-free;
-        # fetch is NOT materialized — the streaming executor overlaps the
-        # bucket shuffle / file lookups with the extract stage's compute, and
-        # the wave lineage (fetched/missed) comes from the _WaveCounter actor
+        # fine bucket — see _FetchBucket); the wave lineage (fetched/missed)
+        # comes from the _WaveCounter actor
         ray.get(wave_counter.reset.remote())
         cpus = int(ray.cluster_resources().get("CPU", 8))
         n_fine = n_buckets * max(1, (4 * cpus) // n_buckets)
@@ -421,15 +419,28 @@ def run_crawl(
             lambda t: _bucket_batch(t, n_fine), batch_format="pyarrow"
         )
         fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter)
+        # materialize the fetch output: fully fusing fetch+extract into one
+        # execution makes the sort's reduce tasks carry the whole extract
+        # chain, collapsing extract parallelism (measured 3× slower at 200k);
+        # the barrier costs one narrow-row pass and restores per-block tasks
         fetched = sched_ds.groupby("bucket").map_groups(
             lambda g: fetch(g), batch_format="pandas"
-        )
+        ).materialize()
+        _tick("fetch")
         hits = fetched.map_batches(
             lambda t: t.filter(pa.compute.equal(t.column("http_status"), 200)),
             batch_format="pyarrow",
         )
+        # the sort sizes its output partitions from its (narrow, bundled)
+        # input blocks, so `fetched` can come out as a handful of blocks —
+        # 8 observed at 200k rows — which would run extract at 8-task
+        # parallelism; split rows-per-block WITHOUT an all-to-all so the
+        # CPU-heavy extract stage gets enough tasks to fill the cluster
+        hits = hits.repartition(target_num_rows_per_block=1024)
         articles = article_pipeline(hits, enrich_concurrency=enrich_concurrency).materialize()
         _tick("extract")
+        if os.environ.get("OMNI_RAY_STATS") == "1":
+            print(articles.stats(), flush=True)
         n_articles = articles.count()
         n_total, n_hits = ray.get(wave_counter.get.remote())
         if n_sched is None:

@@ -1,0 +1,86 @@
+"""Monitoring gauges (system_monitor.py analogue): system metrics shape,
+corpus metrics as one Dataset aggregate, gauge updates, history trim,
+health status, and alert integration."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+
+def _articles_tbl(n=40):
+    base = 1_700_000_000_000_000
+    return pa.table({
+        "quality_score": pa.array([90 if i % 4 == 0 else (40 if i % 4 == 1 else 65)
+                                   for i in range(n)], pa.int64()),
+        "processing_timestamp": pa.array(
+            [base + i * 60_000_000 for i in range(n)], pa.timestamp("us")
+        ),
+        "domain": pa.array([f"d{i % 5}.com" for i in range(n)], pa.string()),
+    })
+
+
+def test_system_metrics_shape():
+    from omni_ray.pipelines.monitor import collect_system_metrics
+
+    m = collect_system_metrics()
+    for key in ("cpu_percent", "memory_percent", "disk_percent"):
+        assert key in m and 0.0 <= m[key] <= 100.0 * 64  # loadavg proxy can exceed 100
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_metrics_single_pass():
+    import ray.data
+
+    from omni_ray.pipelines.monitor import collect_corpus_metrics
+
+    n = 40
+    base = 1_700_000_000_000_000
+    now_us = base + (n - 1) * 60_000_000  # last row's ts
+    ds = ray.data.from_arrow(_articles_tbl(n))
+    m = collect_corpus_metrics(ds, now_us=now_us)
+    assert m["total_articles"] == n
+    assert m["high_quality_count"] == sum(1 for i in range(n) if i % 4 == 0)
+    assert m["low_quality_count"] == sum(1 for i in range(n) if i % 4 == 1)
+    assert m["unique_domains"] == 5
+    # rows within [now-1h, now]: 60 per hour spacing -> exactly 61 or n
+    assert m["recent_articles_1h"] == min(n, 61)
+    got_avg = m["avg_quality"]
+    want_avg = sum(90 if i % 4 == 0 else (40 if i % 4 == 1 else 65) for i in range(n)) / n
+    assert abs(got_avg - want_avg) < 0.01
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_monitor_tick_gauges_history_alerts(tmp_path):
+    import ray.data
+
+    from omni_ray.pipelines.alerts import AlertEngine, AlertRule
+    from omni_ray.pipelines.monitor import SystemMonitor
+
+    engine = AlertEngine([
+        AlertRule(id="low_success", name="low crawl success",
+                  metric="crawl.success_rate", condition="<", threshold=0.9),
+    ])
+    hist = str(tmp_path / "monhist")
+    mon = SystemMonitor(history_dir=hist, max_history=3, alert_engine=engine)
+    ds = ray.data.from_arrow(_articles_tbl(40))
+    crawl_metrics = {"crawl": {"scheduled": 100, "fetched": 80, "success_rate": 0.8}}
+
+    alerts = mon.tick(articles=ds, crawl_metrics=crawl_metrics,
+                      now_us=1_700_000_000_000_000, now_minutes=0.0)
+    assert [a["rule_id"] for a in alerts] == ["low_success"]
+    # gauges reflect the data (stub registry when prometheus_client absent)
+    if mon.registry:
+        assert mon.registry["system_article_count"] == 40
+        assert mon.registry["crawl_success_rate"] == 0.8
+    # history trim: 5 ticks, keep max 3
+    for k in range(1, 5):
+        mon.tick(crawl_metrics=crawl_metrics,
+                 now_us=1_700_000_000_000_000 + k, now_minutes=1000.0 * k)
+    snaps = [f for f in os.listdir(hist) if f.startswith("snap-")]
+    assert len(snaps) == 3
+
+    health = mon.get_health_status()
+    assert health["status"] == "healthy"
+    assert health["services"]["ray"] == "healthy"
+    assert health["services"]["history_store"] == "healthy"
