@@ -207,7 +207,14 @@ SELECT query_id, neighbor_id, rnk FROM scored WHERE rnk <= {KNN_K}
 """
 
 
-# -- rows-only entries (sketches / stubs) -----------------------------------
+# -- MinHash-LSH near-dup — oracle-checked ----------------------------------
+# The sketch pipeline's OUTPUT contract is exact: candidates are verified
+# with exact word-3-gram Jaccard, so the result is the subset of true
+# Jaccard≥0.5 pairs that LSH recalled. The SQL oracle is the full exact pair
+# set; at the bench scales the 16-band/64-perm recall is 1 for every pair at
+# this threshold (verified empirically — the probabilistic miss floor at
+# s=0.5 is (1-s^4)^16 ≈ 0.35 only for borderline pairs, and the planted +
+# natural dup pairs in the corpus sit far above the threshold).
 
 
 def minhash_dedup_q(sf_dir: str):
@@ -216,16 +223,130 @@ def minhash_dedup_q(sf_dir: str):
     return minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
 
 
+SQL_MINHASH_DEDUP = SQL_NGRAM_JACCARD.replace(">= 0.2", ">= 0.5")
+
+
+# -- SimHash near-dup — oracle-checked (bit-exact SQL signature) ------------
+# Bit i of the signature is sign(sum_w count(w) * (2*bit_i(md5_64(w)) - 1))
+# where md5_64 = big-endian uint64 of md5(word)[:8] — reproduced in SQL via
+# ('0x' || substr(md5(w),1,16))::UBIGINT. The 4×16-bit pigeonhole banding
+# has guaranteed recall 1 for hamming ≤ 3, so Ray output == exhaustive SQL
+# pair scan, deterministically.
+
+
 def simhash_dedup_q(sf_dir: str):
     from ..stages.dedup import simhash_dedup_pairs
 
     return simhash_dedup_pairs(_docs(sf_dir), max_hamming=3)
 
 
+SQL_SIMHASH_DEDUP = r"""
+WITH words AS (
+  SELECT doc_id, w, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> '')
+  GROUP BY doc_id, w
+), tot AS (
+  SELECT doc_id, sum(cnt) AS total FROM words GROUP BY doc_id
+), hashed AS (
+  SELECT doc_id, cnt, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words
+), bits AS (
+  SELECT doc_id, i, sum(cnt * ((h >> i) & 1)) AS bitsum
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+  GROUP BY doc_id, i
+), sigs AS (
+  SELECT b.doc_id,
+         sum(CASE WHEN 2 * b.bitsum > t.total THEN (1::UBIGINT << b.i)
+                  ELSE 0::UBIGINT END)::UBIGINT AS sig
+  FROM bits b JOIN tot t USING (doc_id) GROUP BY b.doc_id
+), allsigs AS (
+  -- docs whose text is empty/whitespace hash to signature 0
+  SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+  FROM documents d LEFT JOIN sigs s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM allsigs a JOIN allsigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+# -- embedding-cosine near-dup — oracle-checked -----------------------------
+# The raw embeddings table is random vectors (max pairwise cosine ≈ 0.51 at
+# sf0.01), so a threshold query over it is vacuous. Both engines therefore
+# derive the same augmented table — every 10th vector duplicated under
+# vec_id + 1_000_000 — and find pairs at cosine ≥ 0.95: the planted copies
+# (cos = 1.0, margin ≈ 0.49 to the background, so no float-boundary risk).
+# The Ray side runs the real LSH candidate-generation + hash-join verify
+# scale path, for which identical vectors have recall 1 by construction.
+
+
 def embedding_neardup_q(sf_dir: str):
+    import pyarrow.compute as pc
+
     from ..stages.dedup import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_emb(sf_dir), threshold=0.95)
+    emb = _emb(sf_dir)
+
+    def copies(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        sub = t.filter(pa.array(ids % 10 == 0))
+        return pa.table({
+            "vec_id": pc.add(sub.column("vec_id"), 1_000_000),
+            "embedding": sub.column("embedding"),
+        })
+
+    aug = emb.union(emb.map_batches(copies, batch_format="pyarrow"))
+    return embedding_neardup_pairs(
+        aug, threshold=0.95, id_col="vec_id", vec_col="embedding"
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
+
+
+# -- duplicate_of components — oracle-checked -------------------------------
+# Connected components over the verified MinHash pair set, keeper = the
+# component minimum. The Ray side is the scale path (hash-to-min label
+# propagation, pure Dataset ops); the oracle folds the exact Jaccard≥0.5
+# pairs with a recursive transitive closure + min-reachable per node.
+
+
+def duplicate_of_q(sf_dir: str):
+    from ..stages.dedup import duplicate_groups_distributed, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
+    return duplicate_groups_distributed(ray.data.from_arrow(pairs))
+
+
+SQL_DUPLICATE_OF = (
+    "WITH RECURSIVE pairs AS (" + SQL_MINHASH_DEDUP + r"""),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, rc.r FROM reach rc JOIN edges e ON e.u = rc.node
+)
+SELECT node AS doc_id, min(r) AS duplicate_of
+FROM reach GROUP BY node HAVING min(r) <> node
+"""
+)
+
+
+# -- rows-only entries (approximate / stubs) --------------------------------
 
 
 def knn_lsh_q(sf_dir: str):
@@ -254,14 +375,6 @@ def knn_ivf_q(sf_dir: str):
     return knn_ivf(_emb(sf_dir), vecs, ids, k=KNN_K)
 
 
-def duplicate_of_q(sf_dir: str):
-    """D2 duplicate_of assignment: MinHash-LSH verified pairs folded into
-    connected components, keeper = min doc_id."""
-    from ..stages.dedup import duplicate_groups, minhash_dedup_pairs
-
-    return duplicate_groups(minhash_dedup_pairs(_docs(sf_dir), threshold=0.5))
-
-
 def text_stats_q(sf_dir: str):
     from ..functions.textstats import text_stats_batch
 
@@ -285,13 +398,13 @@ ML_REGISTRY = {
     "lang_id": (lang_id, SQL_LANG_ID),
     "ngram_jaccard": (ngram_jaccard, SQL_NGRAM_JACCARD),
     "knn_bruteforce": (knn_bruteforce_q, SQL_KNN_BRUTEFORCE),
+    "minhash_dedup": (minhash_dedup_q, SQL_MINHASH_DEDUP),
+    "simhash_dedup": (simhash_dedup_q, SQL_SIMHASH_DEDUP),
+    "embedding_neardup": (embedding_neardup_q, SQL_EMBEDDING_NEARDUP),
+    "duplicate_of": (duplicate_of_q, SQL_DUPLICATE_OF),
 }
 
 ML_ROWS_ONLY = {
-    "minhash_dedup": minhash_dedup_q,
-    "duplicate_of": duplicate_of_q,
-    "simhash_dedup": simhash_dedup_q,
-    "embedding_neardup": embedding_neardup_q,
     "knn_lsh": knn_lsh_q,
     "knn_ivf": knn_ivf_q,
     "text_stats": text_stats_q,
