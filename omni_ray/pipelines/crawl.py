@@ -413,8 +413,11 @@ def run_crawl(
         # fine bucket — see _FetchBucket); the wave lineage (fetched/missed)
         # comes from the _WaveCounter actor
         ray.get(wave_counter.reset.remote())
+        # factor 2 (≈2 fine buckets per core) measured best at 32 cpus: the
+        # sort shuffle cost grows with partition count while extract's
+        # straggler risk is already covered by the rows-per-block split below
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_fine = n_buckets * max(1, (4 * cpus) // n_buckets)
+        n_fine = n_buckets * max(1, (2 * cpus) // n_buckets)
         sched_ds = sched_ds.map_batches(
             lambda t: _bucket_batch(t, n_fine), batch_format="pyarrow"
         )
