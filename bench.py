@@ -127,9 +127,9 @@ def run_bench() -> dict:
     from omni_ray.pipelines.mlqueries import ML_REGISTRY, ML_ROWS_ONLY
 
     timed("knn_bruteforce", lambda: ML_REGISTRY["knn_bruteforce"][0](SF_DIR))
-    timed("minhash_dedup", lambda: ML_ROWS_ONLY["minhash_dedup"](SF_DIR))
-    timed("simhash_dedup", lambda: ML_ROWS_ONLY["simhash_dedup"](SF_DIR))
-    timed("embedding_neardup", lambda: ML_ROWS_ONLY["embedding_neardup"](SF_DIR))
+    timed("minhash_dedup", lambda: ML_REGISTRY["minhash_dedup"][0](SF_DIR))
+    timed("simhash_dedup", lambda: ML_REGISTRY["simhash_dedup"][0](SF_DIR))
+    timed("embedding_neardup", lambda: ML_REGISTRY["embedding_neardup"][0](SF_DIR))
     timed("text_stats", lambda: ML_ROWS_ONLY["text_stats"](SF_DIR).count())
 
     # distributed connected components over a synthetic 1e6-pair set (the
@@ -253,9 +253,13 @@ def run_scaling() -> dict:
     lo, hi = 8, 32
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     # the sandbox machine is shared: take the best (min-time) of `reps` runs
-    # per level — peak capacity at each parallelism, not transient contention
-    runs_lo = [run(lo) for _ in range(reps)]
-    runs_hi = [run(hi) for _ in range(reps)]
+    # per level — peak capacity at each parallelism, not transient
+    # contention. Runs are INTERLEAVED (lo, hi, lo, hi, ...) so external
+    # load drifting over the campaign cannot bias one level systematically.
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
     r_lo = min(runs_lo, key=lambda r: r["articles_sec"])
     r_hi = min(runs_hi, key=lambda r: r["articles_sec"])
     c_lo = min(r["crawl_sec"] for r in runs_lo)
