@@ -99,11 +99,29 @@ def _crawl_schedule(sf_dir: str):
     )
     frames = []
     for d in sorted(os.listdir(out_dir)):
-        p = os.path.join(out_dir, d, "schedule.parquet")
-        if d.startswith("epoch=") and os.path.exists(p):
-            f = pq.read_table(p).to_pandas()
-            f["wave"] = int(d.split("=")[1])
-            frames.append(f)
+        if not d.startswith("epoch="):
+            continue
+        # either layout: single schedule.parquet with a crawl_order column
+        # (driver mode) or a sorted-parts schedule/ dir where crawl_order =
+        # row position in filename order (distributed mode, the default)
+        p1 = os.path.join(out_dir, d, "schedule.parquet")
+        p2 = os.path.join(out_dir, d, "schedule")
+        if os.path.exists(p1):
+            f = pq.read_table(p1).to_pandas()
+        elif os.path.isdir(p2):
+            parts = sorted(
+                os.path.join(p2, x) for x in os.listdir(p2) if x.endswith(".parquet")
+            )
+            if not parts:
+                continue
+            f = pd.concat(
+                [pq.read_table(fp).to_pandas() for fp in parts], ignore_index=True
+            )
+            f["crawl_order"] = range(len(f))
+        else:
+            continue
+        f["wave"] = int(d.split("=")[1])
+        frames.append(f)
     out = pd.concat(frames, ignore_index=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 

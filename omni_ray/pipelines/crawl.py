@@ -142,22 +142,25 @@ class _AnnotateStage:
 class _WaveCounter:
     """Per-wave lineage tally for the streaming fetch stage (fetch is fused
     into the extract execution, so there is no materialized dataset to count
-    afterwards — the north_rule's per-partition counters come from here)."""
+    afterwards — the north_rule's per-partition counters come from here).
+
+    Adds are keyed by the fetch task's fine-bucket id, making them
+    IDEMPOTENT under Ray task retries / lineage recomputation: a re-executed
+    bucket overwrites its own entry instead of double-counting (same
+    requirement the fused _SeenAdd documents for actor side effects)."""
 
     def __init__(self):
-        self.total = 0
-        self.hits = 0
+        self.buckets: dict[int, tuple[int, int]] = {}
 
-    def add(self, total: int, hits: int) -> None:
-        self.total += total
-        self.hits += hits
+    def add(self, key: int, total: int, hits: int) -> None:
+        self.buckets[key] = (total, hits)
 
     def get(self) -> tuple[int, int]:
-        return self.total, self.hits
+        return (sum(t for t, _ in self.buckets.values()),
+                sum(h for _, h in self.buckets.values()))
 
     def reset(self) -> None:
-        self.total = 0
-        self.hits = 0
+        self.buckets = {}
 
 
 class _FetchBucket:
@@ -196,8 +199,10 @@ class _FetchBucket:
         merged["http_status"] = [200 if ok else 404 for ok in merged["html"].notna()]
         if self.counter is not None:
             # synchronous add: the stage's completion must imply the tally
-            # is readable (fire-and-forget could race the driver's get())
+            # is readable (fire-and-forget could race the driver's get());
+            # keyed by the fine bucket so task retries overwrite, not double
             ray.get(self.counter.add.remote(
+                int(group["bucket"].iloc[0]),
                 len(merged), int(merged["html"].notna().sum())
             ))
         return merged
@@ -318,185 +323,192 @@ def run_crawl(
             print(f"[crawl-timing] {label}: {now - _t0[0]:.2f}s", flush=True)
             _t0[0] = now
 
-    wave = start_wave
-    while wave < start_wave + max_waves:
-        _tick("loop-top")
-        frontier_tbl = _read_frontier(frontier_path)
-        _tick("read-frontier")
-        epoch_dir = os.path.join(out_dir, f"epoch={wave:04d}")
-        counters: list[tuple[str, str, int]] = []
-        if frontier_tbl.num_rows == 0:
-            break
-        os.makedirs(epoch_dir, exist_ok=True)
-        counters.append(("*", "frontier_in", frontier_tbl.num_rows))
-
-        # ---- fused annotate chain + single host shuffle -------------------
-        fr = ray.data.from_arrow(frontier_tbl)
-        # from_arrow yields ONE block — split so annotate/dedup parallelize
-        fr = fr.repartition(max(8, min(128, frontier_tbl.num_rows // 2048)))
-        fr = fr.map_batches(annotate, batch_format="pyarrow", batch_size=2048)
-        # shuffle on hash(host)%64 buckets (not raw host): a long host tail
-        # would make per-group overhead dominate; the rank fn is vectorized
-        # over whole buckets and host groups never span buckets
-        ranked = fr.groupby("host_bucket").map_groups(
-            lambda g: _dedup_and_rank(g, budget_per_host), batch_format="pandas"
-        )
-
-        if distributed_frontier:
-            out = _wave_distributed(
-                ranked, seen, epoch_dir, counters, robots is not None, pool
-            )
-            if out is None:
-                _finish_epoch(epoch_dir, seen, None, counters, wave)
-                _acc(counters)
-                frontier_path = os.path.join(epoch_dir, "frontier_next")
-                wave += 1
+    try:
+        wave = start_wave
+        while wave < start_wave + max_waves:
+            _tick("loop-top")
+            frontier_tbl = _read_frontier(frontier_path)
+            _tick("read-frontier")
+            epoch_dir = os.path.join(out_dir, f"epoch={wave:04d}")
+            counters: list[tuple[str, str, int]] = []
+            if frontier_tbl.num_rows == 0:
                 break
-            sched_ds, pending = out
-            # seen-marking fuses into the fetch/extract execution below
-            # (idempotent actor adds; completed before this wave's extract
-            # materializes, i.e. before the next wave's annotate runs)
-            sched_ds = sched_ds.map_batches(
-                _SeenAdd(seen.shards, seen.n_shards),
-                batch_format="pyarrow", batch_size=4096,
-            )
-            n_sched = None  # known after the fused execution (wave_counter)
-            _tick("wave-split")
-            frontier_next_path = os.path.join(epoch_dir, "frontier_next")
-        else:
-            ranked_pdf = ranked.to_pandas()
-            if "host_bucket" in ranked_pdf.columns:
-                ranked_pdf = ranked_pdf.drop(columns=["host_bucket"])
-            assert len(ranked_pdf) <= DRIVER_FRONTIER_MAX
-            counters.append(("*", "fresh_after_dedup", len(ranked_pdf)))
-            if robots is not None:
-                blocked = int((~ranked_pdf["robots_allowed"]).sum()) if len(ranked_pdf) else 0
-                counters.append(("*", "robots_blocked", blocked))
+            os.makedirs(epoch_dir, exist_ok=True)
+            counters.append(("*", "frontier_in", frontier_tbl.num_rows))
 
-            if len(ranked_pdf) == 0:
-                _finish_epoch(epoch_dir, seen, None, counters, wave)
-                _acc(counters)
-                frontier_path = os.path.join(epoch_dir, "frontier_next.parquet")
-                wave += 1
-                break
-
-            sched_pdf = ranked_pdf[ranked_pdf["scheduled"]].copy()
-            # deferred = allowed but over budget (blocked urls leave the frontier)
-            deferred_pdf = ranked_pdf[
-                ~ranked_pdf["scheduled"] & ranked_pdf["robots_allowed"]
-            ].copy()
-
-            # deterministic crawl order (conformance artifact)
-            sched_pdf = sched_pdf.sort_values(SORT_COLS, ascending=SORT_ASC, kind="mergesort")
-            sched_pdf = sched_pdf.reset_index(drop=True)
-            sched_pdf["crawl_order"] = range(len(sched_pdf))
-            for host, cnt in sched_pdf.groupby("host").size().items():
-                counters.append((str(host), "scheduled", int(cnt)))
-            pq.write_table(
-                pa.Table.from_pandas(
-                    sched_pdf[["url", "url_hash", "host", "priority", "discovery_ts", "crawl_order"]],
-                    preserve_index=False,
-                ),
-                os.path.join(epoch_dir, "schedule.parquet"),
+            # ---- fused annotate chain + single host shuffle -------------------
+            fr = ray.data.from_arrow(frontier_tbl)
+            # from_arrow yields ONE block — split so annotate/dedup parallelize
+            fr = fr.repartition(max(8, min(128, frontier_tbl.num_rows // 2048)))
+            fr = fr.map_batches(annotate, batch_format="pyarrow", batch_size=2048)
+            # shuffle on hash(host)%64 buckets (not raw host): a long host tail
+            # would make per-group overhead dominate; the rank fn is vectorized
+            # over whole buckets and host groups never span buckets
+            ranked = fr.groupby("host_bucket").map_groups(
+                lambda g: _dedup_and_rank(g, budget_per_host), batch_format="pandas"
             )
 
-            # mark scheduled as seen (exactly once per url_hash)
-            seen.check_and_add_hashes(sched_pdf["url_hash"].tolist())
-
-            drop_cols = ["seen", "robots_allowed", "eligible", "scheduled"]
-            sched_ds = ray.data.from_pandas(sched_pdf.drop(columns=drop_cols))
-            n_sched = len(sched_pdf)
-            frontier_next_path = os.path.join(epoch_dir, "frontier_next.parquet")
-
-        # ---- fetch, then extract ------------------------------------------
-        # fine-bucket so the fetch emits ~4 blocks per core (same file per
-        # fine bucket — see _FetchBucket); the wave lineage (fetched/missed)
-        # comes from the _WaveCounter actor
-        ray.get(wave_counter.reset.remote())
-        # factor 2 (≈2 fine buckets per core) measured best at 32 cpus: the
-        # sort shuffle cost grows with partition count while extract's
-        # straggler risk is already covered by the rows-per-block split below
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_fine = n_buckets * max(1, (2 * cpus) // n_buckets)
-        sched_ds = sched_ds.map_batches(
-            lambda t: _bucket_batch(t, n_fine), batch_format="pyarrow"
-        )
-        fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter)
-        # materialize the fetch output: fully fusing fetch+extract into one
-        # execution makes the sort's reduce tasks carry the whole extract
-        # chain, collapsing extract parallelism (measured 3× slower at 200k);
-        # the barrier costs one narrow-row pass and restores per-block tasks
-        fetched = sched_ds.groupby("bucket").map_groups(
-            lambda g: fetch(g), batch_format="pandas"
-        ).materialize()
-        _tick("fetch")
-        hits = fetched.map_batches(
-            lambda t: t.filter(pa.compute.equal(t.column("http_status"), 200)),
-            batch_format="pyarrow",
-        )
-        # the sort sizes its output partitions from its (narrow, bundled)
-        # input blocks, so `fetched` can come out as a handful of blocks —
-        # 8 observed at 200k rows — which would run extract at 8-task
-        # parallelism; split rows-per-block WITHOUT an all-to-all so the
-        # CPU-heavy extract stage gets enough tasks to fill the cluster
-        hits = hits.repartition(target_num_rows_per_block=1024)
-        articles = article_pipeline(hits, enrich_concurrency=enrich_concurrency).materialize()
-        _tick("extract")
-        if os.environ.get("OMNI_RAY_STATS") == "1":
-            print(articles.stats(), flush=True)
-        n_articles = articles.count()
-        n_total, n_hits = ray.get(wave_counter.get.remote())
-        if n_sched is None:
-            n_sched = n_total  # every scheduled row flowed through fetch
-        counters.append(("*", "fetched", int(n_hits)))
-        counters.append(("*", "fetch_missed", n_sched - int(n_hits)))
-        if distributed_frontier:
-            # marking completed inside the fused execution — checkpoint now,
-            # overlapped with the store writes below
-            pending.append(
-                pool.submit(seen.checkpoint, os.path.join(epoch_dir, "seen_shards"))
-            )
-        if n_articles:
-            # the two store writes consume the same materialized dataset —
-            # run them concurrently, joined before _COMPLETE
-            from .articles import entities_pipeline
-
-            w1 = pool.submit(articles.write_parquet, os.path.join(epoch_dir, "articles"))
-            w2 = pool.submit(
-                lambda: entities_pipeline(articles).write_parquet(
-                    os.path.join(epoch_dir, "entities")
+            if distributed_frontier:
+                out = _wave_distributed(
+                    ranked, seen, epoch_dir, counters, robots is not None, pool
                 )
+                if out is None:
+                    _finish_epoch(epoch_dir, seen, None, counters, wave)
+                    _acc(counters)
+                    frontier_path = os.path.join(epoch_dir, "frontier_next")
+                    wave += 1
+                    break
+                sched_ds, pending = out
+                # seen-marking fuses into the fetch/extract execution below
+                # (idempotent actor adds; completed before this wave's extract
+                # materializes, i.e. before the next wave's annotate runs)
+                sched_ds = sched_ds.map_batches(
+                    _SeenAdd(seen.shards, seen.n_shards),
+                    batch_format="pyarrow", batch_size=4096,
+                )
+                n_sched = None  # known after the fused execution (wave_counter)
+                _tick("wave-split")
+                frontier_next_path = os.path.join(epoch_dir, "frontier_next")
+            else:
+                ranked_pdf = ranked.to_pandas()
+                if "host_bucket" in ranked_pdf.columns:
+                    ranked_pdf = ranked_pdf.drop(columns=["host_bucket"])
+                assert len(ranked_pdf) <= DRIVER_FRONTIER_MAX
+                counters.append(("*", "fresh_after_dedup", len(ranked_pdf)))
+                if robots is not None:
+                    blocked = int((~ranked_pdf["robots_allowed"]).sum()) if len(ranked_pdf) else 0
+                    counters.append(("*", "robots_blocked", blocked))
+
+                if len(ranked_pdf) == 0:
+                    _finish_epoch(epoch_dir, seen, None, counters, wave)
+                    _acc(counters)
+                    frontier_path = os.path.join(epoch_dir, "frontier_next.parquet")
+                    wave += 1
+                    break
+
+                sched_pdf = ranked_pdf[ranked_pdf["scheduled"]].copy()
+                # deferred = allowed but over budget (blocked urls leave the frontier)
+                deferred_pdf = ranked_pdf[
+                    ~ranked_pdf["scheduled"] & ranked_pdf["robots_allowed"]
+                ].copy()
+
+                # deterministic crawl order (conformance artifact)
+                sched_pdf = sched_pdf.sort_values(SORT_COLS, ascending=SORT_ASC, kind="mergesort")
+                sched_pdf = sched_pdf.reset_index(drop=True)
+                sched_pdf["crawl_order"] = range(len(sched_pdf))
+                for host, cnt in sched_pdf.groupby("host").size().items():
+                    counters.append((str(host), "scheduled", int(cnt)))
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        sched_pdf[["url", "url_hash", "host", "priority", "discovery_ts", "crawl_order"]],
+                        preserve_index=False,
+                    ),
+                    os.path.join(epoch_dir, "schedule.parquet"),
+                )
+
+                # mark scheduled as seen (exactly once per url_hash)
+                seen.check_and_add_hashes(sched_pdf["url_hash"].tolist())
+
+                drop_cols = ["seen", "robots_allowed", "eligible", "scheduled"]
+                sched_ds = ray.data.from_pandas(sched_pdf.drop(columns=drop_cols))
+                n_sched = len(sched_pdf)
+                frontier_next_path = os.path.join(epoch_dir, "frontier_next.parquet")
+
+            # ---- fetch, then extract ------------------------------------------
+            # fine-bucket so the fetch emits ~4 blocks per core (same file per
+            # fine bucket — see _FetchBucket); the wave lineage (fetched/missed)
+            # comes from the _WaveCounter actor
+            ray.get(wave_counter.reset.remote())
+            # factor 2 (≈2 fine buckets per core) measured best at 32 cpus: the
+            # sort shuffle cost grows with partition count while extract's
+            # straggler risk is already covered by the rows-per-block split below
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            n_fine = n_buckets * max(1, (2 * cpus) // n_buckets)
+            sched_ds = sched_ds.map_batches(
+                lambda t: _bucket_batch(t, n_fine), batch_format="pyarrow"
             )
-            w1.result()
-            w2.result()
-        counters.append(("*", "articles_stored", n_articles))
-        _tick("store")
+            fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter)
+            # materialize the fetch output: fully fusing fetch+extract into one
+            # execution makes the sort's reduce tasks carry the whole extract
+            # chain, collapsing extract parallelism (measured 3× slower at 200k);
+            # the barrier costs one narrow-row pass and restores per-block tasks
+            fetched = sched_ds.groupby("bucket").map_groups(
+                lambda g: fetch(g), batch_format="pandas"
+            ).materialize()
+            _tick("fetch")
+            hits = fetched.map_batches(
+                lambda t: t.filter(pa.compute.equal(t.column("http_status"), 200)),
+                batch_format="pyarrow",
+            )
+            # the sort sizes its output partitions from its (narrow, bundled)
+            # input blocks, so `fetched` can come out as a handful of blocks —
+            # 8 observed at 200k rows — which would run extract at 8-task
+            # parallelism; split rows-per-block WITHOUT an all-to-all so the
+            # CPU-heavy extract stage gets enough tasks to fill the cluster
+            hits = hits.repartition(target_num_rows_per_block=1024)
+            articles = article_pipeline(hits, enrich_concurrency=enrich_concurrency).materialize()
+            _tick("extract")
+            if os.environ.get("OMNI_RAY_STATS") == "1":
+                print(articles.stats(), flush=True)
+            n_articles = articles.count()
+            n_total, n_hits = ray.get(wave_counter.get.remote())
+            if n_sched is None:
+                n_sched = n_total  # every scheduled row flowed through fetch
+            counters.append(("*", "fetched", int(n_hits)))
+            counters.append(("*", "fetch_missed", n_sched - int(n_hits)))
+            if distributed_frontier:
+                # marking completed inside the fused execution — checkpoint now,
+                # overlapped with the store writes below
+                pending.append(
+                    pool.submit(seen.checkpoint, os.path.join(epoch_dir, "seen_shards"))
+                )
+            if n_articles:
+                # the two store writes consume the same materialized dataset —
+                # run them concurrently, joined before _COMPLETE
+                from .articles import entities_pipeline
 
-        if distributed_frontier:
-            # schedule/deferred/seen-checkpoint writes were launched in the
-            # background by _wave_distributed, overlapped with fetch+extract;
-            # they must all land before the epoch is marked complete
-            for fut in pending:
-                fut.result()
-            _tick("join-writes")
-            _write_counters(epoch_dir, counters, wave)
-            with open(os.path.join(epoch_dir, "_COMPLETE"), "w") as f:
-                f.write("ok")
-        else:
-            _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave)
-        _acc(counters)
-        frontier_path = frontier_next_path
-        wave += 1
+                w1 = pool.submit(articles.write_parquet, os.path.join(epoch_dir, "articles"))
+                w2 = pool.submit(
+                    lambda: entities_pipeline(articles).write_parquet(
+                        os.path.join(epoch_dir, "entities")
+                    )
+                )
+                w1.result()
+                w2.result()
+            counters.append(("*", "articles_stored", n_articles))
+            _tick("store")
 
-    pool.shutdown(wait=True)
-    totals["waves"] = wave - start_wave
-    totals["seen_total"] = seen.total_size()
-    totals["scheduled"] = totals.get("scheduled", 0)
-    with open(os.path.join(out_dir, "SUMMARY.json"), "w") as f:
-        json.dump(totals, f)
-    seen.shutdown()
-    if robots is not None:
-        robots.shutdown()
+            if distributed_frontier:
+                # schedule/deferred/seen-checkpoint writes were launched in the
+                # background by _wave_distributed, overlapped with fetch+extract;
+                # they must all land before the epoch is marked complete
+                for fut in pending:
+                    fut.result()
+                _tick("join-writes")
+                _write_counters(epoch_dir, counters, wave)
+                with open(os.path.join(epoch_dir, "_COMPLETE"), "w") as f:
+                    f.write("ok")
+            else:
+                _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave)
+            _acc(counters)
+            frontier_path = frontier_next_path
+            wave += 1
+
+        pool.shutdown(wait=True)
+        totals["waves"] = wave - start_wave
+        totals["seen_total"] = seen.total_size()
+        totals["scheduled"] = totals.get("scheduled", 0)
+        with open(os.path.join(out_dir, "SUMMARY.json"), "w") as f:
+            json.dump(totals, f)
+    finally:
+        # cleanup on EVERY exit path (a raised wave would otherwise leak the
+        # shard/robots/counter actors and the writer thread pool for the
+        # rest of the Ray session)
+        pool.shutdown(wait=False)
+        seen.shutdown()
+        if robots is not None:
+            robots.shutdown()
+        ray.kill(wave_counter)
     return totals
 
 
@@ -539,13 +551,27 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool):
         hc = sched.groupby("host").aggregate(Count(alias_name="n")).to_pandas()
         for host, cnt in zip(hc["host"], hc["n"]):
             counters.append((str(host), "scheduled", int(cnt)))
+        sched_dir = os.path.join(epoch_dir, "schedule")
         if not len(hc):
+            # still leave an (empty) artifact so both modes' epoch layouts
+            # self-describe a ran-but-empty wave identically
+            os.makedirs(sched_dir, exist_ok=True)
+            pq.write_table(
+                pa.table({
+                    "url": pa.array([], pa.string()),
+                    "url_hash": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "priority": pa.array([], pa.int32()),
+                    "discovery_ts": pa.array([], pa.timestamp("us")),
+                }),
+                os.path.join(sched_dir, "part-empty.parquet"),
+            )
             return
         # schedule artifact: globally sorted part files; crawl_order = row
         # position in filename order (deterministic)
         sched.sort(SORT_COLS, descending=[not a for a in SORT_ASC]).select_columns(
             ["url", "url_hash", "host", "priority", "discovery_ts"]
-        ).write_parquet(os.path.join(epoch_dir, "schedule"))
+        ).write_parquet(sched_dir)
 
     def _write_deferred() -> None:
         # deferred = allowed but over budget → next frontier snapshot

@@ -711,15 +711,18 @@ def search_analytics(sf_dir: str):
         .sort(["n_searches", "search_key"], descending=[True, False])
         .limit(10)
     )
+    # coarse quantization (×100): the per-group sums reach ~1e6 at sf0.1, so
+    # a 1e6 scale would leave less margin than float reduction-order error —
+    # same rationale as q1's sum scales
     return _quantize(
         pa.Table.from_pandas(out.to_pandas(), preserve_index=False),
-        {"total_results": 1_000_000},
+        {"total_results": 100},
     )
 
 
 SQL_SEARCH_ANALYTICS = """
 SELECT event_type AS search_key, count(*) AS n_searches,
-       CAST(round(sum(value) * 1000000) AS BIGINT) AS total_results,
+       CAST(round(sum(value) * 100) AS BIGINT) AS total_results,
        epoch_us(max(ts)) AS last_searched_us
 FROM events GROUP BY 1
 ORDER BY n_searches DESC, search_key LIMIT 10

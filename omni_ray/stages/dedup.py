@@ -8,10 +8,9 @@ future-work, built out as first-class operators):
   * MinHash + LSH   — k permutations, banded; shingle→minhash per batch
                       (numpy-vectorized), explode to (band_id, band_hash,
                       doc_id), groupby band bucket → candidate pairs →
-                      verified with exact Jaccard INSIDE the cluster: the
-                      candidate pair set is hash-joined back to the doc texts
-                      (two Dataset.join exchanges), never materialized on the
-                      driver
+                      verified with exact Jaccard INSIDE the cluster
+                      (broadcast pair map + one bucketed shuffle of the
+                      candidate texts), never materialized on the driver
   * SimHash         — 64-bit weighted-unigram simhash (vectorized: cached
                       word-bit matrix, one matmul per doc); banded by 4×16-bit
                       chunks exploded into ONE bucketed shuffle that carries
@@ -20,7 +19,7 @@ future-work, built out as first-class operators):
   * embedding cosine— near-dup pairs above a cosine threshold: hyperplane-LSH
                       candidate generation (T tables × B bits, id-only rows
                       through the shuffle), exact cosine rerank via the same
-                      pair→payload hash-join verify; a blocked all-pairs
+                      broadcast-pair bucketed verify; a blocked all-pairs
                       ``mode="exact"`` baseline exists for equivalence tests
 
 Scale notes: every stage is shuffle-by-key (shingle / band bucket / simhash
@@ -28,9 +27,11 @@ band / hyperplane signature), never all-pairs; all-pairs work only happens
 INSIDE a bucket, and a ``max_bucket`` guard drops degenerate buckets
 (stop-shingle equivalent) — truncation is logged per dropped key
 (logger ``omni_ray.dedup``) so skew-guard coverage loss is observable.
-Verification never round-trips corpus data through the driver: candidate
-pairs (the small LSH output) are joined back to their payloads with
-``Dataset.join`` hash joins and verified inside ``map_batches``.
+Verification never round-trips corpus data through the driver: the (small)
+candidate pair list is broadcast via the object store, candidate payloads
+flow through ONE bucketed shuffle and are verified inside ``map_groups``
+(``_verify_pairs_broadcast``; ``_join_pairs_to_payload`` is the
+``Dataset.join`` fallback for pair sets too large to broadcast).
 """
 
 from __future__ import annotations
@@ -283,9 +284,11 @@ def minhash_dedup_pairs(
 ) -> pa.Table:
     """Full MinHash-LSH dedup: → verified (doc_a, doc_b, n_common, n_union)
     pairs with Jaccard ≥ threshold. Ties exact counts, so downstream can
-    recompute the ratio exactly. Verification is DISTRIBUTED: candidates are
-    hash-joined back to texts (``_join_pairs_to_payload``) and exact Jaccard
-    runs inside ``map_batches`` — no driver-side text dict."""
+    recompute the ratio exactly. Verification is DISTRIBUTED
+    (``_verify_pairs_broadcast``: broadcast pair map, one bucketed shuffle
+    of candidate texts, exact Jaccard inside map_groups) — no driver-side
+    text dict; ``_join_pairs_to_payload`` is the hash-join fallback for
+    pair sets too large to broadcast."""
     bands = docs.map_batches(
         MinHashLSH(n_perm, n_bands, text_col, id_col), batch_format="pyarrow"
     )
@@ -298,6 +301,10 @@ def minhash_dedup_pairs(
         )
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # per-side dedup BEFORE pairing: a corpus with a duplicated doc_id
+        # would otherwise explode a pair to [side0, side0, side1] and compare
+        # a payload against itself (same guard as the embedding verify)
+        g = g.drop_duplicates(["pair_id", "side"])
         out_p, out_c, out_u = [], [], []
         for pid, gg in g.groupby("pair_id", sort=False):
             if len(gg) < 2:
@@ -662,8 +669,8 @@ def embedding_neardup_pairs(
 
     ``mode="lsh"`` (default, the 100-TB path): hyperplane-LSH candidate
     generation — T tables × B bits, id-only rows through one bucketed
-    shuffle — then exact cosine verification by hash-joining the candidate
-    pairs back to their vectors (``_join_pairs_to_payload``); nothing is
+    shuffle — then exact cosine verification of the candidates inside a
+    bucketed map_groups (``_verify_pairs_broadcast``); nothing is
     materialized on the driver. At cos ≥ 0.95 the 12×8 configuration has a
     per-pair miss probability ≈ 1.3e-3, → 0 for tighter dups.
 
@@ -858,18 +865,38 @@ def duplicate_groups_distributed(
         })
         return out.drop_duplicates()
 
-    from ray.data.aggregate import Count, Sum
 
-    def signature(ds: ray.data.Dataset) -> tuple[int, int, int]:
-        # multiset signature (count + keyed sums): the per-bucket-deduped
-        # state is a deterministic function of the previous state's row SET,
-        # so an unchanged multiset signature ⇒ set fixpoint (detected at most
-        # one round late)
-        row = ds.aggregate(Count(alias_name="n"), Sum(on="node", alias_name="sn"),
-                           Sum(on="member", alias_name="sm"))
-        return (row["n"], int(row["sn"] or 0), int(row["sm"] or 0))
+    def signature(ds: ray.data.Dataset) -> tuple[int, int]:
+        # collision-resistant multiset signature: count + wraparound-uint64
+        # sum of a mixed per-row hash. Plain keyed sums (sum(node),
+        # sum(member)) are NOT sound — two distinct states that swap members
+        # between rows collide, and Ray's Sum goes through float64 (lossy
+        # past 2^53). Per-block partials are exact python ints via take_all
+        # of one tiny row per block.
+        def block_sig(t: pa.Table) -> pa.Table:
+            node = np.asarray(t.column("node").to_pylist(), dtype=np.uint64)
+            member = np.asarray(t.column("member").to_pylist(), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                mixed = node * np.uint64(0x9E3779B97F4A7C15) ^ (
+                    member * np.uint64(0xC2B2AE3D27D4EB4F)
+                )
+                # wraparound sum (mod 2^64) — a commutative MULTISET hash,
+                # so even an unexpected duplicate row cannot cancel out
+                part = int(np.add.reduce(mixed + np.uint64(1), dtype=np.uint64)) if len(mixed) else 0
+            return pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "sig": pa.array([part], pa.uint64()),
+            })
+
+        rows = ds.map_batches(block_sig, batch_format="pyarrow").take_all()
+        n = sum(r["n"] for r in rows)
+        sig = 0
+        for r in rows:
+            sig = (sig + int(r["sig"])) % (1 << 64)
+        return (n, sig)
 
     prev_sig = None
+    converged = False
     for _ in range(max_iters):
         state = (
             state.map_batches(add_bucket, batch_format="pyarrow")
@@ -879,8 +906,14 @@ def duplicate_groups_distributed(
         )
         sig = signature(state)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        logger.warning(
+            "duplicate_groups_distributed: max_iters=%d exhausted without a "
+            "fixpoint — labels may not be component minima", max_iters,
+        )
 
     def bucket_labels(g: pd.DataFrame) -> pd.DataFrame:
         # per-node min, vectorized per bucket (a groupby("node").Min() here

@@ -318,3 +318,30 @@ def test_knn_ivf_recall_vs_bruteforce(sf_dir):
     ex, ap = topsets(exact), topsets(approx)
     recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_pairs_to_payload_fallback():
+    """The Dataset.join fallback for pair sets too large to broadcast must
+    align both payload sides with the broadcast-path semantics."""
+    import ray.data
+
+    from omni_ray.stages.dedup import _join_pairs_to_payload
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([f"payload {i}" for i in range(10)], pa.string()),
+    }))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([0, 2, 7], pa.int64()),
+        "doc_b": pa.array([1, 9, 8], pa.int64()),
+    }))
+    out = _join_pairs_to_payload(pairs, docs, "doc_id", "text").to_pandas()
+    assert len(out) == 3
+    got = {
+        (r.doc_a, r.doc_b): (r.payload_a, r.payload_b)
+        for r in out.itertuples()
+    }
+    assert got[(0, 1)] == ("payload 0", "payload 1")
+    assert got[(2, 9)] == ("payload 2", "payload 9")
+    assert got[(7, 8)] == ("payload 7", "payload 8")
