@@ -310,7 +310,27 @@ def run_crawl(
         for _part, name, val in counters:
             totals[name] = totals.get(name, 0) + val
 
+    def _complete_epoch(futs, epoch_dir, counters, wave) -> None:
+        # completer body: all artifacts down, then counters + marker + totals
+        for f in futs:
+            f.result()
+        _write_counters(epoch_dir, counters, wave)
+        with open(os.path.join(epoch_dir, "_COMPLETE"), "w") as f:
+            f.write("ok")
+        _acc(counters)
+
+    def _finish_and_acc(epoch_dir, counters, wave) -> None:
+        _finish_epoch(epoch_dir, seen, None, counters, wave)
+        _acc(counters)
+
     pool = _cf.ThreadPoolExecutor(max_workers=4)
+    # SINGLE-worker completer: joins an epoch's background writes, then
+    # writes counters + _COMPLETE and folds totals — overlapped with the
+    # NEXT wave's split/fetch/extract. One worker ⇒ epochs complete strictly
+    # in wave order (resume scans for the LAST complete epoch) and `totals`
+    # has a single mutator thread.
+    completer = _cf.ThreadPoolExecutor(max_workers=1)
+    epoch_futs: list = []
     wave_counter = _WaveCounter.remote()  # per-wave fetch lineage tally
     import time as _time
 
@@ -333,6 +353,14 @@ def run_crawl(
             counters: list[tuple[str, str, int]] = []
             if frontier_tbl.num_rows == 0:
                 break
+            if os.path.isdir(epoch_dir) and not os.path.exists(
+                os.path.join(epoch_dir, "_COMPLETE")
+            ):
+                # partial output from a killed run (write_parquet appends to
+                # existing dirs, so stale part files would duplicate rows)
+                import shutil
+
+                shutil.rmtree(epoch_dir)
             os.makedirs(epoch_dir, exist_ok=True)
             counters.append(("*", "frontier_in", frontier_tbl.num_rows))
 
@@ -353,12 +381,14 @@ def run_crawl(
                     ranked, seen, epoch_dir, counters, robots is not None, pool
                 )
                 if out is None:
-                    _finish_epoch(epoch_dir, seen, None, counters, wave)
-                    _acc(counters)
+                    # route through the completer so this epoch's _COMPLETE
+                    # lands after every earlier epoch's
+                    epoch_futs.append(completer.submit(
+                        _finish_and_acc, epoch_dir, counters, wave))
                     frontier_path = os.path.join(epoch_dir, "frontier_next")
                     wave += 1
                     break
-                sched_ds, pending = out
+                sched_ds, pending, deferred_fut = out
                 # seen-marking fuses into the fetch/extract execution below
                 # (idempotent actor adds; completed before this wave's extract
                 # materializes, i.e. before the next wave's annotate runs)
@@ -464,36 +494,46 @@ def run_crawl(
                 )
             if n_articles:
                 # the two store writes consume the same materialized dataset —
-                # run them concurrently, joined before _COMPLETE
+                # run them concurrently in the writer pool
                 from .articles import entities_pipeline
 
                 w1 = pool.submit(articles.write_parquet, os.path.join(epoch_dir, "articles"))
                 w2 = pool.submit(
-                    lambda: entities_pipeline(articles).write_parquet(
+                    lambda a=articles: entities_pipeline(a).write_parquet(
                         os.path.join(epoch_dir, "entities")
                     )
                 )
-                w1.result()
-                w2.result()
+                if distributed_frontier:
+                    pending.extend([w1, w2])
+                else:
+                    w1.result()
+                    w2.result()
             counters.append(("*", "articles_stored", n_articles))
-            _tick("store")
 
             if distributed_frontier:
-                # schedule/deferred/seen-checkpoint writes were launched in the
-                # background by _wave_distributed, overlapped with fetch+extract;
-                # they must all land before the epoch is marked complete
-                for fut in pending:
-                    fut.result()
-                _tick("join-writes")
-                _write_counters(epoch_dir, counters, wave)
-                with open(os.path.join(epoch_dir, "_COMPLETE"), "w") as f:
-                    f.write("ok")
+                # the NEXT wave only needs the deferred-frontier snapshot on
+                # disk; everything else (schedule, seen checkpoint, article +
+                # entities writes, counters, _COMPLETE) completes in the
+                # background, overlapped with the next wave's split + fetch
+                deferred_fut.result()
+                epoch_futs.append(completer.submit(
+                    _complete_epoch, list(pending), epoch_dir, counters, wave))
+                _tick("store-launch")
             else:
                 _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave)
-            _acc(counters)
+                _acc(counters)
+                _tick("store")
             frontier_path = frontier_next_path
             wave += 1
+            # surface background epoch-completion errors promptly (joined
+            # fully after the loop); done futures re-raise here
+            for f in epoch_futs:
+                if f.done():
+                    f.result()
 
+        for f in epoch_futs:
+            f.result()
+        completer.shutdown(wait=True)
         pool.shutdown(wait=True)
         totals["waves"] = wave - start_wave
         totals["seen_total"] = seen.total_size()
@@ -504,6 +544,7 @@ def run_crawl(
         # cleanup on EVERY exit path (a raised wave would otherwise leak the
         # shard/robots/counter actors and the writer thread pool for the
         # rest of the Ray session)
+        completer.shutdown(wait=False)
         pool.shutdown(wait=False)
         seen.shutdown()
         if robots is not None:
@@ -590,14 +631,15 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool):
             pq.write_table(_frontier_schema().empty_table(),
                            os.path.join(fdir, "empty.parquet"))
 
-    pending = [pool.submit(_write_schedule), pool.submit(_write_deferred)]
+    deferred_fut = pool.submit(_write_deferred)
+    pending = [pool.submit(_write_schedule), deferred_fut]
 
     drop_cols = ["seen", "robots_allowed", "eligible", "scheduled"]
     sched = sched.map_batches(
         lambda t: t.drop_columns([c for c in drop_cols if c in t.column_names]),
         batch_format="pyarrow",
     )
-    return sched, pending
+    return sched, pending, deferred_fut
 
 
 def _frontier_schema() -> pa.Schema:
