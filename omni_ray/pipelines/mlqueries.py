@@ -297,8 +297,12 @@ def embedding_neardup_q(sf_dir: str):
         })
 
     aug = emb.union(emb.map_batches(copies, batch_format="pyarrow"))
+    import pyarrow.parquet as pq
+
+    n_base = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     return embedding_neardup_pairs(
-        aug, threshold=0.95, id_col="vec_id", vec_col="embedding"
+        aug, threshold=0.95, id_col="vec_id", vec_col="embedding",
+        n_docs=n_base + n_base // 10,
     )
 
 

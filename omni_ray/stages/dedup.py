@@ -661,9 +661,10 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "lsh",
-    n_tables: int = 12,
-    n_bits: int = 8,
+    n_tables: int = 16,
+    n_bits: int | None = None,
     max_bucket: int = 2000,
+    n_docs: int | None = None,
 ) -> pa.Table:
     """Pairs (a<b) with cosine ≥ threshold.
 
@@ -671,8 +672,16 @@ def embedding_neardup_pairs(
     generation — T tables × B bits, id-only rows through one bucketed
     shuffle — then exact cosine verification of the candidates inside a
     bucketed map_groups (``_verify_pairs_broadcast``); nothing is
-    materialized on the driver. At cos ≥ 0.95 the 12×8 configuration has a
-    per-pair miss probability ≈ 1.3e-3, → 0 for tighter dups.
+    materialized on the driver.
+
+    ``n_bits`` defaults to ~log2(n)+3: signature space ≈ 8× the corpus, so
+    a random pair collides in ≈ n_tables/8n of the tables — the candidate
+    set stays O(true dups), independent of corpus size. (A FIXED bit width
+    is a scale trap: at 8 bits a million random vectors all-pair inside 256
+    buckets, and the skew guard would then drop them wholesale.) Recall for
+    a pair at cos = 0.95 (bit-agreement p ≈ 0.899): 1-(1-p^B)^T ≈ 0.96 at
+    B=14/T=16 — and → 1 as cos → 1, which is where true near-dups live;
+    raise n_tables for tighter recall at the threshold boundary.
 
     ``mode="exact"``: blocked all-pairs matmul against a ray.put-broadcast
     matrix — the exact baseline used by the equivalence pytest; test-scale
@@ -687,6 +696,12 @@ def embedding_neardup_pairs(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
         )
     dim = len(sample[0][vec_col])
+    if n_bits is None:
+        # n_docs hint (e.g. parquet metadata row count) skips a whole
+        # Dataset execution; an order-of-magnitude estimate is plenty
+        if n_docs is None:
+            n_docs = emb.count()
+        n_bits = max(10, int(np.ceil(np.log2(max(n_docs, 2)))) + 3)
 
     exploded = emb.map_batches(
         _HyperplaneExplode(n_tables, n_bits, dim, id_col, vec_col),
