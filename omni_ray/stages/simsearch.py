@@ -104,7 +104,13 @@ def knn_lsh(
 ) -> pa.Table:
     """ANN: bucket corpus by hyperplane signs; probe the query's bucket plus
     all buckets within ``multiprobe`` bit flips; exact rerank among candidates.
-    Returns (query_id, neighbor_id, rnk) — approximate (recall < 1)."""
+    Returns (query_id, neighbor_id, rnk) — approximate (recall < 1).
+
+    Sizing: candidates/query ≈ n × (probed buckets)/2^n_planes, so n_planes
+    should grow ~log2(n) to hold the scanned fraction constant (6 planes is
+    tuned to the test corpora; at 10^8 rows use ~14-16 and multiprobe 1).
+    For large corpora prefer :func:`knn_ivf` — its trained coarse quantizer
+    gives the same candidate bound with far better recall per probe."""
     sample = emb.take(1)[0]
     dim = len(sample[vec_col])
     planes = _hyperplanes(dim, n_planes)
