@@ -255,3 +255,37 @@ def test_hot_host_skew(tmp_path):
     oracle = reference_oracle_schedule(seeds_pdf, budget_per_host=8)
     assert sched["url"].tolist() == oracle["url"].tolist()
     assert totals["seen_total"] == len(oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_clears_partial_epoch_dir(pages_dir, tmp_path):
+    """A killed run can leave an epoch dir WITHOUT _COMPLETE but with partial
+    part files (write_parquet appends); resume must clear it, not duplicate
+    rows into it."""
+    full_dir = str(tmp_path / "crawl_full2")
+    _run(pages_dir, full_dir, budget_per_host=5)
+    full_sched = _all_schedules(full_dir)
+
+    crash_dir = str(tmp_path / "crawl_crash")
+    # simulate a run killed mid-wave-0: partial article parts, no _COMPLETE
+    ep0 = os.path.join(crash_dir, "epoch=0000")
+    os.makedirs(os.path.join(ep0, "articles"), exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"article_id": pa.array(["stale-row"], pa.string())}),
+        os.path.join(ep0, "articles", "part-stale.parquet"),
+    )
+    _run(pages_dir, crash_dir, budget_per_host=5, resume=True)
+    crash_sched = _all_schedules(crash_dir)
+    assert crash_sched["url"].tolist() == full_sched["url"].tolist()
+
+    import ray.data
+
+    ids = [
+        r["article_id"]
+        for r in ray.data.read_parquet(os.path.join(ep0, "articles"))
+        .select_columns(["article_id"]).take_all()
+    ]
+    assert "stale-row" not in ids
