@@ -131,6 +131,9 @@ def run_bench() -> dict:
     timed("simhash_dedup", lambda: ML_REGISTRY["simhash_dedup"][0](SF_DIR))
     timed("embedding_neardup", lambda: ML_REGISTRY["embedding_neardup"][0](SF_DIR))
     timed("text_stats", lambda: ML_ROWS_ONLY["text_stats"](SF_DIR).count())
+    timed("knn_lsh", lambda: ML_ROWS_ONLY["knn_lsh"](SF_DIR))
+    timed("knn_ivf", lambda: ML_ROWS_ONLY["knn_ivf"](SF_DIR))
+    timed("duplicate_of", lambda: ML_REGISTRY["duplicate_of"][0](SF_DIR).count())
 
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
