@@ -283,6 +283,18 @@ def run_crawl(
 
     start_wave = 0
     frontier_path = seeds_path
+    if not resume:
+        # explicit fresh start into a previously-used out_dir: clear old
+        # epoch state (write_parquet APPENDS part files, so leftover COMPLETE
+        # dirs would otherwise accumulate duplicate rows under a stale marker)
+        import shutil
+
+        for d in os.listdir(out_dir):
+            if d.startswith("epoch="):
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+        summary = os.path.join(out_dir, "SUMMARY.json")
+        if os.path.exists(summary):
+            os.remove(summary)
     if resume:
         done = sorted(
             d for d in os.listdir(out_dir)
@@ -310,18 +322,39 @@ def run_crawl(
         for _part, name, val in counters:
             totals[name] = totals.get(name, 0) + val
 
+    completer_failed: list = []  # poison flag: stop marking epochs complete
+
     def _complete_epoch(futs, epoch_dir, counters, wave) -> None:
-        # completer body: all artifacts down, then counters + marker + totals
-        for f in futs:
-            f.result()
-        _write_counters(epoch_dir, counters, wave)
-        with open(os.path.join(epoch_dir, "_COMPLETE"), "w") as f:
-            f.write("ok")
-        _acc(counters)
+        # completer body: all artifacts down, then counters + marker + totals.
+        # If an EARLIER epoch's completion failed, refuse to write any later
+        # _COMPLETE marker: the resume scan treats the last marker as a
+        # complete prefix, so markers must stay contiguous.
+        if completer_failed:
+            raise RuntimeError(
+                f"skipping epoch completion for wave {wave}: an earlier "
+                "epoch's completion failed"
+            )
+        try:
+            for f in futs:
+                f.result()
+            _mark_complete(epoch_dir, counters, wave)
+            _acc(counters)
+        except BaseException:
+            completer_failed.append(wave)
+            raise
 
     def _finish_and_acc(epoch_dir, counters, wave) -> None:
-        _finish_epoch(epoch_dir, seen, None, counters, wave)
-        _acc(counters)
+        if completer_failed:
+            raise RuntimeError(
+                f"skipping epoch completion for wave {wave}: an earlier "
+                "epoch's completion failed"
+            )
+        try:
+            _finish_epoch(epoch_dir, seen, None, counters, wave)
+            _acc(counters)
+        except BaseException:
+            completer_failed.append(wave)
+            raise
 
     pool = _cf.ThreadPoolExecutor(max_workers=4)
     # SINGLE-worker completer: joins an epoch's background writes, then
@@ -488,10 +521,15 @@ def run_crawl(
             counters.append(("*", "fetch_missed", n_sched - int(n_hits)))
             if distributed_frontier:
                 # marking completed inside the fused execution — checkpoint now,
-                # overlapped with the store writes below
-                pending.append(
-                    pool.submit(seen.checkpoint, os.path.join(epoch_dir, "seen_shards"))
+                # overlapped with the store writes below. The checkpoint MUST
+                # be joined before the next wave runs: wave N+1's fused
+                # _SeenAdd mutates the same shard actors, and a late-running
+                # checkpoint would absorb wave-N+1 hashes into epoch N's
+                # snapshot (resume would then silently drop those URLs).
+                ckpt_fut = pool.submit(
+                    seen.checkpoint, os.path.join(epoch_dir, "seen_shards")
                 )
+                pending.append(ckpt_fut)
             if n_articles:
                 # the two store writes consume the same materialized dataset —
                 # run them concurrently in the writer pool
@@ -511,11 +549,14 @@ def run_crawl(
             counters.append(("*", "articles_stored", n_articles))
 
             if distributed_frontier:
-                # the NEXT wave only needs the deferred-frontier snapshot on
-                # disk; everything else (schedule, seen checkpoint, article +
-                # entities writes, counters, _COMPLETE) completes in the
-                # background, overlapped with the next wave's split + fetch
+                # before the next wave: join the two artifacts it depends on
+                # — the deferred-frontier snapshot (it reads it) and the
+                # seen-shard checkpoint (its _SeenAdd mutates the shards the
+                # checkpoint is reading). Everything else (schedule, article
+                # + entities writes, counters, _COMPLETE) completes in the
+                # background, overlapped with the next wave's split + fetch.
                 deferred_fut.result()
+                ckpt_fut.result()
                 epoch_futs.append(completer.submit(
                     _complete_epoch, list(pending), epoch_dir, counters, wave))
                 _tick("store-launch")
@@ -544,8 +585,9 @@ def run_crawl(
         # cleanup on EVERY exit path (a raised wave would otherwise leak the
         # shard/robots/counter actors and the writer thread pool for the
         # rest of the Ray session)
-        completer.shutdown(wait=False)
-        pool.shutdown(wait=False)
+        # cancel queued work so it cannot run against the actors killed below
+        completer.shutdown(wait=False, cancel_futures=True)
+        pool.shutdown(wait=False, cancel_futures=True)
         seen.shutdown()
         if robots is not None:
             robots.shutdown()
@@ -669,6 +711,14 @@ def _write_counters(epoch_dir, counters, wave) -> None:
     pq.write_table(ctbl, os.path.join(epoch_dir, "counters.parquet"))
 
 
+def _mark_complete(epoch_dir, counters, wave) -> None:
+    """The ONE epoch-finalization tail shared by both modes: lineage counters
+    down first, then the _COMPLETE marker last."""
+    _write_counters(epoch_dir, counters, wave)
+    with open(os.path.join(epoch_dir, "_COMPLETE"), "w") as f:
+        f.write("ok")
+
+
 def _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave) -> None:
     schema = _frontier_schema()
     if deferred_pdf is not None and len(deferred_pdf):
@@ -679,9 +729,7 @@ def _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave) -> None:
         tbl = schema.empty_table()
     pq.write_table(tbl, os.path.join(epoch_dir, "frontier_next.parquet"))
     seen.checkpoint(os.path.join(epoch_dir, "seen_shards"))
-    _write_counters(epoch_dir, counters, wave)
-    with open(os.path.join(epoch_dir, "_COMPLETE"), "w") as f:
-        f.write("ok")
+    _mark_complete(epoch_dir, counters, wave)
 
 
 def _finish_epoch(epoch_dir, seen, deferred, counters, wave) -> None:
