@@ -289,3 +289,36 @@ def test_resume_clears_partial_epoch_dir(pages_dir, tmp_path):
         .select_columns(["article_id"]).take_all()
     ]
     assert "stale-row" not in ids
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_failed_epoch_completion_blocks_later_markers(pages_dir, tmp_path, monkeypatch):
+    """If an epoch's background completion fails, no LATER epoch may gain a
+    _COMPLETE marker — resume treats the last marker as closing a complete
+    prefix."""
+    import omni_ray.pipelines.articles as articles_mod
+
+    real = articles_mod.entities_pipeline
+    calls = {"n": 0}
+
+    def flaky(ds):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected entities-write failure")
+        return real(ds)
+
+    monkeypatch.setattr(articles_mod, "entities_pipeline", flaky)
+    out_dir = str(tmp_path / "crawl_poison")
+    with pytest.raises(RuntimeError):
+        _run(pages_dir, out_dir, budget_per_host=5)
+    epochs = sorted(d for d in os.listdir(out_dir) if d.startswith("epoch="))
+    complete = [d for d in epochs if os.path.exists(os.path.join(out_dir, d, "_COMPLETE"))]
+    # wave 0's completion failed -> nothing may be marked complete
+    assert complete == []
+    # and a fresh-resume run recovers to the full-run schedule
+    monkeypatch.setattr(articles_mod, "entities_pipeline", real)
+    _run(pages_dir, out_dir, budget_per_host=5, resume=True)
+    full_dir = str(tmp_path / "crawl_ref")
+    _run(pages_dir, full_dir, budget_per_host=5)
+    assert (_all_schedules(out_dir)["url"].tolist()
+            == _all_schedules(full_dir)["url"].tolist())
