@@ -151,36 +151,56 @@ _ORG_SUFFIX_HINT = re.compile(
 _ALPHA_RUN_RE = re.compile(r"[A-Za-z]+")
 
 
-def _org_matches_linear(text: str, suffixes: frozenset) -> list[str]:
+def _alpha_words(text: str) -> tuple[list[int], list[int], list[str]]:
+    """Maximal alpha runs of length ≥2 as parallel (starts, ends, lowered)
+    lists — computed ONCE per text and shared by both suffix-set scans
+    (match objects and their .start()/.end() calls dominated the old
+    profile: ~1.2M attr calls per 400 docs)."""
+    starts: list[int] = []
+    ends: list[int] = []
+    lows: list[str] = []
+    for m in _ALPHA_RUN_RE.finditer(text):
+        s, e = m.span()
+        if e - s >= 2:
+            starts.append(s)
+            ends.append(e)
+            lows.append(text[s:e].lower())
+    return starts, ends, lows
+
+
+def _org_matches_linear(
+    text: str, suffixes: frozenset, words=None
+) -> list[str]:
     """Linear-time equivalent of the reference org regex
     ``\\b([A-Z][a-z]+(?:\\s+[A-Z][a-z]+)*)\\s+(SUFFIX)\\b`` with IGNORECASE
     (content_enricher.py:139-142). Nodes are maximal alpha runs of length ≥2
     (the only spans ``[A-Z][a-z]+`` can fully consume between ``\\b``/``\\s``);
     chain edges require the inter-word gap to be non-empty pure whitespace;
-    a greedy match starts at the earliest unconsumed chain word and ends at
-    the LAST reachable suffix word. Equivalence is pinned by a
-    hypothesis test against the actual regexes. Avoids the regex engine's
-    quadratic retry scan over long all-caps-free prose."""
-    words = [m for m in _ALPHA_RUN_RE.finditer(text) if m.end() - m.start() >= 2]
+    the greedy match starts at the chain's first word and ends at the LAST
+    suffix word in the chain — after which no suffix remains, so each chain
+    emits at most ONE match. Equivalence is pinned by a hypothesis test
+    against the actual regexes. Avoids the regex engine's quadratic retry
+    scan over long all-caps-free prose."""
+    starts, ends, lows = words if words is not None else _alpha_words(text)
     out = []
-    n = len(words)
+    n = len(starts)
     i = 0
     while i < n:
         # build the chain [i..k]: consecutive words joined by pure whitespace
         k = i
-        while k + 1 < n and text[words[k].end() : words[k + 1].start()].isspace() and words[k + 1].start() > words[k].end():
+        while (
+            k + 1 < n
+            and starts[k + 1] > ends[k]
+            and text[ends[k] : starts[k + 1]].isspace()
+        ):
             k += 1
-        # emit greedy matches inside the chain
-        pos = i
-        while pos < k:  # need ≥1 name word before a suffix
-            last_suffix = -1
-            for j in range(pos + 1, k + 1):
-                if words[j].group().lower() in suffixes:
-                    last_suffix = j
-            if last_suffix <= pos:
-                break
-            out.append(text[words[pos].start() : words[last_suffix].end()])
-            pos = last_suffix + 1
+        # the single greedy match: last suffix strictly after the chain head
+        last_suffix = -1
+        for j in range(i + 1, k + 1):
+            if lows[j] in suffixes:
+                last_suffix = j
+        if last_suffix > i:
+            out.append(text[starts[i] : ends[last_suffix]])
         i = k + 1
     return out
 
@@ -190,9 +210,10 @@ def extract_organizations(text: str) -> list[dict]:
     # (equivalent to the reference's backtracking regexes — see tests)
     if not _ORG_SUFFIX_HINT.search(text):
         return []
+    words = _alpha_words(text)
     orgs = []
     for suffixes in (_ORG_SUFFIXES_1, _ORG_SUFFIXES_2):
-        for name in _org_matches_linear(text, suffixes):
+        for name in _org_matches_linear(text, suffixes, words=words):
             orgs.append({"name": name, "confidence": 0.7})
             if len(orgs) >= 10:
                 return orgs
