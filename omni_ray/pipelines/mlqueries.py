@@ -350,6 +350,165 @@ FROM reach GROUP BY node HAVING min(r) <> node
 )
 
 
+# -- Gopher-style document quality filter — oracle-checked ------------------
+# The classic training-data keep/drop rules (length bounds, mean word
+# length, symbol ratio, stop-word presence, repetition) over the documents
+# table. Every rule is evaluated in INTEGER arithmetic (e.g. mean word
+# length ≥ 3  ⇔  n_wordchars ≥ 3·n_tokens), so both engines agree exactly —
+# no float-threshold boundary risk.
+
+_QF_STOPWORDS = frozenset(
+    ["the", "and", "of", "to", "a", "in", "is", "you", "that", "it"]
+)
+
+
+def quality_filter(sf_dir: str):
+    ds = _docs(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = t.column("text")
+        texts = [x or "" for x in txt.to_pylist()]
+        n_tokens = [len(x.split()) for x in texts]
+        n_stop = [
+            sum(1 for w in x.lower().split() if w in _QF_STOPWORDS) for x in texts
+        ]
+        sent_counts = []
+        dup_sents = []
+        for x in texts:
+            parts = x.split(". ")
+            sent_counts.append(len(parts))
+            dup_sents.append(len(parts) - len(set(parts)))
+        n_chars = pc.cast(pc.utf8_length(txt), pa.int64()).to_pylist()
+        n_wordchars = pc.cast(
+            pc.count_substring_regex(txt, r"\S"), pa.int64()
+        ).to_pylist()
+        n_sym = pc.cast(
+            pc.count_substring_regex(txt, r"[^A-Za-z0-9\s]"), pa.int64()
+        ).to_pylist()
+        keep = [
+            int(
+                50 <= nt <= 100_000
+                and 3 * nt <= nw <= 10 * nt
+                and 10 * ns < nc
+                and 50 * nst > nt
+                and 10 * nd < 3 * nsent
+            )
+            for nt, nw, ns, nc, nst, nd, nsent in zip(
+                n_tokens, n_wordchars, n_sym, n_chars, n_stop, dup_sents, sent_counts
+            )
+        ]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_wordchars": pa.array(n_wordchars, pa.int64()),
+            "n_symbols": pa.array(n_sym, pa.int64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "n_sentences": pa.array(sent_counts, pa.int64()),
+            "n_dup_sentences": pa.array(dup_sents, pa.int64()),
+            "keep": pa.array(keep, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTER = r"""
+WITH sig AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_wordchars,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_symbols,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   w -> list_contains(['the','and','of','to','a','in','is','you','that','it'], w)))
+         END AS n_stopwords,
+         length(string_split(text, '. ')) AS n_sentences,
+         length(string_split(text, '. '))
+           - length(list_distinct(string_split(text, '. '))) AS n_dup_sentences
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_wordchars, n_symbols, n_stopwords, n_sentences,
+       n_dup_sentences,
+       CAST(n_tokens BETWEEN 50 AND 100000
+            AND 3 * n_tokens <= n_wordchars AND n_wordchars <= 10 * n_tokens
+            AND 10 * n_symbols < n_chars
+            AND 50 * n_stopwords > n_tokens
+            AND 10 * n_dup_sentences < 3 * n_sentences AS BIGINT) AS keep
+FROM sig
+"""
+
+
+# -- benchmark decontamination (n-gram overlap vs eval set) — oracle-checked -
+# The standard eval-set contamination check: flag corpus documents sharing
+# any word-8-gram with the (small) eval set. The eval set here is derived
+# deterministically (doc_id % 10 == 0) so both engines construct it
+# identically; in production it is an external benchmark corpus. Ray shape:
+# the eval shingle set is broadcast via ray.put (eval sets are bounded
+# small) and the corpus streams through one map — no shuffle at all.
+
+DECON_K = 8
+
+
+def _shingles_k(text: str, k: int) -> set:
+    ws = text.split()
+    return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+
+def decontaminate(sf_dir: str):
+    docs = _docs(sf_dir)
+
+    def eval_only(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    ev = docs.map_batches(eval_only, batch_format="pyarrow").take_all()
+    ev_shingles: set = set()
+    for r in ev:
+        ev_shingles |= _shingles_k(r["text"] or "", DECON_K)
+    ref = ray.put(ev_shingles)
+
+    def overlap(t: pa.Table) -> pa.Table:
+        ev_sh = ray.get(ref)
+        ids = t.column("doc_id").to_pylist()
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        out_id, out_n = [], []
+        for i, x in zip(ids, texts):
+            if int(i) % 10 == 0:
+                continue
+            n = len(_shingles_k(x, DECON_K) & ev_sh)
+            if n:
+                out_id.append(int(i))
+                out_n.append(n)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_overlap": pa.array(out_n, pa.int64()),
+        })
+
+    return docs.map_batches(overlap, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+  WHERE trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - {DECON_K - 1}),
+                               i -> array_to_string(ws[i:i+{DECON_K - 1}], ' '))) AS g
+  FROM w WHERE len(ws) >= {DECON_K}
+), ev AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0
+)
+SELECT s.doc_id, count(DISTINCT s.g) AS n_overlap
+FROM sh s JOIN ev USING (g)
+WHERE s.doc_id % 10 <> 0
+GROUP BY 1
+"""
+
+
 # -- rows-only entries (approximate / stubs) --------------------------------
 
 
@@ -406,6 +565,8 @@ ML_REGISTRY = {
     "simhash_dedup": (simhash_dedup_q, SQL_SIMHASH_DEDUP),
     "embedding_neardup": (embedding_neardup_q, SQL_EMBEDDING_NEARDUP),
     "duplicate_of": (duplicate_of_q, SQL_DUPLICATE_OF),
+    "quality_filter": (quality_filter, SQL_QUALITY_FILTER),
+    "decontaminate": (decontaminate, SQL_DECONTAMINATE),
 }
 
 ML_ROWS_ONLY = {
