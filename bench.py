@@ -133,6 +133,8 @@ def run_bench() -> dict:
     timed("text_stats", lambda: ML_ROWS_ONLY["text_stats"](SF_DIR).count())
     timed("knn_lsh", lambda: ML_ROWS_ONLY["knn_lsh"](SF_DIR))
     timed("knn_ivf", lambda: ML_ROWS_ONLY["knn_ivf"](SF_DIR))
+    timed("quality_filter", lambda: ML_REGISTRY["quality_filter"][0](SF_DIR).count())
+    timed("decontaminate", lambda: ML_REGISTRY["decontaminate"][0](SF_DIR).count())
     timed("duplicate_of", lambda: ML_REGISTRY["duplicate_of"][0](SF_DIR).count())
 
     # distributed connected components over a synthetic 1e6-pair set (the
