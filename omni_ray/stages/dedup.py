@@ -416,9 +416,24 @@ def ngram_jaccard_pairs(
         .map_groups(sum_pairs, batch_format="pandas")
         .to_pandas()
     )
-    # shingle-set sizes (small aggregate → broadcastable)
+    # shingle-set sizes for CANDIDATE docs only — the full per-doc count
+    # table is corpus-sized, but Jaccard needs |A|,|B| just for docs that
+    # appear in a pair, so filter by the (small, broadcast) candidate set
+    # before anything reaches the driver
+    cand_ids = set(common["doc_a"]) | set(common["doc_b"])
+    cand_ref = ray.put(cand_ids)
+
+    def only_candidates(t: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        mask = np.fromiter((int(i) in cset for i in ids), dtype=bool, count=len(ids))
+        return t.filter(pa.array(mask))
+
     sizes = (
-        inv.groupby("doc_id").aggregate(Count(alias_name="n_shingles")).to_pandas()
+        inv.map_batches(only_candidates, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_shingles"))
+        .to_pandas()
     )
     size_map = dict(zip(sizes["doc_id"], sizes["n_shingles"]))
     if not len(common):
