@@ -414,7 +414,10 @@ def quality_filter(sf_dir: str):
 
 
 SQL_QUALITY_FILTER = r"""
-WITH sig AS (
+WITH d AS (
+  -- NULL text behaves as '' (the Ray side's None -> "" coercion)
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), sig AS (
   SELECT doc_id,
          length(text) AS n_chars,
          CASE WHEN trim(text) = '' THEN 0
@@ -428,7 +431,7 @@ WITH sig AS (
          length(string_split(text, '. ')) AS n_sentences,
          length(string_split(text, '. '))
            - length(list_distinct(string_split(text, '. '))) AS n_dup_sentences
-  FROM documents
+  FROM d
 )
 SELECT doc_id, n_tokens, n_wordchars, n_symbols, n_stopwords, n_sentences,
        n_dup_sentences,

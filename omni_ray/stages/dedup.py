@@ -416,18 +416,26 @@ def ngram_jaccard_pairs(
         .map_groups(sum_pairs, batch_format="pandas")
         .to_pandas()
     )
+    if not len(common):
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "n_common": pa.array([], pa.int64()), "n_union": pa.array([], pa.int64())}
+        )
     # shingle-set sizes for CANDIDATE docs only — the full per-doc count
     # table is corpus-sized, but Jaccard needs |A|,|B| just for docs that
     # appear in a pair, so filter by the (small, broadcast) candidate set
     # before anything reaches the driver
-    cand_ids = set(common["doc_a"]) | set(common["doc_b"])
-    cand_ref = ray.put(cand_ids)
+    cand_arr = pa.array(
+        sorted(set(common["doc_a"]) | set(common["doc_b"])), pa.int64()
+    )
+    cand_ref = ray.put(cand_arr)
 
     def only_candidates(t: pa.Table) -> pa.Table:
-        cset = ray.get(cand_ref)
-        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
-        mask = np.fromiter((int(i) in cset for i in ids), dtype=bool, count=len(ids))
-        return t.filter(pa.array(mask))
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.is_in(t.column("doc_id"), value_set=ray.get(cand_ref))
+        )
 
     sizes = (
         inv.map_batches(only_candidates, batch_format="pyarrow")
@@ -436,11 +444,6 @@ def ngram_jaccard_pairs(
         .to_pandas()
     )
     size_map = dict(zip(sizes["doc_id"], sizes["n_shingles"]))
-    if not len(common):
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "n_common": pa.array([], pa.int64()), "n_union": pa.array([], pa.int64())}
-        )
     common["n_union"] = [
         size_map[a] + size_map[b] - c
         for a, b, c in zip(common["doc_a"], common["doc_b"], common["n_common"])
