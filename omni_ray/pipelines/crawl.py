@@ -144,23 +144,29 @@ class _WaveCounter:
     into the extract execution, so there is no materialized dataset to count
     afterwards — the north_rule's per-partition counters come from here).
 
-    Adds are keyed by the fetch task's fine-bucket id, making them
-    IDEMPOTENT under Ray task retries / lineage recomputation: a re-executed
-    bucket overwrites its own entry instead of double-counting (same
-    requirement the fused _SeenAdd documents for actor side effects)."""
+    Adds are keyed by (wave, fine-bucket id), making them IDEMPOTENT under
+    Ray task retries / lineage recomputation: a re-executed bucket overwrites
+    its own entry instead of double-counting (same requirement the fused
+    _SeenAdd documents for actor side effects). The wave token also rejects
+    STALE adds: wave N's fetch tasks can re-execute during wave N+1 (lineage
+    reconstruction of blocks backing the background article writes), and an
+    unkeyed add would silently corrupt the next wave's tally."""
 
     def __init__(self):
         self.buckets: dict[int, tuple[int, int]] = {}
+        self.wave = -1
 
-    def add(self, key: int, total: int, hits: int) -> None:
-        self.buckets[key] = (total, hits)
+    def add(self, wave: int, key: int, total: int, hits: int) -> None:
+        if wave == self.wave:
+            self.buckets[key] = (total, hits)
 
     def get(self) -> tuple[int, int]:
         return (sum(t for t, _ in self.buckets.values()),
                 sum(h for _, h in self.buckets.values()))
 
-    def reset(self) -> None:
+    def reset(self, wave: int) -> None:
         self.buckets = {}
+        self.wave = wave
 
 
 class _FetchBucket:
@@ -173,10 +179,12 @@ class _FetchBucket:
     block per file, the downstream extract stage runs one task per core and
     goes straggler-bound (measured ~35% idle at 32 cpus)."""
 
-    def __init__(self, pages_dir: str, n_files: int | None = None, counter=None):
+    def __init__(self, pages_dir: str, n_files: int | None = None, counter=None,
+                 wave: int = -1):
         self.pages_dir = pages_dir
         self.n_files = n_files
         self.counter = counter
+        self.wave = wave
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.compute as pc
@@ -202,7 +210,7 @@ class _FetchBucket:
             # is readable (fire-and-forget could race the driver's get());
             # keyed by the fine bucket so task retries overwrite, not double
             ray.get(self.counter.add.remote(
-                int(group["bucket"].iloc[0]),
+                self.wave, int(group["bucket"].iloc[0]),
                 len(merged), int(merged["html"].notna().sum())
             ))
         return merged
@@ -481,7 +489,7 @@ def run_crawl(
             # fine-bucket so the fetch emits ~4 blocks per core (same file per
             # fine bucket — see _FetchBucket); the wave lineage (fetched/missed)
             # comes from the _WaveCounter actor
-            ray.get(wave_counter.reset.remote())
+            ray.get(wave_counter.reset.remote(wave))
             # factor 2 (≈2 fine buckets per core) measured best at 32 cpus: the
             # sort shuffle cost grows with partition count while extract's
             # straggler risk is already covered by the rows-per-block split below
@@ -490,7 +498,8 @@ def run_crawl(
             sched_ds = sched_ds.map_batches(
                 lambda t: _bucket_batch(t, n_fine), batch_format="pyarrow"
             )
-            fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter)
+            fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter,
+                                 wave=wave)
             # materialize the fetch output: fully fusing fetch+extract into one
             # execution makes the sort's reduce tasks carry the whole extract
             # chain, collapsing extract parallelism (measured 3× slower at 200k);

@@ -211,16 +211,19 @@ SELECT query_id, neighbor_id, rnk FROM scored WHERE rnk <= {KNN_K}
 # The sketch pipeline's OUTPUT contract is exact: candidates are verified
 # with exact word-3-gram Jaccard, so the result is the subset of true
 # Jaccard≥0.5 pairs that LSH recalled. The SQL oracle is the full exact pair
-# set; at the bench scales the 16-band/64-perm recall is 1 for every pair at
-# this threshold (verified empirically — the probabilistic miss floor at
-# s=0.5 is (1-s^4)^16 ≈ 0.35 only for borderline pairs, and the planted +
-# natural dup pairs in the corpus sit far above the threshold).
+# set. ``strict=True`` makes that equality a RUNTIME GUARANTEE rather than an
+# empirical observation: it raises loudly if a skew-guard bucket drop
+# occurred or any verified pair's Jaccard sits below the recall≥0.999
+# similarity (~0.77 at 16 bands × 4 rows) — i.e. if the corpus ever grows
+# near-threshold pairs or >max_bucket template clusters, the query FAILS
+# instead of silently hash-mismatching the oracle. (Current corpora: min
+# true-pair Jaccard is 0.8 at every sf, no guard hits.)
 
 
 def minhash_dedup_q(sf_dir: str):
     from ..stages.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(_docs(sf_dir), threshold=0.5)
+    return minhash_dedup_pairs(_docs(sf_dir), threshold=0.5, strict=True)
 
 
 SQL_MINHASH_DEDUP = SQL_NGRAM_JACCARD.replace(">= 0.2", ">= 0.5")
@@ -237,7 +240,9 @@ SQL_MINHASH_DEDUP = SQL_NGRAM_JACCARD.replace(">= 0.2", ">= 0.5")
 def simhash_dedup_q(sf_dir: str):
     from ..stages.dedup import simhash_dedup_pairs
 
-    return simhash_dedup_pairs(_docs(sf_dir), max_hamming=3)
+    # strict: pigeonhole recall is 1, so the only divergence risk is a
+    # skew-guard drop — raise loudly instead of hash-mismatching the oracle
+    return simhash_dedup_pairs(_docs(sf_dir), max_hamming=3, strict=True)
 
 
 SQL_SIMHASH_DEDUP = r"""
@@ -275,42 +280,69 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 # The raw embeddings table is random vectors (max pairwise cosine ≈ 0.51 at
 # sf0.01), so a threshold query over it is vacuous. Both engines therefore
 # derive the same augmented table — every 10th vector duplicated under
-# vec_id + 1_000_000 — and find pairs at cosine ≥ 0.95: the planted copies
+# vec_id + OFFSET — and find pairs at cosine ≥ 0.95: the planted copies
 # (cos = 1.0, margin ≈ 0.49 to the background, so no float-boundary risk).
-# The Ray side runs the real LSH candidate-generation + hash-join verify
+# OFFSET is the smallest power of 10 strictly greater than max(vec_id),
+# derived IDENTICALLY in both engines from the table itself (10^len(str(max))
+# == '1' || repeat('0', length(max::VARCHAR)) — pure integer/string ops, no
+# float log10), so synthetic ids can never collide with real rows at any sf.
+# The Ray side runs the real LSH candidate-generation + bucketed-verify
 # scale path, for which identical vectors have recall 1 by construction.
+
+
+def _max_vec_id(path: str) -> int:
+    """Max vec_id from parquet row-group statistics (no data read); falls
+    back to a single-column scan if stats are absent."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index("vec_id")
+    maxes = []
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            t = pq.read_table(path, columns=["vec_id"])
+            import pyarrow.compute as pc
+
+            return int(pc.max(t.column("vec_id")).as_py())
+        maxes.append(st.max)
+    return int(max(maxes))
 
 
 def embedding_neardup_q(sf_dir: str):
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     from ..stages.dedup import embedding_neardup_pairs
 
     emb = _emb(sf_dir)
+    offset = 10 ** len(str(_max_vec_id(f"{sf_dir}/embeddings.parquet")))
 
     def copies(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
         sub = t.filter(pa.array(ids % 10 == 0))
         return pa.table({
-            "vec_id": pc.add(sub.column("vec_id"), 1_000_000),
+            "vec_id": pc.add(sub.column("vec_id"), offset),
             "embedding": sub.column("embedding"),
         })
 
     aug = emb.union(emb.map_batches(copies, batch_format="pyarrow"))
-    import pyarrow.parquet as pq
-
     n_base = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     return embedding_neardup_pairs(
         aug, threshold=0.95, id_col="vec_id", vec_col="embedding",
-        n_docs=n_base + n_base // 10,
+        n_docs=n_base + n_base // 10, strict=True,
     )
 
 
 SQL_EMBEDDING_NEARDUP = """
-WITH aug AS (
+WITH off AS (
+  SELECT CAST('1' || repeat('0', length(CAST(max(vec_id) AS VARCHAR))) AS BIGINT)
+         AS v FROM embeddings
+), aug AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+  SELECT vec_id + (SELECT v FROM off), embedding FROM embeddings
+  WHERE vec_id % 10 = 0
 )
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
 FROM aug a JOIN aug b ON a.vec_id < b.vec_id
@@ -463,18 +495,28 @@ def _shingles_k(text: str, k: int) -> set:
 def decontaminate(sf_dir: str):
     docs = _docs(sf_dir)
 
-    def eval_only(t: pa.Table) -> pa.Table:
+    def eval_shingle_rows(t: pa.Table) -> pa.Table:
+        # shingle EXTRACTION runs distributed; only the per-batch-distinct
+        # shingle strings stream back (bounded by the eval set's vocabulary,
+        # never the corpus texts — the driver materializes shingles, not docs)
         ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
-        return t.filter(pa.array(ids % 10 == 0))
+        sub = t.filter(pa.array(ids % 10 == 0))
+        sh: set = set()
+        for x in sub.column("text").to_pylist():
+            sh |= _shingles_k(x or "", DECON_K)
+        return pa.table({"g": pa.array(sorted(sh), pa.string())})
 
-    ev = docs.map_batches(eval_only, batch_format="pyarrow").take_all()
     ev_shingles: set = set()
-    for r in ev:
-        ev_shingles |= _shingles_k(r["text"] or "", DECON_K)
+    for b in docs.map_batches(
+        eval_shingle_rows, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        ev_shingles.update(b.column("g").to_pylist())
     ref = ray.put(ev_shingles)
 
     def overlap(t: pa.Table) -> pa.Table:
-        ev_sh = ray.get(ref)
+        from ..stages.dedup import _fetch_broadcast
+
+        ev_sh = _fetch_broadcast(ref)  # per-worker deserialize-once cache
         ids = t.column("doc_id").to_pylist()
         texts = [x or "" for x in t.column("text").to_pylist()]
         out_id, out_n = [], []

@@ -132,20 +132,22 @@ def collect_corpus_metrics(articles, now_us: int) -> dict:
     pruned = articles.select_columns(
         ["quality_score", "processing_timestamp", "domain"]
     ).map_batches(ind, batch_format="pyarrow").materialize()
+    # Dataset.aggregate returns None on an empty dataset — a zero-article
+    # wave is a normal monitor tick, not a crash
     agg = pruned.aggregate(
         Count(alias_name="total_articles"),
         Mean("quality_score", alias_name="avg_quality"),
         Sum("high_q", alias_name="high_quality_count"),
         Sum("low_q", alias_name="low_quality_count"),
         Sum("recent", alias_name="recent_articles_1h"),
-    )
+    ) or {}
     n_domains = pruned.groupby("domain").aggregate(Count(alias_name="c")).count()
     return {
-        "total_articles": int(agg["total_articles"] or 0),
-        "recent_articles_1h": int(agg["recent_articles_1h"] or 0),
-        "avg_quality": round(float(agg["avg_quality"] or 0.0), 2),
-        "high_quality_count": int(agg["high_quality_count"] or 0),
-        "low_quality_count": int(agg["low_quality_count"] or 0),
+        "total_articles": int(agg.get("total_articles") or 0),
+        "recent_articles_1h": int(agg.get("recent_articles_1h") or 0),
+        "avg_quality": round(float(agg.get("avg_quality") or 0.0), 2),
+        "high_quality_count": int(agg.get("high_quality_count") or 0),
+        "low_quality_count": int(agg.get("low_quality_count") or 0),
         "unique_domains": int(n_domains),
     }
 

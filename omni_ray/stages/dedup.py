@@ -121,9 +121,12 @@ def _bucket_pairs(group: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
     """Candidate pairs within one hash bucket (a COARSE bucket holding many
     (band_id, band_hash) groups): vectorized dup-key detection first, Python
     pair expansion only for the (rare) colliding keys. Degenerate keys with
-    more than ``max_bucket`` docs are dropped and LOGGED (skew guard — the
-    truncation is observable in the worker/driver logs). One call per coarse
-    bucket — per-key map_groups calls would cost ~1.5 ms x #keys."""
+    more than ``max_bucket`` docs are dropped, LOGGED, and reported as a
+    SENTINEL row (doc_a = -1, doc_b = dropped-key size) so the driver can see
+    the coverage loss — oracle-exact callers (``strict=True``) turn sentinels
+    into a loud failure instead of silently diverging from the exhaustive
+    oracle. One call per coarse bucket — per-key map_groups calls would cost
+    ~1.5 ms x #keys."""
     key_cols = [c for c in ("band_id", "band_hash") if c in group.columns]
     dup_mask = group.duplicated(key_cols, keep=False)
     dups = group[dup_mask]
@@ -139,6 +142,8 @@ def _bucket_pairs(group: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
                     "dedup skew guard: dropping degenerate bucket key=%s with %d docs "
                     "(max_bucket=%d)", key, len(ids), max_bucket,
                 )
+                out_a.append(-1)
+                out_b.append(len(ids))
                 continue
             for i, a in enumerate(ids):
                 for b in ids[i + 1 :]:
@@ -159,15 +164,48 @@ def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> tuple[int, int]:
 # distributed pair→payload verification (shared by minhash / embedding)
 # ---------------------------------------------------------------------------
 
+# deserialized-broadcast cache, per WORKER process: ray.get of a plain Python
+# object pickles on every call, so a per-batch get would re-deserialize the
+# whole pair map O(batches) times. Keyed by ObjectRef hex; cleared-on-growth
+# so long-lived workers can't accumulate stale maps unboundedly.
+_BROADCAST_CACHE: dict[str, object] = {}
+_BROADCAST_CACHE_MAX = 8
 
-def _collect_distinct_pairs(cand: ray.data.Dataset) -> list[tuple[int, int]]:
+
+def _fetch_broadcast(ref):
+    key = ref.hex()
+    v = _BROADCAST_CACHE.get(key)
+    if v is None:
+        v = ray.get(ref)
+        if len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.clear()
+        _BROADCAST_CACHE[key] = v
+    return v
+
+
+# beyond this many candidate pairs, the broadcast-dict verify gives way to the
+# Dataset.join path: the pair list would no longer be "output-sized" and the
+# per-worker deserialized map would rival the corpus partition size
+PAIR_BROADCAST_MAX = 2_000_000
+
+
+def _collect_distinct_pairs(
+    cand: ray.data.Dataset,
+) -> tuple[list[tuple[int, int]], list[int]]:
     """Collect the candidate (doc_a, doc_b) rows (the SMALL output of LSH
     banding — the same size-class as the function's return value) and dedup
-    on the driver. Corpus payloads never come with them."""
+    on the driver. Corpus payloads never come with them. Returns
+    (pairs, guard_hits) where guard_hits lists the sizes of degenerate
+    buckets the skew guard dropped (sentinel rows with doc_a = -1)."""
     seen: set[tuple[int, int]] = set()
+    guard_hits: list[int] = []
     for b in cand.iter_batches(batch_format="pyarrow"):
-        seen.update(zip(b.column("doc_a").to_pylist(), b.column("doc_b").to_pylist()))
-    return sorted(seen)
+        for a, bb in zip(b.column("doc_a").to_pylist(), b.column("doc_b").to_pylist()):
+            if a == -1:
+                guard_hits.append(int(bb))
+            else:
+                seen.add((a, bb))
+    return sorted(seen), guard_hits
 
 
 def _verify_pairs_broadcast(
@@ -189,9 +227,11 @@ def _verify_pairs_broadcast(
     This replaces a 2×Dataset.join verify: same semantics, one exchange of
     candidate payloads instead of two full hash-join exchanges (whose
     per-query aggregator-actor spawn cost dominates at interactive scale).
-    The pair list is broadcast state (object-store resident, zero-copy to
-    workers) — the same small-output assumption as duplicate_groups; for
-    pair sets too big to broadcast, fall back to _join_pairs_to_payload."""
+    The pair list is broadcast state via the object store — a plain dict is
+    PICKLED (not zero-copy), so each worker process caches the deserialized
+    map once (``_fetch_broadcast``) instead of re-deserializing per batch;
+    for pair sets too big to broadcast, fall back to
+    _join_pairs_to_payload."""
     by_doc: dict[int, list[tuple[int, int]]] = {}
     for pid, (a, b) in enumerate(pairs):
         by_doc.setdefault(int(a), []).append((pid, 0))
@@ -199,7 +239,7 @@ def _verify_pairs_broadcast(
     ref = ray.put(by_doc)
 
     def explode_sides(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        m = _fetch_broadcast(ref)
         pids, sides, payloads = [], [], []
         ids = t.column(id_col).to_pylist()
         pls = t.column(payload_col).to_pylist()
@@ -274,6 +314,13 @@ def _sorted_pair_table(rows: list[tuple], cols: list[str]) -> pa.Table:
     )
 
 
+def _lsh_certify_threshold(n_bands: int, rows_per_band: int,
+                           target_miss: float = 1e-3) -> float:
+    """Similarity above which banded-LSH recall is ≥ 1 - target_miss:
+    recall(s) = 1 - (1 - s^r)^b  ⇒  s* = (1 - target_miss^(1/b))^(1/r)."""
+    return float((1.0 - target_miss ** (1.0 / n_bands)) ** (1.0 / rows_per_band))
+
+
 def minhash_dedup_pairs(
     docs: ray.data.Dataset,
     threshold: float = 0.5,
@@ -281,49 +328,142 @@ def minhash_dedup_pairs(
     n_bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strict: bool = False,
+    pair_broadcast_max: int = PAIR_BROADCAST_MAX,
+    max_bucket: int = 200,
 ) -> pa.Table:
     """Full MinHash-LSH dedup: → verified (doc_a, doc_b, n_common, n_union)
     pairs with Jaccard ≥ threshold. Ties exact counts, so downstream can
-    recompute the ratio exactly. Verification is DISTRIBUTED
-    (``_verify_pairs_broadcast``: broadcast pair map, one bucketed shuffle
-    of candidate texts, exact Jaccard inside map_groups) — no driver-side
-    text dict; ``_join_pairs_to_payload`` is the hash-join fallback for
-    pair sets too large to broadcast."""
+    recompute the ratio exactly. Verification is DISTRIBUTED: below
+    ``pair_broadcast_max`` candidates, ``_verify_pairs_broadcast`` (broadcast
+    pair map, one bucketed shuffle of candidate texts, exact Jaccard inside
+    map_groups — no driver-side text dict); above it, the candidate set never
+    lands on the driver at all — ``_join_pairs_to_payload`` hash-joins pairs
+    to both payloads and a map_batches computes the exact Jaccard.
+
+    ``strict=True`` certifies the output is EXHAUSTIVE (equal to an exact
+    exhaustive pair scan), raising loudly when that cannot be guaranteed:
+    (a) a skew-guard bucket drop occurred, or (b) a verified pair's Jaccard
+    sits below the similarity where banded recall ≥ 0.999 — near-threshold
+    pairs mean sibling pairs may have been missed probabilistically. Used by
+    the oracle-backed query entries, which promise exact SQL parity."""
     bands = docs.map_batches(
         MinHashLSH(n_perm, n_bands, text_col, id_col), batch_format="pyarrow"
     )
-    cand = bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
-    pairs = _collect_distinct_pairs(cand)
-    if not pairs:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "n_common": pa.array([], pa.int64()), "n_union": pa.array([], pa.int64())}
-        )
+    cand = bands.groupby("bucket").map_groups(
+        lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
+    ).materialize()
+    n_cand = cand.count()
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "n_common": pa.array([], pa.int64()), "n_union": pa.array([], pa.int64())}
+    )
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # per-side dedup BEFORE pairing: a corpus with a duplicated doc_id
-        # would otherwise explode a pair to [side0, side0, side1] and compare
-        # a payload against itself (same guard as the embedding verify)
-        g = g.drop_duplicates(["pair_id", "side"])
-        out_p, out_c, out_u = [], [], []
-        for pid, gg in g.groupby("pair_id", sort=False):
-            if len(gg) < 2:
-                continue
-            s = gg.sort_values("side")
-            inter, union = exact_jaccard(s["payload"].iloc[0] or "",
-                                         s["payload"].iloc[1] or "")
+    if n_cand > pair_broadcast_max:
+        verified_tbl = _minhash_verify_join(cand, docs, id_col, text_col, threshold)
+    else:
+        pairs, guard_hits = _collect_distinct_pairs(cand)
+        if strict and guard_hits:
+            raise RuntimeError(
+                f"minhash strict mode: skew guard dropped {len(guard_hits)} "
+                f"degenerate bucket(s) of sizes {sorted(guard_hits)[-5:]} — "
+                "output is not exhaustive; raise max_bucket or drop strict"
+            )
+        if not pairs:
+            return empty
+
+        def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # per-side dedup BEFORE pairing: a corpus with a duplicated doc_id
+            # would otherwise explode a pair to [side0, side0, side1] and
+            # compare a payload against itself (same guard as embedding verify)
+            g = g.drop_duplicates(["pair_id", "side"])
+            out_p, out_c, out_u = [], [], []
+            for pid, gg in g.groupby("pair_id", sort=False):
+                if len(gg) < 2:
+                    continue
+                s = gg.sort_values("side")
+                inter, union = exact_jaccard(s["payload"].iloc[0] or "",
+                                             s["payload"].iloc[1] or "")
+                if union and inter / union >= threshold:
+                    out_p.append(int(pid))
+                    out_c.append(inter)
+                    out_u.append(union)
+            return pd.DataFrame({"pair_id": pd.Series(out_p, dtype="int64"),
+                                 "n_common": pd.Series(out_c, dtype="int64"),
+                                 "n_union": pd.Series(out_u, dtype="int64")})
+
+        verified = _verify_pairs_broadcast(pairs, docs, id_col, text_col, verify_bucket)
+        rows = [
+            (pairs[r["pair_id"]][0], pairs[r["pair_id"]][1], r["n_common"], r["n_union"])
+            for r in verified
+        ]
+        verified_tbl = _sorted_pair_table(
+            rows, ["doc_a", "doc_b", "n_common", "n_union"])
+
+    if strict and verified_tbl.num_rows:
+        s_star = _lsh_certify_threshold(n_bands, n_perm // n_bands)
+        jac = (np.asarray(verified_tbl.column("n_common").to_pylist(), dtype=np.float64)
+               / np.asarray(verified_tbl.column("n_union").to_pylist(), dtype=np.float64))
+        n_band_pairs = int((jac < s_star).sum())
+        if n_band_pairs:
+            raise RuntimeError(
+                f"minhash strict mode: {n_band_pairs} verified pair(s) have "
+                f"Jaccard in [{threshold}, {s_star:.3f}) where banded recall "
+                "< 0.999 — sibling near-threshold pairs may have been missed; "
+                "the exhaustive-output contract cannot be certified"
+            )
+    return verified_tbl
+
+
+def _minhash_verify_join(
+    cand: ray.data.Dataset, docs: ray.data.Dataset,
+    id_col: str, text_col: str, threshold: float,
+) -> pa.Table:
+    """Join-path verification for pair sets too large to broadcast: dedup
+    candidate pairs with a coarse-bucket groupby (per-key Ray aggregation at
+    millions of distinct pairs is the known trap — vectorized
+    drop_duplicates inside the bucket instead), hash-join both payload
+    sides, exact Jaccard in a map_batches. Guard sentinels (doc_a = -1)
+    filtered at the first map."""
+    import pyarrow.compute as pc
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("doc_a"), -1))
+        a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)
+        b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)
+        bkt = ((a * np.int64(2654435761) + b) % 256).astype(np.int32)
+        return t.append_column("pbkt", pa.array(bkt, pa.int32()))
+
+    distinct = (
+        cand.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("pbkt")
+        .map_groups(
+            lambda g: g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
+            batch_format="pandas",
+        )
+    )
+    joined = _join_pairs_to_payload(distinct, docs, id_col, text_col)
+
+    def verify(t: pa.Table) -> pa.Table:
+        pa_list = t.column("payload_a").to_pylist()
+        pb_list = t.column("payload_b").to_pylist()
+        out_a, out_b, out_c, out_u = [], [], [], []
+        for a, b, ta, tb in zip(t.column("doc_a").to_pylist(),
+                                t.column("doc_b").to_pylist(), pa_list, pb_list):
+            inter, union = exact_jaccard(ta or "", tb or "")
             if union and inter / union >= threshold:
-                out_p.append(int(pid))
+                out_a.append(int(a))
+                out_b.append(int(b))
                 out_c.append(inter)
                 out_u.append(union)
-        return pd.DataFrame({"pair_id": pd.Series(out_p, dtype="int64"),
-                             "n_common": pd.Series(out_c, dtype="int64"),
-                             "n_union": pd.Series(out_u, dtype="int64")})
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "n_common": pa.array(out_c, pa.int64()),
+                         "n_union": pa.array(out_u, pa.int64())})
 
-    verified = _verify_pairs_broadcast(pairs, docs, id_col, text_col, verify_bucket)
     rows = [
-        (pairs[r["pair_id"]][0], pairs[r["pair_id"]][1], r["n_common"], r["n_union"])
-        for r in verified
+        (r["doc_a"], r["doc_b"], r["n_common"], r["n_union"])
+        for r in joined.map_batches(verify, batch_format="pyarrow").take_all()
     ]
     return _sorted_pair_table(rows, ["doc_a", "doc_b", "n_common", "n_union"])
 
@@ -567,13 +707,19 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 500,
+    strict: bool = False,
 ) -> pa.Table:
     """Near-dup pairs with Hamming distance ≤ max_hamming. By pigeonhole, any
     pair within distance 3 shares at least one of the 4 16-bit bands → all 4
     bands explode into ONE bucketed shuffle carrying the signature; pairing
     AND exact-Hamming verification happen inside the bucket's map_groups; a
     final (doc_a, doc_b) groupby dedups across bands. No driver-side
-    signature map, single Dataset execution."""
+    signature map, single Dataset execution.
+
+    Pigeonhole banding has recall 1 (no probabilistic miss band), so the ONLY
+    way the output can diverge from an exhaustive scan is a skew-guard bucket
+    drop — ``strict=True`` (the oracle-backed query path) raises loudly when
+    one occurred, via sentinel rows (doc_a = -1) from the verify stage."""
     exploded = docs.map_batches(SimHashExplode(text_col, id_col), batch_format="pyarrow")
 
     def verify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -593,6 +739,11 @@ def simhash_dedup_pairs(
                     "simhash skew guard: dropping degenerate band key=%s with %d "
                     "docs (max_bucket=%d)", key, len(ids), max_bucket,
                 )
+                # sentinel row → strict callers fail loudly on coverage loss
+                out_a.append(-1)
+                out_b.append(len(ids))
+                out_sa.append(0)
+                out_sb.append(0)
                 continue
             iu, ju = np.triu_indices(len(ids), k=1)
             out_a.extend(ids[iu].tolist())
@@ -617,7 +768,15 @@ def simhash_dedup_pairs(
         .map_groups(verify_in_bucket, batch_format="pandas")
         .take_all()
     )
-    rows = sorted({(r["doc_a"], r["doc_b"], r["hamming"]) for r in verified})
+    guard_hits = sorted(r["doc_b"] for r in verified if r["doc_a"] == -1)
+    if strict and guard_hits:
+        raise RuntimeError(
+            f"simhash strict mode: skew guard dropped {len(guard_hits)} "
+            f"degenerate band bucket(s) of sizes {guard_hits[-5:]} — output "
+            "is not exhaustive; raise max_bucket or drop strict"
+        )
+    rows = sorted({(r["doc_a"], r["doc_b"], r["hamming"]) for r in verified
+                   if r["doc_a"] != -1})
     return _sorted_pair_table(list(rows), ["doc_a", "doc_b", "hamming"])
 
 
@@ -683,6 +842,8 @@ def embedding_neardup_pairs(
     n_bits: int | None = None,
     max_bucket: int = 2000,
     n_docs: int | None = None,
+    strict: bool = False,
+    pair_broadcast_max: int = PAIR_BROADCAST_MAX,
 ) -> pa.Table:
     """Pairs (a<b) with cosine ≥ threshold.
 
@@ -727,8 +888,19 @@ def embedding_neardup_pairs(
     )
     cand = exploded.groupby("bucket").map_groups(
         lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
-    )
-    pairs = _collect_distinct_pairs(cand)
+    ).materialize()
+    n_cand = cand.count()
+    if n_cand > pair_broadcast_max:
+        # pair set too large to broadcast: never lands on the driver —
+        # hash-join both vector sides, exact cosine in a map_batches
+        return _embedding_verify_join(cand, emb, id_col, vec_col, threshold)
+    pairs, guard_hits = _collect_distinct_pairs(cand)
+    if strict and guard_hits:
+        raise RuntimeError(
+            f"embedding strict mode: skew guard dropped {len(guard_hits)} "
+            f"degenerate LSH bucket(s) of sizes {sorted(guard_hits)[-5:]} — "
+            "output is not exhaustive; raise max_bucket or drop strict"
+        )
     if not pairs:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
@@ -753,6 +925,71 @@ def embedding_neardup_pairs(
     verified = _verify_pairs_broadcast(pairs, emb, id_col, vec_col, verify_bucket)
     rows = sorted(
         {(min(pairs[r["pair_id"]]), max(pairs[r["pair_id"]])) for r in verified}
+    )
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def _embedding_verify_join(
+    cand: ray.data.Dataset, emb: ray.data.Dataset,
+    id_col: str, vec_col: str, threshold: float,
+) -> pa.Table:
+    """Join-path exact-cosine verification for candidate sets too large to
+    broadcast. Vectors are PACKED to float64 binary before the hash join
+    (acero join aggregators reject list<float> payload columns) and unpacked
+    inside the verifying map_batches. Pair dedup happens in a coarse-bucket
+    groupby (vectorized drop_duplicates — never per-key Ray aggregation)."""
+    import pyarrow.compute as pc
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("doc_a"), -1))
+        a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)
+        b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)
+        bkt = ((a * np.int64(2654435761) + b) % 256).astype(np.int32)
+        return t.append_column("pbkt", pa.array(bkt, pa.int32()))
+
+    distinct = (
+        cand.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("pbkt")
+        .map_groups(
+            lambda g: g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
+            batch_format="pandas",
+        )
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        mat = np.stack(t.column(vec_col).to_pylist()).astype(np.float64)
+        return pa.table({
+            id_col: t.column(id_col),
+            vec_col: pa.array([row.tobytes() for row in mat], pa.binary()),
+        })
+
+    packed = emb.map_batches(pack, batch_format="pyarrow")
+    joined = _join_pairs_to_payload(distinct, packed, id_col, vec_col)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        va = _normalize_rows(np.stack(
+            [np.frombuffer(b, dtype=np.float64) for b in t.column("payload_a").to_pylist()]
+        ))
+        vb = _normalize_rows(np.stack(
+            [np.frombuffer(b, dtype=np.float64) for b in t.column("payload_b").to_pylist()]
+        ))
+        cos = (va * vb).sum(axis=1)
+        keep = cos >= threshold
+        a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)[keep]
+        b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"doc_a": pa.array(lo, pa.int64()),
+                         "doc_b": pa.array(hi, pa.int64())})
+
+    rows = sorted(
+        {(r["doc_a"], r["doc_b"])
+         for r in joined.map_batches(verify, batch_format="pyarrow").take_all()}
     )
     return pa.table({
         "doc_a": pa.array([r[0] for r in rows], pa.int64()),

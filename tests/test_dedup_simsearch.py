@@ -345,3 +345,95 @@ def test_join_pairs_to_payload_fallback():
     assert got[(0, 1)] == ("payload 0", "payload 1")
     assert got[(2, 9)] == ("payload 2", "payload 9")
     assert got[(7, 8)] == ("payload 7", "payload 8")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_join_path_equals_broadcast(planted):
+    """Forcing the auto join fallback (pair_broadcast_max=0) must produce
+    output identical to the broadcast-verify path."""
+    from omni_ray.stages.dedup import minhash_dedup_pairs
+
+    broadcast = minhash_dedup_pairs(planted, threshold=0.5)
+    joined = minhash_dedup_pairs(planted, threshold=0.5, pair_broadcast_max=0)
+    assert broadcast.to_pydict() == joined.to_pydict()
+    assert joined.num_rows >= 8  # the planted pairs actually flowed through
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_join_path_equals_broadcast():
+    """Embedding near-dup: the join fallback (binary-packed vectors through
+    the hash join) must equal the broadcast-verify path."""
+    import ray.data
+
+    from omni_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(4, 12))
+    vecs, ids = [], []
+    vid = 0
+    for b in base:
+        for _ in range(3):
+            vecs.append((b + rng.normal(scale=1e-3, size=12)).tolist())
+            ids.append(vid)
+            vid += 1
+    for _ in range(15):
+        vecs.append(rng.normal(size=12).tolist())
+        ids.append(vid)
+        vid += 1
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float64())),
+    })).materialize()
+    broadcast = embedding_neardup_pairs(ds, threshold=0.95)
+    joined = embedding_neardup_pairs(ds, threshold=0.95, pair_broadcast_max=0)
+    assert broadcast.num_rows >= 12  # 4 clusters x C(3,2)
+    assert broadcast.to_pydict() == joined.to_pydict()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_strict_mode_raises_on_skew_guard():
+    """strict=True turns a silent skew-guard bucket drop into a loud failure
+    (the oracle-exactness contract) for minhash AND simhash."""
+    import ray.data
+
+    from omni_ray.stages.dedup import minhash_dedup_pairs, simhash_dedup_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    dup = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array([text] * 8, pa.string()),
+    })
+    ds = ray.data.from_arrow(dup).materialize()
+    with pytest.raises(RuntimeError, match="skew guard"):
+        minhash_dedup_pairs(ds, threshold=0.5, strict=True, max_bucket=5)
+    with pytest.raises(RuntimeError, match="skew guard"):
+        simhash_dedup_pairs(ds, max_hamming=3, strict=True, max_bucket=5)
+    # non-strict: same corpora degrade gracefully (guard drop, no raise)
+    out = minhash_dedup_pairs(ds, threshold=0.5, max_bucket=5)
+    assert out.num_rows == 0
+    assert -1 not in out["doc_a"].to_pylist()  # sentinels never leak out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_strict_mode_raises_in_lsh_miss_band():
+    """A verified pair whose Jaccard sits below the recall>=0.999 similarity
+    (~0.77 at 16x4 banding) must fail loudly in strict mode: sibling pairs at
+    that similarity may have been missed probabilistically."""
+    import ray.data
+
+    from omni_ray.stages.dedup import exact_jaccard, minhash_dedup_pairs
+
+    words = [f"w{i}" for i in range(40)]
+    ta = " ".join(words)
+    # overlap ~75%: swap the last 6 words
+    tb = " ".join(words[:34] + [f"x{i}" for i in range(6)])
+    inter, union = exact_jaccard(ta, tb)
+    assert 0.5 <= inter / union < 0.77  # the pair sits inside the miss band
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([ta, tb], pa.string()),
+    })).materialize()
+    found = minhash_dedup_pairs(ds, threshold=0.5)
+    if found.num_rows:  # LSH recalled it (deterministic under the fixed seed)
+        with pytest.raises(RuntimeError, match="miss"):
+            minhash_dedup_pairs(ds, threshold=0.5, strict=True)

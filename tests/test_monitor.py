@@ -84,3 +84,19 @@ def test_monitor_tick_gauges_history_alerts(tmp_path):
     assert health["status"] == "healthy"
     assert health["services"]["ray"] == "healthy"
     assert health["services"]["history_store"] == "healthy"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_metrics_empty_dataset():
+    """A zero-article wave is a normal monitor tick: Dataset.aggregate
+    returns None on empty input and the metrics must degrade to zeros, not
+    TypeError."""
+    import ray.data
+
+    from omni_ray.pipelines.monitor import collect_corpus_metrics
+
+    ds = ray.data.from_arrow(_articles_tbl(0))
+    m = collect_corpus_metrics(ds, now_us=1_700_000_000_000_000)
+    assert m["total_articles"] == 0
+    assert m["avg_quality"] == 0.0
+    assert m["unique_domains"] == 0
