@@ -51,14 +51,40 @@ def evaluate_condition(value: float, condition: str, threshold: float) -> bool:
 
 
 class AlertEngine:
-    """Rule registry + evaluation with deterministic cooldown clock."""
+    """Rule registry + evaluation with deterministic cooldown clock, plus a
+    pluggable notification-channel registry (the reference's
+    dashboard/email/slack/webhook dispatch, alert_engine.py:202-215): a
+    channel is any callable(alert_dict); a triggered rule is dispatched to
+    every REGISTERED channel named in its ``channels`` list. Unregistered
+    channel names are skipped and counted (the reference logs-and-continues;
+    a sink failure likewise never blocks evaluation)."""
 
     def __init__(self, rules: list[AlertRule] | None = None):
         self.rules: dict[str, AlertRule] = {r.id: r for r in (rules or [])}
         self.history: list[dict] = []
+        self.channels: dict[str, object] = {}
+        self.dispatch_stats: dict[str, int] = {"sent": 0, "skipped": 0, "failed": 0}
 
     def add_rule(self, rule: AlertRule) -> None:
         self.rules[rule.id] = rule
+
+    def register_channel(self, name: str, sink) -> None:
+        """Register a notification sink: callable(alert: dict) -> None.
+        Ships with none — log/parquet/webhook-shaped sinks are supplied by
+        the caller (see make_log_channel / make_parquet_channel)."""
+        self.channels[name] = sink
+
+    def _dispatch(self, alert: dict) -> None:
+        for ch in alert["channels"]:
+            sink = self.channels.get(ch)
+            if sink is None:
+                self.dispatch_stats["skipped"] += 1
+                continue
+            try:
+                sink(alert)
+                self.dispatch_stats["sent"] += 1
+            except Exception:
+                self.dispatch_stats["failed"] += 1
 
     def evaluate(self, metrics: dict, now_minutes: float = 0.0) -> list[dict]:
         triggered = []
@@ -87,7 +113,54 @@ class AlertEngine:
                 triggered.append(alert)
                 self.history.append(alert)
                 rule.last_triggered = now_minutes
+                self._dispatch(alert)
         return triggered
+
+
+def make_log_channel(records: list | None = None):
+    """Log-shaped sink: appends alerts to a list (and the module logger)."""
+    import logging
+
+    log = logging.getLogger("omni_ray.alerts")
+    sink_records = records if records is not None else []
+
+    def sink(alert: dict) -> None:
+        sink_records.append(alert)
+        log.warning("ALERT %s: %s=%s (threshold %s)", alert["severity"],
+                    alert["metric"], alert["value"], alert["threshold"])
+
+    sink.records = sink_records
+    return sink
+
+
+def make_parquet_channel(out_dir: str):
+    """Parquet-shaped sink: one file per dispatched alert (append-only dir,
+    names keyed by rule + clock so retries are idempotent)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(alert: dict) -> None:
+        name = f"{alert['rule_id']}-{alert['at_minutes']:.0f}.parquet"
+        pq.write_table(
+            pa.table({k: [v] for k, v in alert.items() if k != "channels"}),
+            os.path.join(out_dir, name),
+        )
+
+    return sink
+
+
+def make_webhook_channel(post):
+    """Webhook-shaped sink: ``post(url_payload: dict)`` is caller-supplied
+    (no network in-sandbox; in production, e.g. requests.post partial)."""
+
+    def sink(alert: dict) -> None:
+        post({"text": f"[{alert['severity']}] {alert['name']}", "alert": alert})
+
+    return sink
 
 
 def crawl_metrics_from_counters(counters_rows: list[dict]) -> dict:

@@ -567,7 +567,8 @@ def knn_lsh_q(sf_dir: str):
     ).slice(0, N_QUERIES)
     ids = head.column("vec_id").to_pylist()
     vecs = np.asarray(head.column("embedding").to_pylist(), dtype=np.float64)
-    return knn_lsh(_emb(sf_dir), vecs, ids, k=KNN_K)
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    return knn_lsh(_emb(sf_dir), vecs, ids, k=KNN_K, n_docs=n)
 
 
 def knn_ivf_q(sf_dir: str):

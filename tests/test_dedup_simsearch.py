@@ -437,3 +437,43 @@ def test_strict_mode_raises_in_lsh_miss_band():
     if found.num_rows:  # LSH recalled it (deterministic under the fixed seed)
         with pytest.raises(RuntimeError, match="miss"):
             minhash_dedup_pairs(ds, threshold=0.5, strict=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_corpus", [400, 3200])
+def test_knn_lsh_adaptive_recall_clustered(n_corpus):
+    """Adaptive knn_lsh (planes ~ log2(n/8), Hamming-budgeted probing) must
+    hold recall >= 0.9 vs brute force on CLUSTERED corpora at two sizes —
+    the realistic embedding workload where neighbors share LSH buckets.
+    (Pure random Gaussian vectors are the adversarial case for any LSH and
+    are covered by the weaker bound in test_knn_lsh_recall_vs_bruteforce.)"""
+    import ray.data
+
+    from omni_ray.stages.simsearch import knn_bruteforce, knn_lsh
+
+    rng = np.random.RandomState(23)
+    n_clusters = n_corpus // 20
+    centers = rng.normal(size=(n_clusters, 24))
+    vecs = np.repeat(centers, 20, axis=0) + rng.normal(
+        scale=0.05, size=(n_corpus, 24)
+    )
+    ids = np.arange(n_corpus, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl).materialize()
+    qvecs, qids = vecs[:5], ids[:5].tolist()
+    exact = knn_bruteforce(ds, qvecs, qids, k=10)
+    approx = knn_lsh(ds, qvecs, qids, k=10, n_docs=n_corpus)
+
+    def topsets(t):
+        out = {}
+        for q, n in zip(t["query_id"].to_pylist(), t["neighbor_id"].to_pylist()):
+            out.setdefault(q, set()).add(n)
+        return out
+
+    ex, ap = topsets(exact), topsets(approx)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # determinism: same input -> identical table
+    again = knn_lsh(ds, qvecs, qids, k=10, n_docs=n_corpus)
+    assert approx.equals(again)

@@ -260,3 +260,49 @@ def test_crawl_config_from_dict():
     # defaults mirror the reference config
     d = CrawlConfig()
     assert d.budget_per_host == 5 and d.crawl_interval_seconds == 300
+
+
+def test_alert_channel_registry_dispatch(tmp_path):
+    """A triggered rule dispatches to every registered channel it names,
+    cooldown suppresses re-dispatch, unregistered names are skipped, and a
+    failing sink never blocks evaluation."""
+    import os
+
+    from omni_ray.pipelines.alerts import (
+        AlertEngine,
+        AlertRule,
+        make_log_channel,
+        make_parquet_channel,
+    )
+
+    eng = AlertEngine([
+        AlertRule(id="r1", name="high errors", metric="crawl.error_rate",
+                  condition=">", threshold=0.5, cooldown_minutes=30,
+                  channels=["log", "parquet", "missing", "broken"]),
+    ])
+    log_sink = make_log_channel()
+    eng.register_channel("log", log_sink)
+    pq_dir = str(tmp_path / "alerts")
+    eng.register_channel("parquet", make_parquet_channel(pq_dir))
+
+    def broken(alert):
+        raise RuntimeError("sink down")
+
+    eng.register_channel("broken", broken)
+
+    metrics = {"crawl": {"error_rate": 0.9}}
+    t1 = eng.evaluate(metrics, now_minutes=0.0)
+    assert len(t1) == 1
+    assert len(log_sink.records) == 1
+    assert len(os.listdir(pq_dir)) == 1
+    assert eng.dispatch_stats == {"sent": 2, "skipped": 1, "failed": 1}
+
+    # within cooldown: no trigger, no new dispatch
+    assert eng.evaluate(metrics, now_minutes=10.0) == []
+    assert len(log_sink.records) == 1
+
+    # after cooldown: dispatched again to both working channels
+    t3 = eng.evaluate(metrics, now_minutes=31.0)
+    assert len(t3) == 1
+    assert len(log_sink.records) == 2
+    assert len(os.listdir(pq_dir)) == 2
