@@ -18,60 +18,21 @@ from collections.abc import Callable
 from typing import Any
 
 
-def _pages_html(doc_id: int, text: str) -> bytes:
-    paras = [text[i : i + 400] for i in range(0, max(len(text), 1), 400)]
-    body = "\n".join(f"<p>{p}</p>" for p in paras)
-    return (
-        f"<html><head><title>Document {doc_id} synthetic article</title>"
-        f'<meta name="author" content="Synthetic Author">'
-        f'<meta property="published_time" content="2024-01-{(doc_id % 27) + 1:02d}T00:00:00Z">'
-        f"</head><body><article>\n{body}\n</article></body></html>"
-    ).encode()
-
-
-def _documents_as_pages(sf_dir: str):
-    """documents(text) → pages(url, warc_ts, html, text, lang) shape."""
-    import pyarrow as pa
-    import ray.data
-
-    def to_pages(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        texts = [x or "" for x in t.column("text").to_pylist()]
-        langs = t.column("lang").to_pylist()
-        base = 1_700_000_000_000_000
-        return pa.table(
-            {
-                "url": pa.array(
-                    [f"https://docs.example.com/d/{i}" for i in ids], pa.string()
-                ),
-                "warc_ts": pa.array(
-                    [base + int(i) * 1_000_000 for i in ids], pa.timestamp("us")
-                ),
-                "html": pa.array([_pages_html(i, x) for i, x in zip(ids, texts)], pa.binary()),
-                "text": pa.array(texts, pa.string()),
-                "lang": pa.array(langs, pa.string()),
-            }
-        )
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
-    return ds.map_batches(to_pages, batch_format="pyarrow")
-
-
 def entry() -> Any:
     """Flagship: sf0.001 documents → pages shape → clean/extract/enrich/
     validate/assemble → 41-column article Dataset."""
     from omni_ray.pipelines.articles import article_pipeline
+    from omni_ray.sources.docpages import documents_as_pages
 
-    pages = _documents_as_pages("/root/testdata/sf0.001")
+    pages = documents_as_pages("/root/testdata/sf0.001")
     return article_pipeline(pages, gate_articles=False)
 
 
 def _articles41(sf_dir: str):
     from omni_ray.pipelines.articles import article_pipeline
+    from omni_ray.sources.docpages import documents_as_pages
 
-    return article_pipeline(_documents_as_pages(sf_dir), gate_articles=False)
+    return article_pipeline(documents_as_pages(sf_dir), gate_articles=False)
 
 
 def _crawl_schedule(sf_dir: str):

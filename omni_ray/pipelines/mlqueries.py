@@ -591,6 +591,120 @@ def text_stats_q(sf_dir: str):
     return ds.map_batches(text_stats_batch, batch_format="pyarrow").drop_columns(["text"])
 
 
+def articles41_core(sf_dir: str):
+    """Oracle-backed core of the 41-column article artifact (SURVEY.md M22).
+
+    Runs the REAL clean→extract→enrich→assemble pipeline over the synthesized
+    pages (sources/docpages.py) and projects the columns whose values are
+    exactly derivable from the ``documents`` table by pure string/hash SQL:
+    article_id (simple_crawler.py:134-143 rule), content, content_length,
+    content_hash (enhanced_article.py:84-87 rule), language, read_time,
+    quality_score band, publish day. The DuckDB twin re-derives the cleaner's
+    single-paragraph closed form (content == periodized text iff len>=100 and
+    words>=24) and enrich's exact rules, including Python banker's rounding
+    in read-time."""
+    import pyarrow.compute as pc
+
+    from ..sources.docpages import documents_as_pages
+    from .articles import article_pipeline
+
+    arts = article_pipeline(documents_as_pages(sf_dir), gate_articles=False)
+    prefix = len("https://docs.example.com/d/")
+
+    def core(t: pa.Table) -> pa.Table:
+        did = pc.cast(
+            pc.utf8_slice_codeunits(t.column("url"), start=prefix, stop=2**30),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": did,
+                "article_id": t.column("article_id"),
+                "title": t.column("title"),
+                "content": t.column("content"),
+                "content_length": pc.cast(t.column("content_length"), pa.int64()),
+                "content_hash": t.column("content_hash"),
+                "language": t.column("language"),
+                "read_time": pc.cast(t.column("read_time"), pa.int64()),
+                "quality_score": pc.cast(t.column("quality_score"), pa.int64()),
+                "publish_day": pc.cast(pc.day(t.column("publish_date")), pa.int64()),
+            }
+        )
+
+    return arts.map_batches(core, batch_format="pyarrow")
+
+
+# The cleaner's ladder on a one-<p> page reduces to: content = ptext iff
+# len(ptext) >= 100 AND word_count >= 24 (>=2 sentences), else ''.  ptext =
+# 12-word groups joined '. ' + trailing '.', short tail merged into the last
+# group (docpages.periodize).  read_time = max(1, round_half_even(wc/200));
+# language = 'en' iff >5 distinct ENGLISH_COMMON words (2+ letters) appear;
+# quality = 30 (title>20 chars +20, authors +10) + content-length band.
+SQL_ARTICLES41_CORE = r"""
+WITH base AS (
+  SELECT doc_id,
+         'https://docs.example.com/d/' || doc_id AS url,
+         'Document ' || doc_id || ' synthetic article' AS title,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN NULL
+              ELSE str_split(trim(coalesce(text, '')), ' ') END AS ws
+  FROM documents
+), p AS (
+  SELECT doc_id, url, title, ws,
+         coalesce(len(ws), 0) AS wc,
+         greatest(1, coalesce(len(ws), 0) // 12) AS n_groups
+  FROM base
+), pt AS (
+  SELECT doc_id, url, title, wc, n_groups,
+         CASE WHEN wc = 0 THEN ''
+              ELSE array_to_string(
+                     list_transform(range(0, n_groups), gi ->
+                       array_to_string(
+                         ws[gi * 12 + 1 :
+                            CASE WHEN gi = n_groups - 1 THEN wc
+                                 ELSE (gi + 1) * 12 END],
+                         ' ')),
+                     '. ') || '.'
+         END AS ptext
+  FROM p
+), c AS (
+  SELECT doc_id, url, title,
+         CASE WHEN length(ptext) >= 100 AND wc >= 24 THEN ptext ELSE '' END AS content,
+         CASE WHEN length(ptext) >= 100 AND wc >= 24 THEN wc ELSE 0 END AS cwc
+  FROM pt
+), r AS (
+  SELECT *, cwc // 200 AS rq, cwc % 200 AS rr FROM c
+)
+SELECT doc_id,
+       'article_' || substr(md5(url), 1, 8) || '_' || substr(md5(content), 1, 8)
+         AS article_id,
+       title,
+       content,
+       CAST(length(content) AS BIGINT) AS content_length,
+       sha256(title || content || url) AS content_hash,
+       CASE WHEN (
+         CAST(regexp_matches(content, '\bthe\b') AS INT) +
+         CAST(regexp_matches(content, '\band\b') AS INT) +
+         CAST(regexp_matches(content, '\bof\b') AS INT) +
+         CAST(regexp_matches(content, '\bto\b') AS INT) +
+         CAST(regexp_matches(content, '\bin\b') AS INT) +
+         CAST(regexp_matches(content, '\bis\b') AS INT) +
+         CAST(regexp_matches(content, '\byou\b') AS INT) +
+         CAST(regexp_matches(content, '\bthat\b') AS INT) +
+         CAST(regexp_matches(content, '\bit\b') AS INT)
+       ) > 5 THEN 'en' ELSE 'unknown' END AS language,
+       CAST(greatest(1, rq + CASE WHEN 2 * rr > 200 THEN 1
+                                  WHEN 2 * rr = 200 THEN rq % 2
+                                  ELSE 0 END) AS BIGINT) AS read_time,
+       CAST(30 + CASE WHEN length(content) > 2000 THEN 30
+                      WHEN length(content) > 1000 THEN 25
+                      WHEN length(content) > 500 THEN 20
+                      WHEN length(content) > 200 THEN 10
+                      ELSE 0 END AS BIGINT) AS quality_score,
+       CAST((doc_id % 27) + 1 AS BIGINT) AS publish_day
+FROM r
+"""
+
+
 def media_features_q(sf_dir: str):
     """Multimodal plumbing over a deterministic synthetic media table sized
     by sf (no image libs in-env: fake decode kernel, real Ray plumbing)."""
@@ -613,6 +727,7 @@ ML_REGISTRY = {
     "duplicate_of": (duplicate_of_q, SQL_DUPLICATE_OF),
     "quality_filter": (quality_filter, SQL_QUALITY_FILTER),
     "decontaminate": (decontaminate, SQL_DECONTAMINATE),
+    "articles41_core": (articles41_core, SQL_ARTICLES41_CORE),
 }
 
 ML_ROWS_ONLY = {
