@@ -16,6 +16,12 @@ Wave anatomy — ONE fused map chain, ONE frontier shuffle, one fetch shuffle:
       partitioned lookup against the hash-bucketed pages parquet]
     → clean/extract/enrich/validate/assemble → epoch parquet.
 
+In the distributed regime (the default), fetch→extract is ONE streaming
+execution per wave (extraction of early buckets overlaps fetching of later
+ones), seen-marking runs as its own narrow background pass, and each wave's
+fetch→extract→store runs as a background job on a single-worker executor so
+the driver prepares wave N+1's split while wave N's extract still streams.
+
 The frontier metadata (urls only, no html) passes through the driver per
 wave for scheduling artifacts — at 10^10-URL scale this split writes back to
 Parquet via Dataset ops keyed on the same host partitioning instead
@@ -147,26 +153,21 @@ class _WaveCounter:
     Adds are keyed by (wave, fine-bucket id), making them IDEMPOTENT under
     Ray task retries / lineage recomputation: a re-executed bucket overwrites
     its own entry instead of double-counting (same requirement the fused
-    _SeenAdd documents for actor side effects). The wave token also rejects
-    STALE adds: wave N's fetch tasks can re-execute during wave N+1 (lineage
-    reconstruction of blocks backing the background article writes), and an
-    unkeyed add would silently corrupt the next wave's tally."""
+    _SeenAdd documents for actor side effects). Waves overlap now (wave N's
+    stream can still be finishing while wave N+1's fetch starts), so tallies
+    are stored PER WAVE instead of reset — a late add from a re-executed
+    wave-N task lands in wave N's own dict and cannot corrupt wave N+1."""
 
     def __init__(self):
-        self.buckets: dict[int, tuple[int, int]] = {}
-        self.wave = -1
+        self.waves: dict[int, dict[int, tuple[int, int]]] = {}
 
     def add(self, wave: int, key: int, total: int, hits: int) -> None:
-        if wave == self.wave:
-            self.buckets[key] = (total, hits)
+        self.waves.setdefault(wave, {})[key] = (total, hits)
 
-    def get(self) -> tuple[int, int]:
-        return (sum(t for t, _ in self.buckets.values()),
-                sum(h for _, h in self.buckets.values()))
-
-    def reset(self, wave: int) -> None:
-        self.buckets = {}
-        self.wave = wave
+    def get(self, wave: int) -> tuple[int, int]:
+        buckets = self.waves.get(wave, {})
+        return (sum(t for t, _ in buckets.values()),
+                sum(h for _, h in buckets.values()))
 
 
 class _FetchBucket:
@@ -371,7 +372,15 @@ def run_crawl(
     # in wave order (resume scans for the LAST complete epoch) and `totals`
     # has a single mutator thread.
     completer = _cf.ThreadPoolExecutor(max_workers=1)
+    # SINGLE-worker job executor (distributed mode): each wave's
+    # fetch→extract→store runs as one background job, so the driver prepares
+    # wave N+1's split (annotate/rank/schedule artifacts) while wave N's
+    # extract still streams. One worker ⇒ jobs run back-to-back in wave
+    # order, which keeps completer submissions (and _COMPLETE markers) in
+    # wave order and never runs two extract chains concurrently.
+    jobs = _cf.ThreadPoolExecutor(max_workers=1)
     epoch_futs: list = []
+    job_futs: list = []
     wave_counter = _WaveCounter.remote()  # per-wave fetch lineage tally
     import time as _time
 
@@ -384,10 +393,89 @@ def run_crawl(
             print(f"[crawl-timing] {label}: {now - _t0[0]:.2f}s", flush=True)
             _t0[0] = now
 
+    def _run_wave_job(sched_ds, epoch_dir, counters, wave, pending):
+        """One wave's fetch→extract→store, run on the single-worker job
+        executor. Fetch and extract are ONE streaming execution: the sort's
+        reduce tasks only do the bucket lookup, and the streaming
+        repartition after the hit-filter restores per-block extract tasks —
+        extraction of early buckets overlaps fetching of later ones (the
+        old post-fetch materialize barrier cost ~2 s per wave at 32 cpus;
+        the seen-marking that barrier used to order now runs as its own
+        narrow pass, see _mark_and_ckpt in the caller)."""
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_fine = n_buckets * max(1, (2 * cpus) // n_buckets)
+        ds = sched_ds.map_batches(
+            lambda t: _bucket_batch(t, n_fine), batch_format="pyarrow"
+        )
+        fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter,
+                             wave=wave)
+        fetched = ds.groupby("bucket").map_groups(
+            lambda g: fetch(g), batch_format="pandas"
+        )
+        hits = fetched.map_batches(
+            lambda t: t.filter(pa.compute.equal(t.column("http_status"), 200)),
+            batch_format="pyarrow",
+        )
+        # the sort sizes its output partitions from its (narrow, bundled)
+        # input blocks — a handful of wide blocks would run extract at
+        # matching low parallelism; split rows-per-block WITHOUT an
+        # all-to-all so the CPU-heavy extract stage fills the cluster
+        hits = hits.repartition(target_num_rows_per_block=1024)
+        articles = article_pipeline(
+            hits, enrich_concurrency=enrich_concurrency
+        ).materialize()
+        _tick("job-fetch-extract")
+        if os.environ.get("OMNI_RAY_STATS") == "1":
+            print(articles.stats(), flush=True)
+        n_articles = articles.count()
+        n_total, n_hits = ray.get(wave_counter.get.remote(wave))
+        # every scheduled row flowed through fetch, so n_total == n_sched
+        counters.append(("*", "fetched", int(n_hits)))
+        counters.append(("*", "fetch_missed", n_total - int(n_hits)))
+        counters.append(("*", "articles_stored", n_articles))
+        if n_articles:
+            from .articles import entities_pipeline
+
+            w1 = pool.submit(
+                articles.write_parquet, os.path.join(epoch_dir, "articles")
+            )
+            w2 = pool.submit(
+                lambda a=articles: entities_pipeline(a).write_parquet(
+                    os.path.join(epoch_dir, "entities")
+                )
+            )
+            pending.extend([w1, w2])
+        epoch_futs.append(completer.submit(
+            _complete_epoch, list(pending), epoch_dir, counters, wave))
+
+    def _empty_wave_job(epoch_dir, counters, wave):
+        # routed through the JOB executor so it queues behind every earlier
+        # wave's job — keeps completer submissions in wave order
+        epoch_futs.append(completer.submit(
+            _finish_and_acc, epoch_dir, counters, wave))
+
+    # wave N-1's seen-marking + shard-checkpoint chain: joined at loop-top
+    # before wave N's annotate reads the shards
+    mark_ckpt_fut = None
+    prev_deferred_fut = None
+
     try:
         wave = start_wave
         while wave < start_wave + max_waves:
             _tick("loop-top")
+            # join wave N-1's deferred-frontier snapshot (we read it next)
+            # and its seen-marking/checkpoint chain (annotate reads, then
+            # this wave's marking mutates, the same shard actors)
+            if prev_deferred_fut is not None:
+                prev_deferred_fut.result()
+                prev_deferred_fut = None
+            if mark_ckpt_fut is not None:
+                mark_ckpt_fut.result()
+                mark_ckpt_fut = None
+            # surface background job/completion errors promptly
+            for f in job_futs + epoch_futs:
+                if f.done():
+                    f.result()
             frontier_tbl = _read_frontier(frontier_path)
             _tick("read-frontier")
             epoch_dir = os.path.join(out_dir, f"epoch={wave:04d}")
@@ -422,24 +510,38 @@ def run_crawl(
                     ranked, seen, epoch_dir, counters, robots is not None, pool
                 )
                 if out is None:
-                    # route through the completer so this epoch's _COMPLETE
-                    # lands after every earlier epoch's
-                    epoch_futs.append(completer.submit(
-                        _finish_and_acc, epoch_dir, counters, wave))
+                    # route through the JOB queue (then the completer) so
+                    # this epoch's _COMPLETE lands after every earlier
+                    # epoch's
+                    job_futs.append(jobs.submit(
+                        _empty_wave_job, epoch_dir, counters, wave))
                     frontier_path = os.path.join(epoch_dir, "frontier_next")
                     wave += 1
                     break
                 sched_ds, pending, deferred_fut = out
-                # seen-marking fuses into the fetch/extract execution below
-                # (idempotent actor adds; completed before this wave's extract
-                # materializes, i.e. before the next wave's annotate runs)
-                sched_ds = sched_ds.map_batches(
-                    _SeenAdd(seen.shards, seen.n_shards),
-                    batch_format="pyarrow", batch_size=4096,
-                )
-                n_sched = None  # known after the fused execution (wave_counter)
                 _tick("wave-split")
-                frontier_next_path = os.path.join(epoch_dir, "frontier_next")
+
+                # seen-marking as its OWN narrow pass over the materialized
+                # ranked blocks, chained with the epoch's shard checkpoint —
+                # off the fetch path, so the fetch→extract stream needs no
+                # materialize barrier; the NEXT wave's annotate joins this
+                # chain at loop-top before reading the shards
+                def _mark_and_ckpt(sds=sched_ds, ed=epoch_dir):
+                    sds.map_batches(
+                        _SeenAdd(seen.shards, seen.n_shards),
+                        batch_format="pyarrow", batch_size=4096,
+                    ).count()
+                    seen.checkpoint(os.path.join(ed, "seen_shards"))
+
+                mark_ckpt_fut = pool.submit(_mark_and_ckpt)
+                pending.append(mark_ckpt_fut)
+                job_futs.append(jobs.submit(
+                    _run_wave_job, sched_ds, epoch_dir, counters, wave,
+                    pending))
+                prev_deferred_fut = deferred_fut
+                frontier_path = os.path.join(epoch_dir, "frontier_next")
+                wave += 1
+                continue
             else:
                 ranked_pdf = ranked.to_pandas()
                 if "host_bucket" in ranked_pdf.columns:
@@ -485,11 +587,10 @@ def run_crawl(
                 n_sched = len(sched_pdf)
                 frontier_next_path = os.path.join(epoch_dir, "frontier_next.parquet")
 
-            # ---- fetch, then extract ------------------------------------------
+            # ---- driver-mode fetch, then extract (synchronous) ---------------
             # fine-bucket so the fetch emits ~4 blocks per core (same file per
             # fine bucket — see _FetchBucket); the wave lineage (fetched/missed)
-            # comes from the _WaveCounter actor
-            ray.get(wave_counter.reset.remote(wave))
+            # comes from the _WaveCounter actor.
             # factor 2 (≈2 fine buckets per core) measured best at 32 cpus: the
             # sort shuffle cost grows with partition count while extract's
             # straggler risk is already covered by the rows-per-block split below
@@ -500,13 +601,9 @@ def run_crawl(
             )
             fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter,
                                  wave=wave)
-            # materialize the fetch output: fully fusing fetch+extract into one
-            # execution makes the sort's reduce tasks carry the whole extract
-            # chain, collapsing extract parallelism (measured 3× slower at 200k);
-            # the barrier costs one narrow-row pass and restores per-block tasks
             fetched = sched_ds.groupby("bucket").map_groups(
                 lambda g: fetch(g), batch_format="pandas"
-            ).materialize()
+            )
             _tick("fetch")
             hits = fetched.map_batches(
                 lambda t: t.filter(pa.compute.equal(t.column("http_status"), 200)),
@@ -523,22 +620,9 @@ def run_crawl(
             if os.environ.get("OMNI_RAY_STATS") == "1":
                 print(articles.stats(), flush=True)
             n_articles = articles.count()
-            n_total, n_hits = ray.get(wave_counter.get.remote())
-            if n_sched is None:
-                n_sched = n_total  # every scheduled row flowed through fetch
+            n_total, n_hits = ray.get(wave_counter.get.remote(wave))
             counters.append(("*", "fetched", int(n_hits)))
             counters.append(("*", "fetch_missed", n_sched - int(n_hits)))
-            if distributed_frontier:
-                # marking completed inside the fused execution — checkpoint now,
-                # overlapped with the store writes below. The checkpoint MUST
-                # be joined before the next wave runs: wave N+1's fused
-                # _SeenAdd mutates the same shard actors, and a late-running
-                # checkpoint would absorb wave-N+1 hashes into epoch N's
-                # snapshot (resume would then silently drop those URLs).
-                ckpt_fut = pool.submit(
-                    seen.checkpoint, os.path.join(epoch_dir, "seen_shards")
-                )
-                pending.append(ckpt_fut)
             if n_articles:
                 # the two store writes consume the same materialized dataset —
                 # run them concurrently in the writer pool
@@ -550,37 +634,20 @@ def run_crawl(
                         os.path.join(epoch_dir, "entities")
                     )
                 )
-                if distributed_frontier:
-                    pending.extend([w1, w2])
-                else:
-                    w1.result()
-                    w2.result()
+                w1.result()
+                w2.result()
             counters.append(("*", "articles_stored", n_articles))
 
-            if distributed_frontier:
-                # before the next wave: join the two artifacts it depends on
-                # — the deferred-frontier snapshot (it reads it) and the
-                # seen-shard checkpoint (its _SeenAdd mutates the shards the
-                # checkpoint is reading). Everything else (schedule, article
-                # + entities writes, counters, _COMPLETE) completes in the
-                # background, overlapped with the next wave's split + fetch.
-                deferred_fut.result()
-                ckpt_fut.result()
-                epoch_futs.append(completer.submit(
-                    _complete_epoch, list(pending), epoch_dir, counters, wave))
-                _tick("store-launch")
-            else:
-                _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave)
-                _acc(counters)
-                _tick("store")
+            _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave)
+            _acc(counters)
+            _tick("store")
             frontier_path = frontier_next_path
             wave += 1
-            # surface background epoch-completion errors promptly (joined
-            # fully after the loop); done futures re-raise here
-            for f in epoch_futs:
-                if f.done():
-                    f.result()
 
+        # drain: all wave jobs, then their epoch completions, strictly after
+        jobs.shutdown(wait=True)
+        for f in job_futs:
+            f.result()
         for f in epoch_futs:
             f.result()
         completer.shutdown(wait=True)
@@ -595,6 +662,7 @@ def run_crawl(
         # shard/robots/counter actors and the writer thread pool for the
         # rest of the Ray session)
         # cancel queued work so it cannot run against the actors killed below
+        jobs.shutdown(wait=False, cancel_futures=True)
         completer.shutdown(wait=False, cancel_futures=True)
         pool.shutdown(wait=False, cancel_futures=True)
         seen.shutdown()
@@ -607,8 +675,9 @@ def run_crawl(
 def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool):
     """Distributed frontier split: everything stays Dataset ops; only counts
     reach the driver. Only ``ranked`` is materialized; the scheduled slice is
-    returned LAZY so seen-marking, fetch and extract fuse into one streaming
-    execution. The checkpoint artifacts — sorted schedule (which also emits
+    returned LAZY so fetch and extract fuse into one streaming execution
+    (seen-marking runs as its own narrow pass in the caller).
+    The checkpoint artifacts — sorted schedule (which also emits
     the per-host lineage counters), deferred frontier snapshot — are written
     in background threads (returned as futures) overlapped with
     fetch+extract; the caller joins them before _COMPLETE. Returns
