@@ -39,11 +39,7 @@ def _crawl_schedule(sf_dir: str):
     """Rows-only: full frontier loop (dedup, politeness, priority, fetch) on
     a deterministic synthetic pages universe sized by sf; returns the global
     crawl schedule."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from omni_ray.pipelines.crawl import run_crawl
+    from omni_ray.pipelines.crawl import read_schedule_artifacts, run_crawl
     from omni_ray.sources.pages import write_pages_dataset
 
     n_rows = 400 if "0.001" in sf_dir else (1200 if "0.01" in sf_dir else 4000)
@@ -58,33 +54,7 @@ def _crawl_schedule(sf_dir: str):
         n_buckets=8,
         n_seen_shards=2,
     )
-    frames = []
-    for d in sorted(os.listdir(out_dir)):
-        if not d.startswith("epoch="):
-            continue
-        # either layout: single schedule.parquet with a crawl_order column
-        # (driver mode) or a sorted-parts schedule/ dir where crawl_order =
-        # row position in filename order (distributed mode, the default)
-        p1 = os.path.join(out_dir, d, "schedule.parquet")
-        p2 = os.path.join(out_dir, d, "schedule")
-        if os.path.exists(p1):
-            f = pq.read_table(p1).to_pandas()
-        elif os.path.isdir(p2):
-            parts = sorted(
-                os.path.join(p2, x) for x in os.listdir(p2) if x.endswith(".parquet")
-            )
-            if not parts:
-                continue
-            f = pd.concat(
-                [pq.read_table(fp).to_pandas() for fp in parts], ignore_index=True
-            )
-            f["crawl_order"] = range(len(f))
-        else:
-            continue
-        f["wave"] = int(d.split("=")[1])
-        frames.append(f)
-    out = pd.concat(frames, ignore_index=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return read_schedule_artifacts(out_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

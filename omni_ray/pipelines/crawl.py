@@ -762,6 +762,40 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool):
     return sched, pending, deferred_fut
 
 
+def read_schedule_artifacts(out_dir: str) -> pa.Table:
+    """Concatenate every complete epoch's schedule artifact into one table
+    with (wave, crawl_order) — either layout: single ``schedule.parquet``
+    with a crawl_order column (driver mode) or a sorted-parts ``schedule/``
+    dir where crawl_order = row position in filename order (distributed)."""
+    frames = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("epoch="):
+            continue
+        p1 = os.path.join(out_dir, d, "schedule.parquet")
+        p2 = os.path.join(out_dir, d, "schedule")
+        if os.path.exists(p1):
+            f = pq.read_table(p1).to_pandas()
+        elif os.path.isdir(p2):
+            parts = sorted(
+                os.path.join(p2, x) for x in os.listdir(p2) if x.endswith(".parquet")
+            )
+            if not parts:
+                continue
+            f = pd.concat(
+                [pq.read_table(fp).to_pandas() for fp in parts], ignore_index=True
+            )
+            f["crawl_order"] = range(len(f))
+        else:
+            continue
+        if not len(f):
+            continue
+        f["wave"] = int(d.split("=")[1])
+        frames.append(f)
+    if not frames:
+        return pa.table({})
+    return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
+
+
 def _frontier_schema() -> pa.Schema:
     return pa.schema(
         [

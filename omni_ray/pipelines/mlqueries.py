@@ -5,6 +5,8 @@ semantics are SQL-expressible and rows-only entries for the sketch-based ops.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -715,6 +717,121 @@ def media_features_q(sf_dir: str):
     return media_feature_pipeline(media)
 
 
+def crawl_schedule_core(sf_dir: str):
+    """Oracle-backed core of the frontier scheduler (SURVEY.md O1/D1/ST4;
+    north_rule "matching the reference's crawl ordering").
+
+    Synthesizes a seed list deterministically from ``documents`` — one URL
+    per doc spread over 7 hosts, plus a planted DUPLICATE row (lower
+    priority, later discovery) for every doc_id % 3 == 0 to exercise
+    frontier dedup — then runs the REAL multi-wave crawl loop
+    (url_discovery_engine.py:102-123 dedup-first-wins + politeness budget
+    semantics) against an empty pages universe (the schedule artifact does
+    not depend on page bytes), and returns every epoch's schedule. The
+    DuckDB twin re-derives dedup (row_number over url), per-host politeness
+    waves (host_pos // budget) and within-wave crawl order with window
+    functions. budget = max(16, n_docs // 30) in BOTH engines so the wave
+    count stays bounded at every sf."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    from .crawl import read_schedule_artifacts, run_crawl
+
+    docs = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()
+    budget = max(16, len(ids) // 30)
+    base = 1_700_000_000_000_000
+
+    def seed_rows(i, dup):
+        return (
+            f"https://h{i % 7}.example.org/d/{i}",
+            "sitemap" if dup else "rss",
+            -1 if dup else i % 5,
+            0,
+            base + (i + 100_000) * 1_000_000 if dup else base + i * 1_000_000,
+        )
+
+    rows = [seed_rows(i, False) for i in ids] + [
+        seed_rows(i, True) for i in ids if i % 3 == 0
+    ]
+    seeds = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "priority": pa.array([r[2] for r in rows], pa.int32()),
+            "depth": pa.array([r[3] for r in rows], pa.int32()),
+            "discovery_ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
+        }
+    )
+    workdir = tempfile.mkdtemp(prefix="omni_ray_schedcore_")
+    seeds_path = os.path.join(workdir, "seeds.parquet")
+    pq_.write_table(seeds, seeds_path)
+    pages_dir = os.path.join(workdir, "pages")  # empty: every fetch misses
+    os.makedirs(pages_dir, exist_ok=True)
+    out_dir = os.path.join(workdir, "out")
+    run_crawl(
+        pages_dir=pages_dir, seeds_path=seeds_path, out_dir=out_dir,
+        budget_per_host=budget, n_buckets=4, n_seen_shards=2,
+    )
+    sched = read_schedule_artifacts(out_dir)
+    return pa.table(
+        {
+            "wave": pc.cast(sched.column("wave"), pa.int64()),
+            "crawl_order": pc.cast(sched.column("crawl_order"), pa.int64()),
+            "url": sched.column("url"),
+            "url_hash": sched.column("url_hash"),
+            "host": sched.column("host"),
+            "priority": pc.cast(sched.column("priority"), pa.int64()),
+            "discovery_us": pc.cast(sched.column("discovery_ts"), pa.int64()),
+        }
+    )
+
+
+SQL_CRAWL_SCHEDULE_CORE = r"""
+WITH bdg AS (
+  SELECT greatest(16, count(*) // 30) AS b FROM documents
+), seeds AS (
+  SELECT 'https://h' || (doc_id % 7) || '.example.org/d/' || doc_id AS url,
+         'h' || (doc_id % 7) || '.example.org' AS host,
+         doc_id % 5 AS priority,
+         1700000000000000 + doc_id * 1000000 AS discovery_us
+  FROM documents
+  UNION ALL
+  SELECT 'https://h' || (doc_id % 7) || '.example.org/d/' || doc_id,
+         'h' || (doc_id % 7) || '.example.org',
+         -1,
+         1700000000000000 + (doc_id + 100000) * 1000000
+  FROM documents WHERE doc_id % 3 = 0
+), dedup AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY url ORDER BY priority DESC, discovery_us, url) AS rn
+  FROM seeds
+), pos AS (
+  SELECT url, host, priority, discovery_us,
+         row_number() OVER (
+           PARTITION BY host ORDER BY priority DESC, discovery_us, url) - 1 AS hp
+  FROM dedup WHERE rn = 1
+), waved AS (
+  SELECT url, host, priority, discovery_us,
+         hp // (SELECT b FROM bdg) AS wave
+  FROM pos
+)
+SELECT CAST(wave AS BIGINT) AS wave,
+       CAST(row_number() OVER (
+              PARTITION BY wave ORDER BY priority DESC, discovery_us, url
+            ) - 1 AS BIGINT) AS crawl_order,
+       url,
+       md5(url) AS url_hash,
+       host,
+       CAST(priority AS BIGINT) AS priority,
+       CAST(discovery_us AS BIGINT) AS discovery_us
+FROM waved
+ORDER BY wave, crawl_order
+"""
+
+
 ML_REGISTRY = {
     "token_counts": (token_counts, SQL_TOKEN_COUNTS),
     "text_quality_stats": (text_quality_stats, SQL_TEXT_QUALITY_STATS),
@@ -728,6 +845,7 @@ ML_REGISTRY = {
     "quality_filter": (quality_filter, SQL_QUALITY_FILTER),
     "decontaminate": (decontaminate, SQL_DECONTAMINATE),
     "articles41_core": (articles41_core, SQL_ARTICLES41_CORE),
+    "crawl_schedule_core": (crawl_schedule_core, SQL_CRAWL_SCHEDULE_CORE),
 }
 
 ML_ROWS_ONLY = {
