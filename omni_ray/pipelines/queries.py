@@ -616,6 +616,53 @@ ORDER BY score DESC, doc_id LIMIT 20
 MFS_TERMS = ["data", "merge", "src1"]  # third term exercises the domain boost
 MFS_TITLE_LEN = 60
 MFS_PREVIEW_LEN = 150
+# ES fuzziness:"AUTO" analogue (advanced_search.py:59) — deterministic
+# SymSpell distance-1 match: word w matches term t iff
+# ({w} ∪ del1(w)) ∩ ({t} ∪ del1(t)) ≠ ∅, w ≠ t, |len w − len t| ≤ 1,
+# length-guarded to the AUTO edit-distance-1 band (query terms are 4–5 chars).
+MFS_FUZZY_WEIGHT = 5
+MFS_FUZZY_MIN_LEN, MFS_FUZZY_MAX_LEN = 3, 6
+# highlight analogue (advanced_search.py:120-127,228-236): per-term 150-char
+# fragment starting 40 chars before the first occurrence, matched term
+# wrapped in <mark>, fragments joined by '...', truncated to 300 + '...'.
+MFS_FRAG_BACK, MFS_FRAG_LEN, MFS_HL_MAX = 40, 150, 300
+
+
+def _del1(s: str) -> set:
+    return {s[:i] + s[i + 1:] for i in range(len(s))}
+
+
+_MFS_TERM_VARS = [(t, {t} | _del1(t)) for t in MFS_TERMS]
+_MFS_WEIGHT_CACHE: dict = {}  # word -> #terms fuzzy-matched (per worker process)
+
+
+def _fuzzy_word_weight(w: str) -> int:
+    n = _MFS_WEIGHT_CACHE.get(w)
+    if n is None:
+        n = 0
+        if MFS_FUZZY_MIN_LEN <= len(w) <= MFS_FUZZY_MAX_LEN:
+            wv = {w} | _del1(w)
+            for t, tv in _MFS_TERM_VARS:
+                if w != t and abs(len(w) - len(t)) <= 1 and not wv.isdisjoint(tv):
+                    n += 1
+        _MFS_WEIGHT_CACHE[w] = n
+    return n
+
+
+def _mfs_highlight(text: str) -> str:
+    """Reference _generate_content_preview + ES highlight, deterministically:
+    '...'-joined <mark> fragments, [:300] + '...' (advanced_search.py:226)."""
+    frags = []
+    for t in MFS_TERMS:
+        p = text.find(t)
+        if p >= 0:
+            start = max(0, p - MFS_FRAG_BACK)
+            frags.append(
+                text[start:start + MFS_FRAG_LEN].replace(t, f"<mark>{t}</mark>")
+            )
+    if not frags:
+        return ""
+    return "...".join(frags)[:MFS_HL_MAX] + "..."
 
 
 def multi_field_search(sf_dir: str):
@@ -625,8 +672,14 @@ def multi_field_search(sf_dir: str):
     domain×1.2 — with filter conditions (lang='en', min length) pushed to the
     read, deterministic integer score (×10 so the 1.2 boost stays integral),
     a content preview (the reference's 150-char highlight fallback,
-    advanced_search.py:228-236), ORDER BY _score DESC + id tiebreak, size 20.
-    Fully vectorized: pyarrow count_substring per term, no Python row loop."""
+    advanced_search.py:228-236), fuzziness:"AUTO" via SymSpell deletion-
+    variant distance-1 word matches (+5 per fuzzy instance), ORDER BY _score
+    DESC + id tiebreak, size 20, then per-term <mark> highlight fragments
+    computed ONLY for the 20 winners via a pushdown re-read (the top-k +
+    id-lookup pattern — the full text never transits the sort).
+    Vectorized: pyarrow count_substring per term; the fuzzy pass runs Python
+    only over the batch's UNIQUE vocabulary with a per-worker cache, then
+    maps word→weight back with index_in/take."""
     ds = _read(
         sf_dir, "documents",
         columns=["doc_id", "text", "source"],
@@ -648,6 +701,21 @@ def multi_field_search(sf_dir: str):
                 ),
             )
             total = pc.add(total, s)
+        # fuzzy pass: tokenize (single-space split, lowercased — mirrors the
+        # oracle's string_split), score unique words once, scatter-add to docs
+        words = pc.split_pattern(pc.utf8_lower(t["text"]), pattern=" ")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        uniq = pc.unique(flat)
+        wmap = pa.array(
+            [_fuzzy_word_weight(w) for w in uniq.to_pylist()], pa.int64()
+        )
+        inst = pc.take(wmap, pc.index_in(flat, value_set=uniq)).to_numpy(
+            zero_copy_only=False
+        )
+        fuzzy = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(fuzzy, parent, inst)
+        total = pc.add(total, pa.array(MFS_FUZZY_WEIGHT * fuzzy))
         out = pa.table({
             "doc_id": t["doc_id"],
             "source": t["source"],
@@ -661,27 +729,77 @@ def multi_field_search(sf_dir: str):
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(20)
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    top = out.to_pandas()
+    texts = (
+        _read(
+            sf_dir, "documents", columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(top["doc_id"].tolist()),
+        )
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    top["highlight"] = [_mfs_highlight(texts[d]) for d in top["doc_id"]]
+    return pa.Table.from_pandas(top, preserve_index=False)
 
+
+_MFS_TVAR_VALUES = ", ".join(
+    f"('{t}', '{v}')" for t, vs in _MFS_TERM_VARS for v in sorted(vs)
+)
+_MFS_FRAGS = ", ".join(
+    f"CASE WHEN strpos(text, '{t}') > 0 THEN replace(substr(text, "
+    f"greatest(1, strpos(text, '{t}') - {MFS_FRAG_BACK}), {MFS_FRAG_LEN}), "
+    f"'{t}', '<mark>{t}</mark>') END AS frag{i}"
+    for i, t in enumerate(MFS_TERMS)
+)
 
 SQL_MULTI_FIELD_SEARCH = f"""
 WITH f AS (
   SELECT doc_id, source, text, left(text, {MFS_TITLE_LEN}) AS title
   FROM documents WHERE lang = 'en' AND n_chars >= 100
+), wz AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM f
+), words AS (
+  SELECT doc_id, lower(unnest(parts)) AS w,
+         unnest(range(1, len(parts) + 1)) AS wpos
+  FROM wz
+), wg AS (
+  SELECT doc_id, wpos, w FROM words
+  WHERE length(w) BETWEEN {MFS_FUZZY_MIN_LEN} AND {MFS_FUZZY_MAX_LEN}
+), wvar AS (
+  SELECT doc_id, wpos, w, w AS v FROM wg
+  {' '.join(
+    f"UNION ALL SELECT doc_id, wpos, w, substr(w, 1, {i - 1}) || substr(w, {i + 1}) "
+    f"FROM wg WHERE length(w) >= {i}"
+    for i in range(1, MFS_FUZZY_MAX_LEN + 1))}
+), tvar(term, v) AS (VALUES {_MFS_TVAR_VALUES}
+), fmatch AS (
+  SELECT DISTINCT doc_id, wpos, term
+  FROM wvar JOIN tvar USING (v)
+  WHERE w <> term AND abs(length(w) - length(term)) <= 1
+), fcnt AS (
+  SELECT doc_id, count(*) AS fn FROM fmatch GROUP BY doc_id
 ), scored AS (
-  SELECT doc_id, source,
+  SELECT f.doc_id, f.source, f.text,
          CAST(
            {' + '.join(
              f"30*(length(title)-length(replace(title,'{t}','')))/{len(t)}"
              f" + 20*(length(text)-length(replace(text,'{t}','')))/{len(t)}"
              f" + 12*(CASE WHEN source LIKE '%{t}%' THEN 1 ELSE 0 END)"
              for t in MFS_TERMS)}
+           + {MFS_FUZZY_WEIGHT} * coalesce(fn, 0)
          AS BIGINT) AS score,
-         left(text, {MFS_PREVIEW_LEN}) AS preview
-  FROM f
+         left(f.text, {MFS_PREVIEW_LEN}) AS preview
+  FROM f LEFT JOIN fcnt ON f.doc_id = fcnt.doc_id
+), top AS (
+  SELECT * FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20
+), frags AS (
+  SELECT doc_id, source, score, preview, {_MFS_FRAGS} FROM top
 )
-SELECT doc_id, source, score, preview FROM scored
-WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20
+SELECT doc_id, source, score, preview,
+       CASE WHEN frag0 IS NULL AND frag1 IS NULL AND frag2 IS NULL THEN ''
+            ELSE left(concat_ws('...', frag0, frag1, frag2), {MFS_HL_MAX}) || '...'
+       END AS highlight
+FROM frags ORDER BY score DESC, doc_id
 """
 
 
