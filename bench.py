@@ -261,6 +261,40 @@ def run_scaling_worker() -> dict:
     }
 
 
+def _ceiling_worker_int(_):
+    """Fixed pure-Python integer work — zero memory pressure, no Ray, no
+    shared state. Per-process wall time is bounded only by the machine."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(12_000_000):
+        x = (x * 1103515245 + i) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
+def measure_machine_ceiling(lo: int = 8, hi: int = 32) -> dict:
+    """Machine core-scaling ceiling: run N independent pure-CPU processes at
+    N=lo and N=hi; the ratio of per-process median times bounds ANY job's
+    lo→hi scaling efficiency on this box. On this sandbox (virtualized,
+    fixed 2.1 GHz, no SMT) the ceiling measures host-level contention /
+    steal that a real N vs 4N *node* scale-out does not share — so job
+    efficiencies are also reported normalized by it."""
+    import multiprocessing as mp
+
+    def run(n: int) -> float:
+        with mp.Pool(n) as p:
+            times = sorted(p.map(_ceiling_worker_int, range(n)))
+        return times[len(times) // 2]
+
+    # lo, hi, lo order brackets load drift; best lo rep is the honest peak
+    m_lo1, m_hi, m_lo2 = run(lo), run(hi), run(lo)
+    m_lo = min(m_lo1, m_lo2)
+    return {
+        "lo_median_s": round(m_lo, 3),
+        "hi_median_s": round(m_hi, 3),
+        "ceiling_efficiency": round(m_lo / m_hi, 3),
+    }
+
+
 def run_scaling() -> dict:
     """Same job in fresh processes at 8 vs 32 CPUs on identical input (the
     sandbox proxy for N vs 4N nodes)."""
@@ -287,12 +321,14 @@ def run_scaling() -> dict:
     for _ in range(reps):
         runs_lo.append(run(lo))
         runs_hi.append(run(hi))
+    ceiling = measure_machine_ceiling(lo, hi)
     r_lo = min(runs_lo, key=lambda r: r["articles_sec"])
     r_hi = min(runs_hi, key=lambda r: r["articles_sec"])
     c_lo = min(r["crawl_sec"] for r in runs_lo)
     c_hi = min(r["crawl_sec"] for r in runs_hi)
     eff_articles = (r_lo["articles_sec"] / r_hi["articles_sec"]) / (hi / lo)
     eff_crawl = (c_lo / c_hi) / (hi / lo)
+    ceff = ceiling["ceiling_efficiency"]
     return {
         "metric": "scaling efficiency (8 vs 32 CPUs, fresh sessions, same input, best of %d)" % reps,
         "n_pages": SCALING_PAGES,
@@ -305,6 +341,11 @@ def run_scaling() -> dict:
         "scaling_efficiency_articles": round(eff_articles, 3),
         "scaling_efficiency_crawl": round(eff_crawl, 3),
         "scaling_efficiency": round(eff_articles, 3),
+        # same-campaign machine ceiling (pure-CPU multiprocessing control —
+        # the max efficiency ANY job can show on this box at 8→32 busy cores)
+        "machine_ceiling": ceiling,
+        "scaling_efficiency_articles_normalized": round(eff_articles / ceff, 3),
+        "scaling_efficiency_crawl_normalized": round(eff_crawl / ceff, 3),
     }
 
 

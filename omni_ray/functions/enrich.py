@@ -387,13 +387,76 @@ SENTIMENT_TYPE = pa.struct(
 )
 
 
+def _regex_ner(texts: list) -> list:
+    """Default NER backend: the deterministic regex extractors (parity-tested
+    against the reference's stored spaCy outputs)."""
+    return [
+        {
+            "people": extract_people(t),
+            "organizations": extract_organizations(t),
+            "locations": extract_locations(t),
+        }
+        for t in texts
+    ]
+
+
+def _spacy_ner_factory():
+    """Real-model seam (ST1; reference content_enhancement.py:19-27 loads
+    spaCy en_core_web_sm). The model loads HERE, once per actor — spaCy is
+    absent from this environment, so this raises with a clear message; the
+    plumbing (batched signature, per-actor load) is the real scale shape."""
+    try:
+        import spacy  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "spaCy is not installed in this environment; pass ner_model="
+            "'regex' (default, parity-tested) or a callable factory returning "
+            "fn(texts)->[{people,organizations,locations}]"
+        ) from e
+    nlp = spacy.load("en_core_web_sm")
+
+    def run(texts: list) -> list:
+        out = []
+        for doc in nlp.pipe(texts):
+            ents = {"people": [], "organizations": [], "locations": []}
+            kinds = {"PERSON": "people", "ORG": "organizations",
+                     "GPE": "locations", "LOC": "locations"}
+            for e in doc.ents:
+                k = kinds.get(e.label_)
+                if k:
+                    # ENTITY_TYPE shape: (name, confidence)
+                    ents[k].append({"name": e.text, "confidence": 0.85})
+            out.append(ents)
+        return out
+
+    return run
+
+
 class Enricher:
     """Actor-pool enrichment stage (ST2 analogue): all derived columns in one
     pass. Input columns: title, <content_col>, url, authors, images.
+
+    ``ner_model`` selects the entity-extraction backend, resolved ONCE per
+    actor here in ``__init__`` (the model-load seam, ST1):
+      * "regex" (default) — deterministic extractors, bit-for-bit parity
+        with the shipped corpus;
+      * "spacy" — loads en_core_web_sm per actor (unavailable in this
+        sandbox; raises with guidance);
+      * a callable FACTORY — called once per actor, must return
+        ``fn(texts: list[str]) -> list[{people, organizations, locations}]``
+        (batched, so a GPU/ONNX model amortizes per-batch).
     """
 
-    def __init__(self, content_col: str = "extracted_text"):
+    def __init__(self, content_col: str = "extracted_text", ner_model="regex"):
         self.content_col = content_col
+        if ner_model == "regex":
+            self._ner = _regex_ner
+        elif ner_model == "spacy":
+            self._ner = _spacy_ner_factory()
+        elif callable(ner_model):
+            self._ner = ner_model()
+        else:
+            raise ValueError(f"unknown ner_model: {ner_model!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         titles = [t or "" for t in batch.column("title").to_pylist()]
@@ -410,15 +473,21 @@ class Enricher:
             else [[] for _ in urls]
         )
 
+        # batched NER through the pluggable backend (one call per batch —
+        # a real model amortizes here; the regex default is per-text anyway)
+        ner_out = self._ner([f"{t} {c}" for t, c in zip(titles, contents)])
+
         excerpts, summaries, people_l, orgs_l, locs_l = [], [], [], [], []
         keywords_l, langs, read_times, sentiments, topics_l = [], [], [], [], []
         hashes, confs, quals, cats = [], [], [], []
-        for title, content, url, auth, imgs in zip(titles, contents, urls, authors, images):
+        for title, content, url, auth, imgs, ents in zip(
+            titles, contents, urls, authors, images, ner_out
+        ):
             excerpt, summary = generate_summary(content)
             tc = f"{title} {content}"
-            people = extract_people(tc)
-            orgs = extract_organizations(tc)
-            locs = extract_locations(tc)
+            people = ents["people"]
+            orgs = ents["organizations"]
+            locs = ents["locations"]
             kws = extract_keywords(tc)
             total_entities = len(people) + len(orgs) + len(locs)
             excerpts.append(excerpt)

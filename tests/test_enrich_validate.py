@@ -187,3 +187,48 @@ def test_full_article_pipeline(pages_dir):
     ents = entities_pipeline(ray.data.from_arrow(tbl)).take_all()
     assert len(ents) > 0
     assert set(ents[0]) == {"article_id", "entity_type", "entity_name"}
+
+
+def test_ner_model_seam():
+    """ST1 real-model seam: a callable factory (resolved once per actor in
+    __init__) replaces the regex NER; regex default stays the parity path."""
+    from omni_ray.functions.enrich import Enricher
+
+    batch = pa.table({
+        "title": ["Alpha Report"],
+        "extracted_text": ["John Smith visited Acme Corp in Paris."],
+        "url": ["https://ex.org/a"],
+    })
+
+    calls = []
+
+    def fake_factory():
+        def run(texts):
+            calls.append(list(texts))
+            return [
+                {
+                    "people": [{"name": "FAKE PERSON", "confidence": 0.99}],
+                    "organizations": [],
+                    "locations": [{"name": "FAKE CITY", "confidence": 0.99}],
+                }
+                for _ in texts
+            ]
+        return run
+
+    out = Enricher(ner_model=fake_factory)(batch)
+    row = out.to_pylist()[0]
+    assert [p["name"] for p in row["entities_people"]] == ["FAKE PERSON"]
+    assert [l["name"] for l in row["entities_locations"]] == ["FAKE CITY"]
+    assert row["entities_organizations"] == []
+    assert calls == [["Alpha Report John Smith visited Acme Corp in Paris."]]
+
+    # default backend is unchanged and deterministic
+    base = Enricher()(batch).to_pylist()[0]
+    assert any(p["name"] == "John Smith" for p in base["entities_people"])
+
+    # spacy backend fails loudly with guidance in this env
+    with pytest.raises(ImportError, match="spaCy"):
+        Enricher(ner_model="spacy")
+
+    with pytest.raises(ValueError):
+        Enricher(ner_model=7)
