@@ -107,7 +107,11 @@ def run_bench() -> dict:
 
         out_dir = "/tmp/omni_ray_bench_articles"
         shutil.rmtree(out_dir, ignore_errors=True)
-        ds = ray.data.read_parquet(f"{pages_base}/pages")
+        # prune at the read: the pipeline needs 4 of the store's 7 columns
+        # (`text` is the generation-time oracle, never an input)
+        ds = ray.data.read_parquet(
+            f"{pages_base}/pages", columns=["url", "warc_ts", "html", "lang"]
+        )
         article_pipeline(ds).write_parquet(out_dir)
 
     timed_best("articles_pipeline", bench_articles)
@@ -232,7 +236,9 @@ def run_scaling_worker() -> dict:
 
     t0 = time.perf_counter()
     shutil.rmtree("/tmp/omni_ray_scaling_arts", ignore_errors=True)
-    ds = ray.data.read_parquet(f"{base}/pages")
+    ds = ray.data.read_parquet(
+        f"{base}/pages", columns=["url", "warc_ts", "html", "lang"]
+    )
     article_pipeline(ds).write_parquet("/tmp/omni_ray_scaling_arts")
     t_articles = time.perf_counter() - t0
 
@@ -369,7 +375,9 @@ def run_stats() -> None:
     base = os.path.join("/tmp", "omni_ray_stats_pages_20000")
     write_pages_dataset(base, n_rows=20000, seed=42, n_buckets=16, parallel=True)
     shutil.rmtree("/tmp/omni_ray_stats_arts", ignore_errors=True)
-    out = article_pipeline(ray.data.read_parquet(f"{base}/pages"))
+    out = article_pipeline(ray.data.read_parquet(
+        f"{base}/pages", columns=["url", "warc_ts", "html", "lang"]
+    ))
     out.write_parquet("/tmp/omni_ray_stats_arts")
     print(out.stats())
     ray.shutdown()

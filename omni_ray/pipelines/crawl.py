@@ -131,11 +131,19 @@ class _AnnotateStage:
                     allowed[i] = ok
         eligible = [not s and a for s, a in zip(seen, allowed)]
         import hashlib as _hashlib
+        import numpy as np
 
-        hb = [
-            int(_hashlib.md5((h or "").encode()).hexdigest()[:8], 16) % 64
-            for h in batch.column("host").to_pylist()
-        ]
+        # hosts repeat heavily — md5 only the dictionary, scatter via indices
+        hcol = pa.compute.fill_null(batch.column("host"), "").combine_chunks()
+        if isinstance(hcol, pa.ChunkedArray):
+            hcol = hcol.chunk(0) if hcol.num_chunks == 1 else pa.concat_arrays(hcol.chunks)
+        denc = hcol.dictionary_encode()
+        ub = np.fromiter(
+            (int(_hashlib.md5(h.encode()).hexdigest()[:8], 16) % 64
+             for h in denc.dictionary.to_pylist()),
+            dtype=np.int32, count=len(denc.dictionary),
+        )
+        hb = ub[np.asarray(denc.indices)] if len(ub) else np.empty(0, np.int32)
         return (
             batch.append_column("seen", pa.array(seen, pa.bool_()))
             .append_column("robots_allowed", pa.array(allowed, pa.bool_()))
@@ -176,16 +184,35 @@ class _FetchBucket:
 
     The group key may be a FINE bucket (``n_files × k``): md5 % (n·k) % n ==
     md5 % n, so every fine bucket maps to exactly one pages file. Fine
-    bucketing exists purely to emit more, smaller output blocks — with one
+    bucketing exists to emit more, smaller output blocks — with one
     block per file, the downstream extract stage runs one task per core and
-    goes straggler-bound (measured ~35% idle at 32 cpus)."""
+    goes straggler-bound (measured ~35% idle at 32 cpus).
+
+    When the store was written with a ``sub_bucket`` column
+    (``_PAGES_META.json`` present — see sources/pages.py), each fine task
+    additionally filters ``sub_bucket ∈ {b, b+n_fine, …}``, which parquet
+    prunes at row-group level: k fine tasks per file decode DISJOINT slices
+    instead of each decoding the whole file (k× redundant CPU otherwise)."""
 
     def __init__(self, pages_dir: str, n_files: int | None = None, counter=None,
-                 wave: int = -1):
+                 wave: int = -1, n_fine: int | None = None):
         self.pages_dir = pages_dir
         self.n_files = n_files
         self.counter = counter
         self.wave = wave
+        self.n_fine = n_fine
+        self.n_sub = None
+        meta_path = os.path.join(pages_dir, "_PAGES_META.json")
+        if n_fine and os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                meta = json.load(f)
+            # the sub filter is only sound when fine buckets align with the
+            # store's sub granularity (n_fine | n_sub) and file count matches
+            if (meta.get("n_files") == n_files
+                    and meta.get("n_sub", 0) % n_fine == 0):
+                self.n_sub = int(meta["n_sub"])
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.compute as pc
@@ -196,10 +223,16 @@ class _FetchBucket:
         path = os.path.join(self.pages_dir, f"bucket-{bucket:04d}.parquet")
         urls = group["url"].tolist()
         if os.path.exists(path):
+            filt = pc.field("url").isin(urls)
+            if self.n_sub and self.n_fine and self.n_fine > self.n_files:
+                fine = int(group["bucket"].iloc[0]) % self.n_fine
+                filt = pc.field("sub_bucket").isin(
+                    list(range(fine, self.n_sub, self.n_fine))
+                ) & filt
             tbl = pq.read_table(
                 path,
                 columns=["url", "warc_ts", "html", "lang"],
-                filters=pc.field("url").isin(urls),
+                filters=filt,
             )
             pages = tbl.to_pandas()
         else:
@@ -222,6 +255,19 @@ def _bucket_batch(batch: pa.Table, n_buckets: int) -> pa.Table:
 
     buckets = [url_bucket(u, n_buckets) for u in batch.column("url").to_pylist()]
     return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
+def _fine_factor(cpus: int, n_buckets: int) -> int:
+    """Fine-bucket multiplier (≈2 fine buckets per core), rounded DOWN to a
+    power of two capped at SUB_BUCKET_FACTOR, so n_fine divides the store's
+    sub-bucket count and _FetchBucket's row-group pruning stays exact."""
+    from ..sources.pages import SUB_BUCKET_FACTOR
+
+    want = max(1, (2 * cpus) // n_buckets)
+    k = 1
+    while k * 2 <= min(want, SUB_BUCKET_FACTOR):
+        k *= 2
+    return k
 
 
 class _SeenAdd:
@@ -403,12 +449,12 @@ def run_crawl(
         the seen-marking that barrier used to order now runs as its own
         narrow pass, see _mark_and_ckpt in the caller)."""
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_fine = n_buckets * max(1, (2 * cpus) // n_buckets)
+        n_fine = n_buckets * _fine_factor(cpus, n_buckets)
         ds = sched_ds.map_batches(
             lambda t: _bucket_batch(t, n_fine), batch_format="pyarrow"
         )
         fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter,
-                             wave=wave)
+                             wave=wave, n_fine=n_fine)
         fetched = ds.groupby("bucket").map_groups(
             lambda g: fetch(g), batch_format="pandas"
         )
@@ -595,12 +641,12 @@ def run_crawl(
             # sort shuffle cost grows with partition count while extract's
             # straggler risk is already covered by the rows-per-block split below
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            n_fine = n_buckets * max(1, (2 * cpus) // n_buckets)
+            n_fine = n_buckets * _fine_factor(cpus, n_buckets)
             sched_ds = sched_ds.map_batches(
                 lambda t: _bucket_batch(t, n_fine), batch_format="pyarrow"
             )
             fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter,
-                                 wave=wave)
+                                 wave=wave, n_fine=n_fine)
             fetched = sched_ds.groupby("bucket").map_groups(
                 lambda g: fetch(g), batch_format="pandas"
             )

@@ -273,15 +273,28 @@ def url_bucket(url: str, n_buckets: int) -> int:
     return int(hashlib.md5(url.encode()).hexdigest()[:8], 16) % n_buckets
 
 
+# Sub-bucket granularity of the page store: each bucket file carries a
+# ``sub_bucket = md5(url) % (n_buckets * SUB_BUCKET_FACTOR)`` column and is
+# SORTED by it, with row groups aligned to sub boundaries. A fetch task for
+# fine bucket b (n_fine = k·n_buckets, k | SUB_BUCKET_FACTOR) filters
+# ``sub_bucket ∈ {b, b+n_fine, …}`` — parquet row-group statistics prune the
+# read to exactly that slice, so the store is decoded ONCE per byte per wave
+# at ANY fine-bucket factor (without this, k fine buckets per file each
+# decode the whole file: k× redundant CPU that worsens with cluster size).
+SUB_BUCKET_FACTOR = 8
+
+
 def write_pages_dataset(out_dir: str, n_rows: int, seed: int = 42, n_buckets: int = 8,
                         parallel: bool = False) -> str:
     """Write bucketed pages + seeds parquet under ``out_dir``. Idempotent:
     skips if the manifest already records the same (n_rows, seed, n_buckets).
     ``parallel=True`` generates rows with Ray tasks (same bytes, faster for
     large universes)."""
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, "MANIFEST.txt")
-    tag = f"{n_rows}:{seed}:{n_buckets}:v4"
+    tag = f"{n_rows}:{seed}:{n_buckets}:v5"
     if os.path.exists(manifest):
         with open(manifest) as f:
             if f.read().strip() == tag:
@@ -290,14 +303,27 @@ def write_pages_dataset(out_dir: str, n_rows: int, seed: int = 42, n_buckets: in
         pages, seeds = generate_pages_parallel(n_rows, seed)
     else:
         pages, seeds = generate_pages(n_rows, seed)
-    buckets = [url_bucket(u, n_buckets) for u in pages.column("url").to_pylist()]
-    pages = pages.append_column("bucket", pa.array(buckets, pa.int32()))
+    n_sub = n_buckets * SUB_BUCKET_FACTOR
+    subs = [url_bucket(u, n_sub) for u in pages.column("url").to_pylist()]
+    pages = pages.append_column("sub_bucket", pa.array(subs, pa.int32()))
+    # bucket = sub % n_buckets (md5 % kn % n == md5 % n)
+    pages = pages.append_column(
+        "bucket", pa.array([s % n_buckets for s in subs], pa.int32())
+    )
     pages_dir = os.path.join(out_dir, "pages")
     os.makedirs(pages_dir, exist_ok=True)
     for b in range(n_buckets):
         mask = pa.compute.equal(pages.column("bucket"), b)
-        part = pages.filter(mask)
-        pq.write_table(part, os.path.join(pages_dir, f"bucket-{b:04d}.parquet"))
+        # url as tiebreak: total order ⇒ byte-identical files every run
+        part = pages.filter(mask).sort_by(
+            [("sub_bucket", "ascending"), ("url", "ascending")]
+        )
+        # ~one row group per sub bucket → isin(sub_bucket) prunes to a slice
+        rg = max(64, part.num_rows // SUB_BUCKET_FACTOR or 1)
+        pq.write_table(part, os.path.join(pages_dir, f"bucket-{b:04d}.parquet"),
+                       row_group_size=rg)
+    with open(os.path.join(pages_dir, "_PAGES_META.json"), "w") as f:
+        json.dump({"n_files": n_buckets, "n_sub": n_sub}, f)
     pq.write_table(seeds, os.path.join(out_dir, "seeds.parquet"))
     with open(manifest, "w") as f:
         f.write(tag)

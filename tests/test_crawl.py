@@ -322,3 +322,42 @@ def test_failed_epoch_completion_blocks_later_markers(pages_dir, tmp_path, monke
     _run(pages_dir, full_dir, budget_per_host=5)
     assert (_all_schedules(out_dir)["url"].tolist()
             == _all_schedules(full_dir)["url"].tolist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fetch_subbucket_pruning_equivalence(pages_dir):
+    """The sub_bucket row-group filter must be invisible to results: a fine
+    fetch task (n_fine > n_files) with pruning returns exactly the rows an
+    unpruned url-only lookup returns, for every fine bucket incl. misses."""
+    from omni_ray.pipelines.crawl import _FetchBucket
+    from omni_ray.sources.pages import url_bucket
+
+    pages = f"{pages_dir}/pages"
+    assert os.path.exists(os.path.join(pages, "_PAGES_META.json"))
+    seeds = pq.read_table(f"{pages_dir}/seeds.parquet").to_pandas()
+    n_files, n_fine = 8, 32  # factor 4 — forces the sub filter on
+    pruned = _FetchBucket(pages, n_files=n_files, n_fine=n_fine)
+    assert pruned.n_sub is not None  # meta accepted, filter active
+    plain = _FetchBucket(pages, n_files=n_files)
+    seeds["bucket"] = seeds["url"].map(lambda u: url_bucket(u, n_fine))
+    n_hits = 0
+    for _, group in seeds.groupby("bucket"):
+        a = pruned(group.reset_index(drop=True)).sort_values("url")
+        b = plain(group.reset_index(drop=True)).sort_values("url")
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+        n_hits += int((a["http_status"] == 200).sum())
+    assert n_hits > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fetch_subbucket_meta_mismatch_falls_back(pages_dir, tmp_path):
+    """A store whose sub granularity does not divide n_fine must disable the
+    filter (correctness over pruning), not silently drop rows."""
+    from omni_ray.pipelines.crawl import _FetchBucket
+
+    pages = f"{pages_dir}/pages"
+    # n_fine = 24 does not divide n_sub = 8*8 = 64 -> filter must stay off
+    fb = _FetchBucket(pages, n_files=8, n_fine=24)
+    assert fb.n_sub is None
