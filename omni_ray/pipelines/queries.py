@@ -286,10 +286,33 @@ FROM orders GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
+def _block_topk(keys: list, descending: list, k: int):
+    """Per-block top-k pre-reduction for ORDER BY … LIMIT k: the global top k
+    is contained in the union of per-block top k's, so the all-to-all sort
+    that follows only moves ≤ k × n_blocks rows instead of every matching
+    row — the difference between a bounded merge and a full shuffle at
+    100-TB scale. Returns a map_batches-ready callable (total order via the
+    unique tiebreak key keeps it deterministic)."""
+    order = [(c, "descending" if d else "ascending")
+             for c, d in zip(keys, descending)]
+
+    def _take(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=order)[:k])
+
+    return _take
+
+
 def topk_by_value(sf_dir: str):
     """A7/O3: ORDER BY value DESC LIMIT 10, deterministic tiebreak."""
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    keys, desc = ["o_totalprice", "o_orderkey"], [True, False]
+    out = (
+        ds.map_batches(_block_topk(keys, desc, 10), batch_format="pyarrow")
+        .sort(keys, descending=desc)
+        .limit(10)
+    )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -307,8 +330,10 @@ def filtered_listing(sf_dir: str):
         columns=["o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"],
         filter=((pc.field("o_orderstatus") == "O") & (pc.field("o_totalprice") > 150000.0)),
     )
+    keys, desc = ["o_orderdate", "o_orderkey"], [True, False]
     out = (
-        ds.sort(["o_orderdate", "o_orderkey"], descending=[True, False])
+        ds.map_batches(_block_topk(keys, desc, 100), batch_format="pyarrow")
+        .sort(keys, descending=desc)
         .limit(100)
         .drop_columns(["o_orderstatus"])
     )
@@ -595,10 +620,12 @@ def keyword_search(sf_dir: str):
         cnt = pc.count_substring(t["text"], term)
         return pa.table({"doc_id": t["doc_id"], "score": pc.cast(cnt, pa.int64())})
 
+    keys, desc = ["score", "doc_id"], [True, False]
     out = (
         ds.map_batches(score, batch_format="pyarrow")
         .map_batches(lambda t: t.filter(pc.greater(t["score"], 0)), batch_format="pyarrow")
-        .sort(["score", "doc_id"], descending=[True, False])
+        .map_batches(_block_topk(keys, desc, 20), batch_format="pyarrow")
+        .sort(keys, descending=desc)
         .limit(20)
     )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
@@ -724,9 +751,11 @@ def multi_field_search(sf_dir: str):
         })
         return out.filter(pc.greater(out["score"], 0))
 
+    keys, desc = ["score", "doc_id"], [True, False]
     out = (
         ds.map_batches(score, batch_format="pyarrow")
-        .sort(["score", "doc_id"], descending=[True, False])
+        .map_batches(_block_topk(keys, desc, 20), batch_format="pyarrow")
+        .sort(keys, descending=desc)
         .limit(20)
     )
     top = out.to_pandas()
@@ -849,9 +878,15 @@ ORDER BY n_searches DESC, search_key LIMIT 10
 
 def paginate(ds, page: int, page_size: int, sort_cols, descending):
     """O2 pagination: ORDER BY ... LIMIT/OFFSET via sort + split_at_indices
-    (omni_storage.py:494-495). Returns the page as a pyarrow Table."""
-    sorted_ds = ds.sort(sort_cols, descending=descending)
+    (omni_storage.py:494-495). Returns the page as a pyarrow Table. Rows
+    beyond offset+limit are dropped per block BEFORE the sort — a page-k
+    request moves ≤ (offset+limit) × n_blocks rows through the shuffle."""
     start = page * page_size
+    pruned = ds.map_batches(
+        _block_topk(sort_cols, descending, start + page_size),
+        batch_format="pyarrow",
+    )
+    sorted_ds = pruned.sort(sort_cols, descending=descending)
     splits = sorted_ds.limit(start + page_size).split_at_indices([start])
     return pa.Table.from_pandas(splits[1].to_pandas(), preserve_index=False)
 
