@@ -143,6 +143,8 @@ def run_bench() -> dict:
         "daily_type_matrix", "nation_revenue", "exact_dedup",
         "last_event_per_user", "window_tumbling", "sessionize",
         "multi_field_search", "search_analytics",
+        "asof_join_attribution", "range_join_windows",
+        "anti_join_customers", "segment_quantiles",
     ]:
         fn, _sql = Q.REGISTRY[name]
         timed(name, lambda f=fn: f(SF_DIR))

@@ -1000,6 +1000,220 @@ SQL_SYSTEMATIC_SAMPLE = """
 SELECT doc_id, n_chars FROM documents WHERE doc_id % 20 = 0
 """
 
+
+# ---------------------------------------------------------------------------
+# custom join surface: as-of / interval-range / anti joins, grouped quantiles
+# (operators Ray Data lacks natively — composed per the brief's (a) strategy:
+# map_batches + groupby().map_groups + sort, with the partitioning assumption
+# each relies on documented in its docstring)
+# ---------------------------------------------------------------------------
+
+
+_ASOF_COLS = {
+    "purchase_id": "int64",
+    "user_id": "int64",
+    "purchase_ts_us": "int64",
+    "click_event_id": "int64",
+    "click_ts_us": "int64",
+}
+
+
+def asof_join_attribution(sf_dir: str):
+    """As-of join (attribution shape): each 'purchase' event joined to the
+    same user's most recent click at-or-before the purchase time.
+
+    Distributed shape: ONE read with a pushed-down type filter feeds ONE
+    hash-partition by user (the groupby shuffle); the backward sorted merge
+    (pandas merge_asof) runs inside map_groups, so per-key work is local and
+    the all-to-all moves only the two filtered event streams. Partitioning
+    assumption: one user's events fit in a worker (as-of joins co-partition
+    by key at any scale; a single key hot enough to overflow a worker would
+    need time-sliced sub-partitioning with boundary carry-over).
+    Missing matches become -1 (not NULL) so the int64 hash compare is exact
+    on both engines."""
+    ds = _read(
+        sf_dir, "events",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pc.field("event_type").isin(["purchase", "click"]),
+    )
+
+    def attrib(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
+        g = g.assign(ts_us=ts_us)
+        left = g[g["event_type"] == "purchase"]
+        if left.empty:
+            return pd.DataFrame({k: pd.Series(dtype=v) for k, v in _ASOF_COLS.items()})
+        right = g[g["event_type"] == "click"]
+        left = left.sort_values("ts_us", kind="mergesort")
+        right = right.sort_values("ts_us", kind="mergesort")
+        out = pd.merge_asof(
+            left[["event_id", "user_id", "ts_us"]],
+            right[["event_id", "ts_us"]].rename(
+                columns={"event_id": "click_event_id", "ts_us": "click_ts_us"}
+            ),
+            left_on="ts_us",
+            right_on="click_ts_us",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = out.rename(columns={"event_id": "purchase_id", "ts_us": "purchase_ts_us"})
+        for c in ("click_event_id", "click_ts_us"):
+            out[c] = out[c].fillna(-1).astype("int64")
+        return out[list(_ASOF_COLS)]
+
+    out = ds.groupby("user_id").map_groups(attrib, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_ASOF_ATTRIBUTION = """
+SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+       coalesce(c.event_id, -1) AS click_event_id,
+       coalesce(epoch_us(c.ts), -1) AS click_ts_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# Overlapping campaign windows over the events month: a genuine interval
+# (range) join — one event can land in several windows, so this cannot be
+# expressed as bucketing.
+RANGE_WINDOWS = [
+    ("w01", "2024-01-02", "2024-01-09"),
+    ("w02", "2024-01-05", "2024-01-12"),
+    ("w03", "2024-01-10", "2024-01-20"),
+    ("w04", "2024-01-15", "2024-01-31"),
+    ("w05", "2024-01-28", "2024-02-05"),
+]
+
+
+def range_join_windows(sf_dir: str):
+    """Interval/range join: events x overlapping time windows
+    (ts >= start AND ts < end). The window table is tiny and broadcast as a
+    closure constant; each batch emits its matches per window fully
+    vectorized (one filter per window, concat) — zero shuffle, the correct
+    100-TB shape for a small interval side. For a LARGE interval table the
+    plan flips: bucket both sides by coarse time range (equi-join key),
+    then verify the exact bounds inside the bucket — same pattern as the
+    dedup band buckets."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    wins = [
+        (wid, pd.Timestamp(ws), pd.Timestamp(we)) for wid, ws, we in RANGE_WINDOWS
+    ]
+
+    def expand(t: pa.Table) -> pa.Table:
+        parts = []
+        for wid, ws, we in wins:
+            sel = t.filter(
+                pc.and_(
+                    pc.greater_equal(t["ts"], pa.scalar(ws)),
+                    pc.less(t["ts"], pa.scalar(we)),
+                )
+            )
+            parts.append(
+                pa.table({
+                    "event_id": sel["event_id"],
+                    "window_id": pa.array([wid] * sel.num_rows, pa.string()),
+                })
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+_RANGE_VALUES = ", ".join(
+    f"('{wid}', TIMESTAMP '{ws} 00:00:00', TIMESTAMP '{we} 00:00:00')"
+    for wid, ws, we in RANGE_WINDOWS
+)
+
+SQL_RANGE_JOIN_WINDOWS = f"""
+SELECT e.event_id, w.window_id
+FROM events e
+JOIN (VALUES {_RANGE_VALUES}) AS w(window_id, ws, we)
+  ON e.ts >= w.ws AND e.ts < w.we
+"""
+
+
+def anti_join_customers(sf_dir: str):
+    """Hash anti-join: customers with NO events (NOT EXISTS). Both sides are
+    tagged and unioned into ONE groupby shuffle; a group that contains any
+    probe row drops its build rows (cogroup anti-join — works at any right
+    cardinality, unlike a broadcast NOT-IN set). The probe side is
+    pre-shrunk per block to distinct keys (map-side combiner) so the shuffle
+    moves at most one probe row per (block, key)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def tag_build(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": pc.cast(t["c_custkey"], pa.int64()),
+            "c_name": t["c_name"],
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["user_id"])
+        n = len(u)
+        return pa.table({
+            "key": pc.cast(u, pa.int64()),
+            "c_name": pa.nulls(n, pa.string()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    both = cust.map_batches(tag_build, batch_format="pyarrow").union(
+        ev.map_batches(tag_probe, batch_format="pyarrow")
+    )
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["side"] == 1).any():
+            g = g.iloc[0:0]
+        out = g[g["side"] == 0][["key", "c_name"]]
+        return out.rename(columns={"key": "c_custkey"})
+
+    out = both.groupby("key").map_groups(keep, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
+def segment_quantiles(sf_dir: str):
+    """Grouped exact quantiles (p50/p95 of account balance per market
+    segment): groupby(segment) → per-group numpy percentile with linear
+    interpolation (identical to SQL quantile_cont). Partitioning
+    assumption: per-key value vectors fit in a worker — right for
+    low-cardinality segment keys; a high-cardinality or hot key would move
+    to per-block t-digest partials merged in a second tiny groupby.
+    Quantized half-up via floor(x*100 + 0.5) with the SAME formula in the
+    SQL so no rounding-convention mismatch exists."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+
+    def qtl(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["c_acctbal"].to_numpy(dtype=np.float64)
+        p50, p95 = np.percentile(v, [50, 95])
+        return pd.DataFrame({
+            "c_mktsegment": [g["c_mktsegment"].iloc[0]],
+            "n": np.array([len(v)], dtype=np.int64),
+            "p50_q": np.array([np.floor(p50 * 100 + 0.5)], dtype=np.int64),
+            "p95_q": np.array([np.floor(p95 * 100 + 0.5)], dtype=np.int64),
+        })
+
+    out = ds.groupby("c_mktsegment").map_groups(qtl, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_SEGMENT_QUANTILES = """
+SELECT c_mktsegment, count(*) AS n,
+       CAST(floor(quantile_cont(c_acctbal, 0.5) * 100 + 0.5) AS BIGINT) AS p50_q,
+       CAST(floor(quantile_cont(c_acctbal, 0.95) * 100 + 0.5) AS BIGINT) AS p95_q
+FROM customer GROUP BY 1
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "global_stats": (global_stats, SQL_GLOBAL_STATS),
@@ -1026,4 +1240,8 @@ REGISTRY = {
     "multi_field_search": (multi_field_search, SQL_MULTI_FIELD_SEARCH),
     "search_analytics": (search_analytics, SQL_SEARCH_ANALYTICS),
     "paginated_listing": (paginated_listing, SQL_PAGINATED_LISTING),
+    "asof_join_attribution": (asof_join_attribution, SQL_ASOF_ATTRIBUTION),
+    "range_join_windows": (range_join_windows, SQL_RANGE_JOIN_WINDOWS),
+    "anti_join_customers": (anti_join_customers, SQL_ANTI_JOIN_CUSTOMERS),
+    "segment_quantiles": (segment_quantiles, SQL_SEGMENT_QUANTILES),
 }
