@@ -145,6 +145,8 @@ def run_bench() -> dict:
         "multi_field_search", "search_analytics",
         "asof_join_attribution", "range_join_windows",
         "anti_join_customers", "segment_quantiles",
+        "order_revenue_topk", "top3_orders_per_customer",
+        "running_total_per_user",
     ]:
         fn, _sql = Q.REGISTRY[name]
         timed(name, lambda f=fn: f(SF_DIR))

@@ -466,7 +466,7 @@ def run_crawl(
         # input blocks — a handful of wide blocks would run extract at
         # matching low parallelism; split rows-per-block WITHOUT an
         # all-to-all so the CPU-heavy extract stage fills the cluster
-        hits = hits.repartition(target_num_rows_per_block=1024)
+        hits = hits.repartition(target_num_rows_per_block=int(os.environ.get("OMNI_RAY_EXTRACT_BLOCK_ROWS", "1024")))
         articles = article_pipeline(
             hits, enrich_concurrency=enrich_concurrency
         ).materialize()
@@ -660,7 +660,7 @@ def run_crawl(
             # 8 observed at 200k rows — which would run extract at 8-task
             # parallelism; split rows-per-block WITHOUT an all-to-all so the
             # CPU-heavy extract stage gets enough tasks to fill the cluster
-            hits = hits.repartition(target_num_rows_per_block=1024)
+            hits = hits.repartition(target_num_rows_per_block=int(os.environ.get("OMNI_RAY_EXTRACT_BLOCK_ROWS", "1024")))
             articles = article_pipeline(hits, enrich_concurrency=enrich_concurrency).materialize()
             _tick("extract")
             if os.environ.get("OMNI_RAY_STATS") == "1":

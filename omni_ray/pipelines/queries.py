@@ -1214,6 +1214,159 @@ FROM customer GROUP BY 1
 """
 
 
+def order_revenue_topk(sf_dir: str):
+    """3-way join with pre-aggregation (TPC-H Q10 family): lineitem revenue
+    is aggregated per order FIRST (the combiner groupby), so the hash join
+    to orders moves one row per order, not one per lineitem — at 100 TB the
+    difference between shuffling the fact table once vs twice. The top-10 is
+    taken on quantized int64 revenue (per-block pre-reduction, then the
+    bounded global sort), and customer names are attached LAST with a
+    pruned-by-key read for just the k winners — the same small-result
+    pattern as multi_field_search's highlight stage."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def disc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev": pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            ),
+        })
+
+    rev = (
+        li.map_batches(disc, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j = orders.join(rev, join_type="inner", on=("o_orderkey",),
+                    right_on=("l_orderkey",), num_partitions=8)
+
+    def q(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "revenue_q": pc.cast(
+                pc.round(pc.multiply(t["revenue"], 100.0)), pa.int64()
+            ),
+        })
+
+    keys, desc = ["revenue_q", "o_orderkey"], [True, False]
+    top = (
+        j.map_batches(q, batch_format="pyarrow")
+        .map_batches(_block_topk(keys, desc, 10), batch_format="pyarrow")
+        .sort(keys, descending=desc)
+        .limit(10)
+        .to_pandas()
+    )
+    names = (
+        _read(
+            sf_dir, "customer", columns=["c_custkey", "c_name"],
+            filter=pc.field("c_custkey").isin(top["o_custkey"].tolist()),
+        )
+        .to_pandas()
+        .set_index("c_custkey")["c_name"]
+    )
+    top["c_name"] = [names[k] for k in top["o_custkey"]]
+    return pa.Table.from_pandas(
+        top[["o_orderkey", "c_name", "revenue_q"]], preserve_index=False
+    )
+
+
+SQL_ORDER_REVENUE_TOPK = """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_q
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey, c.c_name, rev.revenue_q
+FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY rev.revenue_q DESC, o.o_orderkey LIMIT 10
+"""
+
+
+def top3_orders_per_customer(sf_dir: str):
+    """Per-group top-n ROWS (window row_number ≤ n): hash-partition by
+    customer, per-group sort + head(3) inside map_groups. Unlike the
+    aggregate rollups this keeps whole rows with an explicit rank column.
+    Partitioning assumption: one customer's orders fit in a worker."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        g = g.assign(
+            rnk=np.arange(1, len(g) + 1, dtype=np.int64),
+            price_q=np.floor(g["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64),
+        )
+        return g[["o_custkey", "o_orderkey", "rnk", "price_q"]]
+
+    out = ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_TOP3_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_q
+FROM orders
+QUALIFY rnk <= 3
+"""
+
+
+def running_total_per_user(sf_dir: str):
+    """Cumulative window aggregate (SUM OVER ROWS UNBOUNDED PRECEDING):
+    hash-partition by user, ordered cumsum inside map_groups. The additions
+    happen in the SAME (ts, event_id) order in both engines, so the float
+    prefix sums are bit-identical before quantization."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cum = g["value"].cumsum().to_numpy()
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "running_q": np.floor(cum * 100 + 0.5).astype(np.int64),
+        })
+
+    out = ds.groupby("user_id").map_groups(run, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_RUNNING_TOTAL_PER_USER = """
+SELECT user_id, event_id,
+       CAST(floor(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) * 100 + 0.5) AS BIGINT)
+         AS running_q
+FROM events
+"""
+
+
+def stratified_sample_by_lang(sf_dir: str):
+    """O6 stratified sampling: deterministic every-10th document WITHIN each
+    language stratum (rank-ordered by doc_id), so small strata are
+    represented proportionally instead of vanishing the way a global
+    systematic sample loses rare groups."""
+    ds = _read(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"])
+
+    def samp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        return g.iloc[::10][["lang", "doc_id", "n_chars"]]
+
+    out = ds.groupby("lang").map_groups(samp, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, n_chars FROM documents
+QUALIFY (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 10 = 0
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "global_stats": (global_stats, SQL_GLOBAL_STATS),
@@ -1244,4 +1397,8 @@ REGISTRY = {
     "range_join_windows": (range_join_windows, SQL_RANGE_JOIN_WINDOWS),
     "anti_join_customers": (anti_join_customers, SQL_ANTI_JOIN_CUSTOMERS),
     "segment_quantiles": (segment_quantiles, SQL_SEGMENT_QUANTILES),
+    "order_revenue_topk": (order_revenue_topk, SQL_ORDER_REVENUE_TOPK),
+    "top3_orders_per_customer": (top3_orders_per_customer, SQL_TOP3_ORDERS_PER_CUSTOMER),
+    "running_total_per_user": (running_total_per_user, SQL_RUNNING_TOTAL_PER_USER),
+    "stratified_sample_by_lang": (stratified_sample_by_lang, SQL_STRATIFIED_SAMPLE),
 }
