@@ -163,6 +163,7 @@ def run_bench() -> dict:
     timed("quality_filter", lambda: ML_REGISTRY["quality_filter"][0](SF_DIR).count())
     timed("decontaminate", lambda: ML_REGISTRY["decontaminate"][0](SF_DIR).count())
     timed("duplicate_of", lambda: ML_REGISTRY["duplicate_of"][0](SF_DIR).count())
+    timed("tfidf_top_terms", lambda: ML_REGISTRY["tfidf_top_terms"][0](SF_DIR).num_rows)
 
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)

@@ -832,6 +832,102 @@ ORDER BY wave, crawl_order
 """
 
 
+# -- TF-IDF top terms (inverted-index / document-frequency shape) -----------
+
+
+def tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF terms. The corpus-statistics operator shape:
+
+    1. tokenize → per-(doc, term) tf rows, counted INSIDE the batch (the
+       map-side combiner; token rows never materialize individually);
+    2. document frequency = one groupby over the tf rows (they are already
+       distinct per (doc, term), so Count == df);
+    3. idf attached with a hash join on term — the vocabulary side is far
+       smaller than the corpus but unbounded, so no broadcast;
+    4. per-doc top-3 via hash partition on doc_id.
+
+    The tf rows feed two consumers (df and the join), so they are
+    materialized once; at 100 TB that intermediate would be written to
+    parquet instead, same plan. idf is quantized half-up at 1e6 on both
+    engines, and scores are exact int64 products from there."""
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Count
+
+    tok = re.compile(r"[a-z]+")
+    ds = _docs(sf_dir)
+    n_docs = ds.count()
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        doc_ids, terms, tfs = [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(tok.findall((x or "").lower()))
+            doc_ids.extend([d] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    df = tf.groupby("term").aggregate(Count(alias_name="df"))
+
+    def idf(t: pa.Table) -> pa.Table:
+        d = t["df"].to_numpy()
+        q = np.floor(np.log(float(n_docs) / d) * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table({"term": t["term"], "idf_q": pa.array(q, pa.int64())})
+
+    scored = tf.join(
+        df.map_batches(idf, batch_format="pyarrow"),
+        join_type="inner", on=("term",), num_partitions=8,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "term": t["term"],
+            "score": pc.multiply(t["tf"], t["idf_q"]),
+        })
+
+    import pandas as pd
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", "term"], ascending=[False, True],
+                             kind="mergesort").head(3)
+
+    out = (
+        scored.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(top3, batch_format="pandas")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / df.df) * 1000000 + 0.5) AS BIGINT)
+           AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+"""
+
+
 ML_REGISTRY = {
     "token_counts": (token_counts, SQL_TOKEN_COUNTS),
     "text_quality_stats": (text_quality_stats, SQL_TEXT_QUALITY_STATS),
@@ -846,6 +942,7 @@ ML_REGISTRY = {
     "decontaminate": (decontaminate, SQL_DECONTAMINATE),
     "articles41_core": (articles41_core, SQL_ARTICLES41_CORE),
     "crawl_schedule_core": (crawl_schedule_core, SQL_CRAWL_SCHEDULE_CORE),
+    "tfidf_top_terms": (tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
 }
 
 ML_ROWS_ONLY = {
