@@ -928,6 +928,82 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
 """
 
 
+# -- per-label embedding centroids (vector aggregate) ------------------------
+
+
+def label_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column — the k-means/IVF building
+    block as a first-class operator. Each batch reduces to per-label partial
+    (sum, count) vectors with one np.add.at over the zero-copy Arrow values
+    buffer (no Python row loop, no per-vector tolist); the groupby then
+    moves only labels × dims × n_blocks tiny partial rows, never the
+    vectors. Centroids quantized half-up at 1e6 on both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _emb_labeled(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        n_rows = len(col)
+        if n_rows == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()), "dim": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()), "n": pa.array([], pa.int64()),
+            })
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // n_rows
+        emb = flat.reshape(n_rows, d).astype(np.float64)
+        labs = t["label"].to_numpy()
+        uniq, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, inv, emb)
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "label": pa.array(np.repeat(uniq.astype(np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts.astype(np.int64), d)),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy()
+        n = t["n"].to_numpy()
+        cq = np.floor(s / n * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table({
+            "label": t["label"], "dim": t["dim"],
+            "n": pa.array(n.astype(np.int64)), "c_q": pa.array(cq),
+        })
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _emb_labeled(sf_dir: str):
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"],
+        override_num_blocks=_n_blocks(),
+    )
+
+
+SQL_LABEL_CENTROIDS = r"""
+WITH u AS (
+  SELECT label, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       count(*) AS n,
+       CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS c_q
+FROM u GROUP BY 1, 2
+"""
+
+
 ML_REGISTRY = {
     "token_counts": (token_counts, SQL_TOKEN_COUNTS),
     "text_quality_stats": (text_quality_stats, SQL_TEXT_QUALITY_STATS),
@@ -943,6 +1019,7 @@ ML_REGISTRY = {
     "articles41_core": (articles41_core, SQL_ARTICLES41_CORE),
     "crawl_schedule_core": (crawl_schedule_core, SQL_CRAWL_SCHEDULE_CORE),
     "tfidf_top_terms": (tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "label_centroids": (label_centroids, SQL_LABEL_CENTROIDS),
 }
 
 ML_ROWS_ONLY = {

@@ -1367,6 +1367,71 @@ QUALIFY (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 10 = 0
 """
 
 
+def asof_broadcast_index(sf_dir: str):
+    """As-of join, broadcast strategy (the small-right-side twin of
+    ``asof_join_attribution``): each lineitem ship date picks the latest
+    monthly price-index row at-or-before it. The index (one row per month)
+    is aggregated first, collected small, and broadcast via ray.put as two
+    numpy arrays; every batch resolves its matches with ONE searchsorted —
+    zero shuffle on the fact side, the right 100-TB plan whenever the
+    time-versioned side fits in the object store."""
+    idx = (
+        _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table({
+                "m": pc.cast(pc.floor_temporal(t["o_orderdate"], unit="month"), pa.int64()),
+                # quantize to int64 cents BEFORE the sum so the mean is exact
+                # integer arithmetic on both engines (float Mean differs from
+                # DuckDB avg by 1 ulp at .5 boundaries)
+                "cents": pc.cast(pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("m")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("m")
+    )
+    months = np.ascontiguousarray(idx["m"].to_numpy(dtype=np.int64))
+    cents = idx["cents"].to_numpy(dtype=np.int64)
+    n = idx["n"].to_numpy(dtype=np.int64)
+    # round-half-up of (cents/n)*100 as exact integer division
+    idx_q = np.ascontiguousarray((cents * 200 + n) // (2 * n))
+    months_ref, idx_ref = ray.put(months), ray.put(idx_q)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        # stateless task: ray.get of a small numpy ref is zero-copy from the
+        # local plasma store after first fetch — no actor pool to size (an
+        # exact-width pool can deadlock the upstream read on small clusters)
+        months_a, idx_a = ray.get(months_ref), ray.get(idx_ref)
+        ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy()
+        pos = np.searchsorted(months_a, ship, side="right") - 1
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "idx_month_us": pa.array(months_a[pos]),
+            "idx_q": pa.array(idx_a[pos]),
+        })
+
+    out = li.map_batches(attach, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_ASOF_BROADCAST_INDEX = """
+WITH idx AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) * 200 + count(*))
+           // (2 * count(*)) AS idx_q
+  FROM orders GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber, epoch_us(i.m) AS idx_month_us, i.idx_q
+FROM lineitem l ASOF JOIN idx i ON l.l_shipdate >= i.m
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "global_stats": (global_stats, SQL_GLOBAL_STATS),
@@ -1401,4 +1466,5 @@ REGISTRY = {
     "top3_orders_per_customer": (top3_orders_per_customer, SQL_TOP3_ORDERS_PER_CUSTOMER),
     "running_total_per_user": (running_total_per_user, SQL_RUNNING_TOTAL_PER_USER),
     "stratified_sample_by_lang": (stratified_sample_by_lang, SQL_STRATIFIED_SAMPLE),
+    "asof_broadcast_index": (asof_broadcast_index, SQL_ASOF_BROADCAST_INDEX),
 }
