@@ -164,6 +164,9 @@ def run_bench() -> dict:
     timed("decontaminate", lambda: ML_REGISTRY["decontaminate"][0](SF_DIR).count())
     timed("duplicate_of", lambda: ML_REGISTRY["duplicate_of"][0](SF_DIR).count())
     timed("tfidf_top_terms", lambda: ML_REGISTRY["tfidf_top_terms"][0](SF_DIR).num_rows)
+    timed("pii_scan", lambda: ML_REGISTRY["pii_scan"][0](SF_DIR).count())
+    timed("bigram_top_terms", lambda: ML_REGISTRY["bigram_top_terms"][0](SF_DIR).num_rows)
+    timed("dedup_keep_best", lambda: ML_REGISTRY["dedup_keep_best"][0](SF_DIR).num_rows)
 
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)

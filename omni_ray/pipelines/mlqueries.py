@@ -1004,6 +1004,386 @@ FROM u GROUP BY 1, 2
 """
 
 
+# -- PII scan / redaction (RE2-vectorized) -----------------------------------
+
+# Both pyarrow.compute and DuckDB regexp_* run RE2, so the SAME pattern
+# strings give bit-identical match semantics on both engines (parity-probed:
+# counts and post-redaction lengths agree including \b and {m,n} forms).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scan(sf_dir: str):
+    """Per-document PII scan + redaction accounting — the pre-training
+    privacy-filter operator. Entirely pyarrow.compute RE2 kernels over the
+    zero-copy Arrow batch (count_substring_regex / replace_substring_regex):
+    no Python row loop, no shuffle, streams at any scale. Emits match counts
+    per PII class and the content length after replacing matches with
+    fixed placeholder tags (what a redaction pass would store)."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        red = pc.replace_substring_regex(
+            pc.replace_substring_regex(txt, _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE, "[PHONE]",
+        )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_emails": pc.cast(pc.count_substring_regex(txt, _PII_EMAIL), pa.int64()),
+            "n_phones": pc.cast(pc.count_substring_regex(txt, _PII_PHONE), pa.int64()),
+            "redacted_len": pc.cast(pc.utf8_length(red), pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_PII_SCAN = r"""
+SELECT doc_id,
+       length(regexp_extract_all(coalesce(text, ''),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       length(regexp_extract_all(coalesce(text, ''),
+              '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+       length(regexp_replace(regexp_replace(coalesce(text, ''),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+              '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g')) AS redacted_len
+FROM documents
+"""
+
+
+# -- corpus bigram counts (map-side combine → one small groupby) -------------
+
+
+def bigram_top_terms(sf_dir: str):
+    """Top-25 corpus word bigrams. The n-gram-LM / phrase-mining building
+    block: bigrams are counted INSIDE each batch (map-side combiner — token
+    rows never materialize individually), so the groupby only moves
+    distinct-bigram partial rows, then a bounded sort+limit picks the head.
+    Deterministic tiebreak on the bigram string."""
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    tok = re.compile(r"[^a-z0-9]+")
+    ds = _docs(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            ws = [w for w in tok.split((x or "").lower()) if w]
+            c.update(map(" ".join, zip(ws, ws[1:])))
+        return pa.table({
+            "bigram": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    from omni_ray.pipelines.queries import _block_topk
+
+    keys, desc = ["n", "bigram"], [True, False]
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(_block_topk(keys, desc, 25), batch_format="pyarrow")
+        .sort(keys, descending=desc)
+        .limit(25)
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_BIGRAM_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS i FROM toks
+)
+SELECT a.w || ' ' || c.w AS bigram, count(*) AS n
+FROM w a JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 25
+"""
+
+
+# -- keep-best dedup (argmax inside an aggregate, no map_groups) -------------
+
+
+def dedup_keep_best(sf_dir: str):
+    """Exact-dup groups keeping the BEST copy (longest text, then lowest
+    doc_id) — the production dedup rule (keep-first is a special case). The
+    argmax travels THROUGH the groupby as one packed int64
+    ``n_chars * 10^10 + (10^10 - doc_id)`` so a plain Max aggregate picks
+    (max n_chars, min doc_id) with zero float math and no per-group UDF;
+    valid while doc_id < 10^10 (asserted). Same packing in the SQL."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Max
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def h(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        assert ids.max(initial=0) < 10_000_000_000
+        hashes = [hashlib.md5((x or "").encode()).hexdigest()
+                  for x in t["text"].to_pylist()]
+        pack = t["n_chars"].to_numpy() * 10_000_000_000 + (10_000_000_000 - ids)
+        return pa.table({
+            "content_hash": pa.array(hashes, pa.string()),
+            "pack": pa.array(pack, pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(h, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Max("pack", alias_name="pack"), Count(alias_name="n_copies"))
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t["pack"].to_numpy()
+        return pa.table({
+            "content_hash": t["content_hash"],
+            "best_id": pa.array(10_000_000_000 - p % 10_000_000_000),
+            "best_len": pa.array(p // 10_000_000_000),
+            "n_copies": t["n_copies"],
+        })
+
+    out = agg.map_batches(unpack, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH p AS (
+  SELECT md5(coalesce(text, '')) AS content_hash,
+         n_chars * 10000000000 + (10000000000 - doc_id) AS pack
+  FROM documents
+)
+SELECT content_hash,
+       10000000000 - max(pack) % 10000000000 AS best_id,
+       max(pack) // 10000000000 AS best_len,
+       count(*) AS n_copies
+FROM p GROUP BY 1
+"""
+
+
+# -- deterministic hash sampling ---------------------------------------------
+
+
+def hash_sample(sf_dir: str):
+    """5% deterministic hash sample: keep doc_id iff the first 8 hex digits
+    of md5(str(doc_id)) mod 20 == 0. THE scale-correct sampling rule — stable
+    under re-partitioning, re-ordering and incremental reruns (systematic
+    row-number sampling is not), and joinable across tables that share the
+    key. Zero shuffle; the filter runs inside the column-pruned read."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        keep = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 20 == 0
+             for i in ids),
+            dtype=bool, count=len(ids),
+        )
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, n_chars FROM documents
+WHERE reduce(list_transform(range(1, 9),
+             i -> CAST(strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                       AS BIGINT)),
+             (a, b) -> a * 16 + b) % 20 = 0
+"""
+
+
+# -- corpus length histogram -------------------------------------------------
+
+
+def length_histogram(sf_dir: str):
+    """Log2-banded document-length histogram — the corpus-profiling operator
+    (what you look at before choosing batch/context sizes). Vectorized
+    per-batch band + bincount partials; the groupby moves only band rows."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy()
+        band = np.floor(np.log2(n + 1.0)).astype(np.int64)
+        uniq, inv = np.unique(band, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table({
+            "band": pa.array(uniq), "n_docs": pa.array(cnt),
+            "total_chars": pa.array(tot),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_chars", alias_name="total_chars"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(floor(log2(n_chars + 1.0)) AS BIGINT) AS band,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+# -- deterministic corpus mixing ---------------------------------------------
+
+
+def mix_sources(sf_dir: str):
+    """Weighted data mixture: each source keeps a deterministic fraction of
+    its documents — source ``srcK`` keeps ``(K+1)/20`` of rows (the mixture
+    weight), selected by the same hash rule as ``hash_sample`` so the
+    subset is stable under re-partitioning and reruns, and a rerun with a
+    RAISED weight is a strict superset (incremental re-mixing: only the
+    delta needs processing). Output is the per-source kept/total audit."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+             for i in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        permille = np.fromiter(
+            ((int(s[3:]) + 1) * 1000 // 20 for s in srcs),
+            dtype=np.int64, count=len(srcs),
+        )
+        return pa.table({
+            "source": t["source"],
+            "kept": pa.array((h < permille).astype(np.int64)),
+        })
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("kept", alias_name="n_kept"), Count(alias_name="n_total"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_MIX_SOURCES = """
+WITH d AS (
+  SELECT source,
+         CASE WHEN reduce(list_transform(range(1, 9),
+                  i -> CAST(strpos('0123456789abcdef',
+                                   substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                            AS BIGINT)),
+                  (a, b) -> a * 16 + b) % 1000
+              < (CAST(substr(source, 4) AS BIGINT) + 1) * 1000 // 20
+         THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, CAST(sum(kept) AS BIGINT) AS n_kept, count(*) AS n_total
+FROM d GROUP BY 1
+"""
+
+
+# -- cross-source duplicate overlap ------------------------------------------
+
+
+def cross_source_overlap(sf_dir: str):
+    """For every pair of sources, how many distinct content FINGERPRINTS
+    appear in BOTH — the dataset-mixing diagnostic (is source B drawing from
+    the same template pool as A?). The fingerprint is the 2-word leading
+    template prefix (exact md5 would be vacuous on this corpus: zero full-text
+    dups exist); swap ``_fingerprint`` for md5 for byte-exact mirroring.
+    Distinct (fingerprint, source) rows shuffle once on the fingerprint;
+    pairs are emitted per group and re-aggregated — output is #source-pairs
+    rows, tiny at any corpus size."""
+    import re
+    from itertools import combinations
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    tok = re.compile(r"[^a-z0-9]+")
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"],
+        override_num_blocks=_n_blocks(),
+    )
+
+    def h(t: pa.Table) -> pa.Table:
+        fps = []
+        for x in t["text"].to_pylist():
+            ws = [w for w in tok.split((x or "").lower()) if w]
+            fps.append(" ".join(ws[:2]))
+        return pa.table({
+            "content_hash": pa.array(fps, pa.string()),
+            "source": t["source"],
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(set(g["source"]))
+        combos = list(combinations(srcs, 2))
+        # explicit dtypes: single-source groups emit EMPTY frames, and an
+        # all-empty block must still carry int64/str columns for the Sum
+        return pd.DataFrame({
+            "source_a": pd.Series([a for a, _ in combos], dtype="object"),
+            "source_b": pd.Series([b for _, b in combos], dtype="object"),
+            "n_shared": pd.Series([1] * len(combos), dtype="int64"),
+        })
+
+    out = (
+        ds.map_batches(h, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n_shared", alias_name="n_shared"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_CROSS_SOURCE_OVERLAP = """
+WITH d AS (
+  SELECT DISTINCT
+    array_to_string(list_slice(list_filter(
+      string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+      x -> x <> ''), 1, 2), ' ') AS h,
+    source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 ML_REGISTRY = {
     "token_counts": (token_counts, SQL_TOKEN_COUNTS),
     "text_quality_stats": (text_quality_stats, SQL_TEXT_QUALITY_STATS),
@@ -1020,6 +1400,13 @@ ML_REGISTRY = {
     "crawl_schedule_core": (crawl_schedule_core, SQL_CRAWL_SCHEDULE_CORE),
     "tfidf_top_terms": (tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "label_centroids": (label_centroids, SQL_LABEL_CENTROIDS),
+    "pii_scan": (pii_scan, SQL_PII_SCAN),
+    "bigram_top_terms": (bigram_top_terms, SQL_BIGRAM_TOP_TERMS),
+    "dedup_keep_best": (dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "hash_sample": (hash_sample, SQL_HASH_SAMPLE),
+    "length_histogram": (length_histogram, SQL_LENGTH_HISTOGRAM),
+    "cross_source_overlap": (cross_source_overlap, SQL_CROSS_SOURCE_OVERLAP),
+    "mix_sources": (mix_sources, SQL_MIX_SOURCES),
 }
 
 ML_ROWS_ONLY = {
