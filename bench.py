@@ -168,6 +168,15 @@ def run_bench() -> dict:
     timed("bigram_top_terms", lambda: ML_REGISTRY["bigram_top_terms"][0](SF_DIR).num_rows)
     timed("dedup_keep_best", lambda: ML_REGISTRY["dedup_keep_best"][0](SF_DIR).num_rows)
 
+    from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
+
+    timed("fingerprint_pairs",
+          lambda: CORPUS_REGISTRY["fingerprint_pairs"][0](SF_DIR).num_rows)
+    timed("unigram_logprob",
+          lambda: CORPUS_REGISTRY["unigram_logprob"][0](SF_DIR).num_rows)
+    timed("kmeans_assign",
+          lambda: CORPUS_REGISTRY["kmeans_assign"][0](SF_DIR).count())
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

@@ -6,10 +6,11 @@ import duckdb
 import pandas as pd
 import pytest
 
+from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
 from omni_ray.pipelines.mlqueries import ML_REGISTRY
 from omni_ray.pipelines.queries import REGISTRY
 
-ALL = {**REGISTRY, **ML_REGISTRY}
+ALL = {**REGISTRY, **ML_REGISTRY, **CORPUS_REGISTRY}
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
