@@ -177,6 +177,17 @@ def run_bench() -> dict:
     timed("kmeans_assign",
           lambda: CORPUS_REGISTRY["kmeans_assign"][0](SF_DIR).count())
 
+    from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
+
+    timed("doc_pack",
+          lambda: TRAINPREP_REGISTRY["doc_pack"][0](SF_DIR).num_rows)
+    timed("boilerplate_segments",
+          lambda: TRAINPREP_REGISTRY["boilerplate_segments"][0](SF_DIR).num_rows)
+    timed("kmv_distinct_users",
+          lambda: TRAINPREP_REGISTRY["kmv_distinct_users"][0](SF_DIR).num_rows)
+    timed("hopping_window",
+          lambda: TRAINPREP_REGISTRY["hopping_window"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

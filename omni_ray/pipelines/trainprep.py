@@ -1,0 +1,389 @@
+"""Training-data preparation operators, round 3 batch 3: sequence packing
+(concat-and-chunk token budgeting), C4-style boilerplate-segment analysis,
+a KMV (k-minimum-values) distinct sketch, histogram-based global percentile
+ranking (the sort-free ntile), and hopping (overlapping) time windows.
+
+These are the operators an LLM-training corpus pipeline needs that the
+relational suite doesn't cover: packing documents into fixed-token training
+sequences, removing corpus-wide repeated spans, and cheap cardinality /
+rank statistics that avoid a global sort. Every operator is oracle-backed:
+column names and integer values match the DuckDB SQL exactly (the common
+rules of this repo: integer arithmetic end-to-end, no float thresholds).
+
+Scale shape summary (details per docstring):
+- doc_pack: the classic distributed prefix-sum — per-bucket partial sums
+  (tiny) to the driver, base offsets broadcast, within-bucket scan local.
+- boilerplate_segments: two shuffles on already-reduced keys (segment hash,
+  then doc_id); frequencies computed inside the segment group, no join.
+- kmv_distinct_users: per-block bottom-k, one k*blocks-row reduce — the
+  sketch answer to COUNT(DISTINCT) without a full distinct shuffle.
+- global_percentile: groupby on the bounded value domain + broadcast CDF —
+  a per-row global rank with zero sort.
+- hopping_window: each event expands to exactly window/hop rows map-side,
+  one groupby; never materializes per-window row lists.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..stages.dedup import _fetch_broadcast
+from .mlqueries import _docs
+
+_WORD = re.compile(r"[a-z]+")
+
+# packing budget (tokens per training sequence) — a constant of the operator,
+# mirrored literally in the SQL oracle
+PACK_BUDGET = 512
+# doc_ids per prefix-sum bucket: the per-bucket partials table has
+# n_docs/_PACK_SPAN rows — at 10^10 docs that is 10^7 rows, still a driver-
+# side array; beyond that the scan becomes two-level (bucket-of-buckets)
+_PACK_SPAN = 1024
+
+
+def doc_pack(sf_dir: str):
+    """Sequence packing, concat-and-chunk style: documents in deterministic
+    doc_id order are laid end-to-end and cut into PACK_BUDGET-token training
+    chunks; each document reports the chunk its first token lands in. This
+    is the distributed prefix-sum (scan) pattern: (1) one map pass emits
+    per-doc token counts tagged with a doc_id-range bucket, (2) per-bucket
+    sums — a table ~n_docs/1024 rows — come to the driver for an exclusive
+    cumsum, (3) the tiny base-offset array is broadcast and each bucket
+    scans locally in a map_groups. No global sort, no per-row shuffle: the
+    only all-to-all moves one row per bucket.
+
+    Reference anchor: the reference has no packing stage (its unit is one
+    article, src/pipeline/processor.py); this is a pure training-data
+    addition per the build brief."""
+    ds = _docs(sf_dir)
+
+    def toks(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        n = np.array(
+            [len(_WORD.findall((x or "").lower())) for x in t["text"].to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "bucket": pa.array(ids // _PACK_SPAN, pa.int64()),
+        })
+
+    # narrow (doc_id, n_tokens, bucket) table feeds both the partials pass
+    # and the final scan — materialize once instead of re-tokenizing
+    counted = ds.map_batches(toks, batch_format="pyarrow").materialize()
+    partials = (
+        counted.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    base = np.zeros(len(partials), dtype=np.int64)
+    base[1:] = np.cumsum(partials["bucket_tokens"].to_numpy())[:-1]
+    base_ref = ray.put(dict(zip(partials["bucket"].tolist(), base.tolist())))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        bases = _fetch_broadcast(base_ref)
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        before = np.zeros(len(n), dtype=np.int64)
+        before[1:] = np.cumsum(n)[:-1]
+        before += bases[int(g["bucket"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "chunk_id": before // PACK_BUDGET,
+        })
+
+    out = counted.groupby("bucket").map_groups(scan, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_DOC_PACK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+            AS BIGINT) AS chunk_id
+FROM toks
+"""
+
+
+def boilerplate_segments(sf_dir: str):
+    """C4-style repeated-span analysis: split each document into consecutive
+    non-overlapping 10-word segments, count each segment's occurrences
+    corpus-wide, and report per document how many of its segments are
+    corpus-repeated (frequency >= 2) plus the keep decision (< 50%
+    repeated). Documents under 10 tokens have no segments and are excluded
+    on both engines.
+
+    Shape at scale: segments are pre-counted per (doc, segment) inside the
+    map batch into a narrow (doc_id, seg-md5, n_occ) table, materialized
+    once because it feeds both sides of a diamond (frequencies and the
+    join-back); frequencies come from a combiner-friendly groupby-Sum, and
+    rejoin the segment rows through a hash join — NOT a per-group
+    map_groups, which at one tiny pandas group per distinct segment costs
+    more scheduler time than the whole corpus pass (measured 16.5 s vs
+    ~3 s at 60k segments). The final per-doc rollup groups on doc_id. A
+    mega-hot boilerplate segment is just a skewed join key spread across
+    hash partitions — linear, not quadratic (contrast fingerprint_pairs,
+    which must guard pair blowup)."""
+    ds = _docs(sf_dir)
+
+    def segs(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        doc_ids, seg_hashes, occ = [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            w = _WORD.findall((x or "").lower())
+            counts: dict[str, int] = {}
+            for i in range(len(w) // 10):
+                h = hashlib.md5(" ".join(w[i * 10:(i + 1) * 10]).encode()).hexdigest()
+                counts[h] = counts.get(h, 0) + 1
+            for h in sorted(counts):
+                doc_ids.append(d)
+                seg_hashes.append(h)
+                occ.append(counts[h])
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "seg": pa.array(seg_hashes, pa.string()),
+            "n_occ": pa.array(occ, pa.int64()),
+        })
+
+    seg_rows = ds.map_batches(segs, batch_format="pyarrow").materialize()
+    freqs = seg_rows.groupby("seg").aggregate(Sum("n_occ", alias_name="f"))
+    joined = seg_rows.join(freqs, join_type="inner", on=("seg",),
+                           num_partitions=16)
+
+    def rep(t: pa.Table) -> pa.Table:
+        n = t["n_occ"].to_numpy()
+        f = t["f"].to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n": t["n_occ"],
+            "n_rep": pa.array(np.where(f >= 2, n, 0).astype(np.int64), pa.int64()),
+        })
+
+    rolled = (
+        joined.map_batches(rep, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_segments"),
+                   Sum("n_rep", alias_name="n_repeated"))
+        .to_pandas()
+    )
+    rolled["keep_doc"] = (
+        2 * rolled["n_repeated"] <= rolled["n_segments"]
+    ).astype("int64")
+    return pa.Table.from_pandas(rolled, preserve_index=False)
+
+
+SQL_BOILERPLATE_SEGMENTS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS w
+  FROM documents
+), segs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, CAST(len(w) // 10 AS BIGINT) + 1),
+                i -> md5(array_to_string(w[(i-1)*10+1:i*10], ' ')))) AS seg
+  FROM toks WHERE len(w) >= 10
+), freq AS (
+  SELECT seg, count(*) AS f FROM segs GROUP BY 1
+)
+SELECT s.doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       CAST(CASE WHEN 2 * sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END) <= count(*)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep_doc
+FROM segs s JOIN freq USING (seg)
+GROUP BY 1
+"""
+
+
+_KMV_K = 64
+_KMV_MULT = 2654435761  # Knuth multiplicative hash, 32-bit
+_KMV_MOD = 1 << 32
+
+
+def kmv_distinct_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) via a KMV (k-minimum-values)
+    sketch — the cardinality estimator that needs no full distinct shuffle:
+    hash every id into [0, 2^32) with an integer multiplicative hash, keep
+    the k=64 smallest DISTINCT hashes, and estimate n ≈ (k-1) * 2^32 /
+    h_(k). The hash and the estimate are pure integer arithmetic so the
+    DuckDB oracle reproduces them bit-for-bit (no float estimator drift).
+
+    Shape at scale: each block reduces to its own bottom-64 distinct hashes
+    map-side (numpy unique + slice), so the only shuffle carries at most
+    64 rows per block; the final distinct+sort runs over that sketch-sized
+    set. Exact-count fallback when the union holds fewer than k distinct
+    hashes — then the sketch IS the exact distinct set. Sister operator to
+    daily_active_users (exact two-stage count-distinct): this one is O(k)
+    state for any cardinality."""
+    from .queries import _read
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def bottom_k(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = np.unique((u * _KMV_MULT) % _KMV_MOD)[:_KMV_K]
+        return pa.table({"h": pa.array(h.astype(np.int64), pa.int64())})
+
+    sketch = (
+        ds.map_batches(bottom_k, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="_n"))
+        .sort("h")
+        .limit(_KMV_K)
+        .to_pandas()
+    )
+    hs = sketch["h"].to_numpy()
+    if len(hs) < _KMV_K:
+        est = len(hs)
+    else:
+        est = (_KMV_K - 1) * _KMV_MOD // int(hs[-1])
+    return pa.table({
+        "est_users": pa.array([est], pa.int64()),
+        "k": pa.array([_KMV_K], pa.int64()),
+    })
+
+
+SQL_KMV_DISTINCT_USERS = r"""
+WITH h AS (
+  SELECT DISTINCT CAST(CAST(user_id AS HUGEINT) * 2654435761 % 4294967296
+                       AS BIGINT) AS h
+  FROM events
+), k AS (SELECT h FROM h ORDER BY h LIMIT 64)
+SELECT CAST(CASE WHEN (SELECT count(*) FROM k) < 64
+                 THEN (SELECT count(*) FROM k)
+                 ELSE 63 * 4294967296 // (SELECT max(h) FROM k) END
+            AS BIGINT) AS est_users,
+       CAST(64 AS BIGINT) AS k
+"""
+
+
+def global_percentile(sf_dir: str):
+    """Global percentile rank of every document's length WITHOUT a global
+    sort: pct = floor(100 * |{docs with n_chars strictly smaller}| / n).
+    The trick is that the rank of a value only depends on the value-domain
+    histogram: one groupby on n_chars (bounded domain — document lengths,
+    not documents) yields the full CDF, the driver folds it into a
+    value→count-below dict, and a broadcast map assigns every row its
+    percentile. Zero sort, one bounded shuffle, one narrow map — the
+    sort-free ntile every quality-mixing pipeline wants at 100 TB.
+
+    Ties are handled exactly like SQL rank(): equal values share the count
+    of strictly-smaller rows."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    hist = (
+        ds.groupby("n_chars").aggregate(Count(alias_name="cnt"))
+        .to_pandas().sort_values("n_chars")
+    )
+    counts = hist["cnt"].to_numpy()
+    total = int(counts.sum())
+    below = np.zeros(len(counts), dtype=np.int64)
+    below[1:] = np.cumsum(counts)[:-1]
+    cdf_ref = ray.put(dict(zip(hist["n_chars"].tolist(), below.tolist())))
+
+    def pct(t: pa.Table) -> pa.Table:
+        cdf = _fetch_broadcast(cdf_ref)
+        v = t["n_chars"].to_pylist()
+        p = np.array([cdf[x] for x in v], dtype=np.int64) * 100 // total
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "pct": pa.array(p, pa.int64()),
+        })
+
+    out = ds.map_batches(pct, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_GLOBAL_PERCENTILE = r"""
+SELECT doc_id, n_chars,
+       CAST((rank() OVER (ORDER BY n_chars) - 1) * 100
+            // (SELECT count(*) FROM documents) AS BIGINT) AS pct
+FROM documents
+"""
+
+
+_HOP_US = 1_800_000_000  # 30-minute hop
+_HOP_PER_WIN = 2  # 60-minute windows: each event lands in exactly 2
+
+
+def hopping_window(sf_dir: str):
+    """Hopping (overlapping) time windows: 60-minute windows starting every
+    30 minutes over the events stream — count and revenue per window. The
+    complement to the suite's tumbling (disjoint) and row-sliding windows.
+
+    Shape at scale: because window length is an exact multiple of the hop,
+    each event belongs to exactly window/hop = 2 windows, computed map-side
+    by integer division and emitted as 2 rows (an Arrow concat of shifted
+    copies — no Python loop, no per-window row lists). The one shuffle is
+    the groupby on window start, whose key count is time-range/hop, not
+    event count."""
+    from .queries import _read
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.divide(pc.cast(t["ts"], pa.int64()), _HOP_US)  # int64 floor div
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()
+        )
+        one = pa.table({"b": b, "cents": cents})
+        parts = [
+            one.set_column(0, "b", pc.add(one["b"], shift))
+            for shift in range(-(_HOP_PER_WIN - 1), 1)
+        ]
+        both = pa.concat_tables(parts)
+        return pa.table({
+            "win_start_s": pa.compute.multiply(both["b"], 1800),
+            "cents": both["cents"],
+        })
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("win_start_s")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("cents", alias_name="value_cents"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_HOPPING_WINDOW = r"""
+WITH e AS (
+  SELECT epoch_us(ts) // 1800000000 AS b,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), x AS (
+  SELECT unnest([b - 1, b]) * 1800 AS win_start_s, cents FROM e
+)
+SELECT win_start_s, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM x GROUP BY 1
+"""
+
+
+TRAINPREP_REGISTRY = {
+    "doc_pack": (doc_pack, SQL_DOC_PACK),
+    "boilerplate_segments": (boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
+    "kmv_distinct_users": (kmv_distinct_users, SQL_KMV_DISTINCT_USERS),
+    "global_percentile": (global_percentile, SQL_GLOBAL_PERCENTILE),
+    "hopping_window": (hopping_window, SQL_HOPPING_WINDOW),
+}
