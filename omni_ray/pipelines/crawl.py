@@ -71,17 +71,21 @@ def _dedup_and_rank(group: pd.DataFrame, budget_per_host: int | None) -> pd.Data
                           kind="mergesort")
     fresh = g[~g["seen"]].drop_duplicates("url_hash", keep="first").copy()
     allowed = fresh["robots_allowed"].to_numpy()
+    # rank among allowed rows within each host, vectorized (cumsum per host);
+    # persisted into the deferred snapshot (shifted by the budget) so a
+    # discovery-free next wave can split by rank comparison alone — see the
+    # pre-ranked fast path in run_crawl
+    ranks = (
+        pd.Series(allowed.astype("int64"), index=fresh.index)
+        .groupby(fresh["host"].to_numpy(), sort=False)
+        .cumsum()
+        .to_numpy()
+        - 1
+    )
+    fresh["host_rank"] = ranks
     if budget_per_host is None:
         fresh["scheduled"] = allowed
     else:
-        # rank among allowed rows within each host, vectorized (cumsum per host)
-        ranks = (
-            pd.Series(allowed.astype("int64"), index=fresh.index)
-            .groupby(fresh["host"].to_numpy(), sort=False)
-            .cumsum()
-            .to_numpy()
-            - 1
-        )
         fresh["scheduled"] = allowed & (ranks < budget_per_host)
     return fresh
 
@@ -299,7 +303,12 @@ def _read_frontier(path: str) -> pa.Table:
         )
         if not files:
             return _frontier_schema().empty_table()
-        return pa.concat_tables([pq.read_table(f) for f in files])
+        # promote: a snapshot mixing pre-ranked parts (host_rank column)
+        # with externally merged discoveries (no host_rank) concats with
+        # nulls — which correctly disables the pre-ranked fast path
+        return pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="default"
+        )
     return pq.read_table(path)
 
 
@@ -539,21 +548,64 @@ def run_crawl(
             os.makedirs(epoch_dir, exist_ok=True)
             counters.append(("*", "frontier_in", frontier_tbl.num_rows))
 
-            # ---- fused annotate chain + single host shuffle -------------------
-            fr = ray.data.from_arrow(frontier_tbl)
+            # ---- frontier split ----------------------------------------------
             # from_arrow yields ONE block — split so annotate/dedup parallelize
+            fr = ray.data.from_arrow(frontier_tbl)
             fr = fr.repartition(max(8, min(128, frontier_tbl.num_rows // 2048)))
-            fr = fr.map_batches(annotate, batch_format="pyarrow", batch_size=2048)
-            # shuffle on hash(host)%64 buckets (not raw host): a long host tail
-            # would make per-group overhead dominate; the rank fn is vectorized
-            # over whole buckets and host groups never span buckets
-            ranked = fr.groupby("host_bucket").map_groups(
-                lambda g: _dedup_and_rank(g, budget_per_host), batch_format="pandas"
+            pre_ranked = (
+                distributed_frontier
+                and budget_per_host is not None
+                and robots is None
+                and frontier_tbl.num_rows > 0
+                and "host_rank" in frontier_tbl.column_names
+                and frontier_tbl.column("host_rank").null_count == 0
             )
+            if pre_ranked:
+                # incremental-frontier fast path: every row came out of the
+                # previous wave's deferred snapshot, i.e. it is already
+                # canonicalized, url_hash-deduped, politeness-ranked, and
+                # provably unseen (a url_hash is deduped to one row at entry,
+                # so the scheduled and deferred sets stay disjoint forever) —
+                # the split is a per-row rank comparison: no seen-shard
+                # round-trips, no host shuffle. Any externally merged
+                # discovery lacks host_rank (nulled through the promoted
+                # concat) and forces the full path below. This is how a
+                # real frontier behaves at 10^10 URLs: maintained
+                # incrementally, never rebuilt per wave.
+                ranked = fr.map_batches(
+                    lambda t, b=budget_per_host: (
+                        t.append_column(
+                            "seen", pa.array([False] * t.num_rows, pa.bool_())
+                        )
+                        .append_column(
+                            "robots_allowed",
+                            pa.array([True] * t.num_rows, pa.bool_()),
+                        )
+                        .append_column(
+                            "scheduled",
+                            pa.compute.less(
+                                pa.compute.cast(t.column("host_rank"), pa.int64()),
+                                b,
+                            ),
+                        )
+                    ),
+                    batch_format="pyarrow",
+                )
+            else:
+                # full split: fused annotate chain + single host shuffle on
+                # hash(host)%64 buckets (not raw host): a long host tail
+                # would make per-group overhead dominate; the rank fn is
+                # vectorized over whole buckets and host groups never span
+                # buckets
+                fr = fr.map_batches(annotate, batch_format="pyarrow", batch_size=2048)
+                ranked = fr.groupby("host_bucket").map_groups(
+                    lambda g: _dedup_and_rank(g, budget_per_host), batch_format="pandas"
+                )
 
             if distributed_frontier:
                 out = _wave_distributed(
-                    ranked, seen, epoch_dir, counters, robots is not None, pool
+                    ranked, seen, epoch_dir, counters, robots is not None, pool,
+                    budget_per_host,
                 )
                 if out is None:
                     # route through the JOB queue (then the completer) so
@@ -628,8 +680,10 @@ def run_crawl(
                 # mark scheduled as seen (exactly once per url_hash)
                 seen.check_and_add_hashes(sched_pdf["url_hash"].tolist())
 
-                drop_cols = ["seen", "robots_allowed", "eligible", "scheduled"]
-                sched_ds = ray.data.from_pandas(sched_pdf.drop(columns=drop_cols))
+                drop_cols = ["seen", "robots_allowed", "eligible", "scheduled",
+                             "host_rank"]
+                sched_ds = ray.data.from_pandas(sched_pdf.drop(
+                    columns=[c for c in drop_cols if c in sched_pdf.columns]))
                 n_sched = len(sched_pdf)
                 frontier_next_path = os.path.join(epoch_dir, "frontier_next.parquet")
 
@@ -718,7 +772,8 @@ def run_crawl(
     return totals
 
 
-def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool):
+def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool,
+                      budget_per_host=None):
     """Distributed frontier split: everything stays Dataset ops; only counts
     reach the driver. Only ``ranked`` is materialized; the scheduled slice is
     returned LAZY so fetch and extract fuse into one streaming execution
@@ -781,13 +836,13 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool):
         ).write_parquet(sched_dir)
 
     def _write_deferred() -> None:
-        # deferred = allowed but over budget → next frontier snapshot
+        # deferred = allowed but over budget → next frontier snapshot;
+        # carries host_rank - budget: a host's deferred rows had ranks
+        # budget, budget+1, …, so the shifted values are exactly the ranks a
+        # full next-wave recompute would assign — the pre-ranked fast path
+        # in run_crawl splits on them without re-annotating the frontier
         deferred = ranked.map_batches(
-            lambda t: t.filter(
-                pa.compute.and_(
-                    pa.compute.invert(t.column("scheduled")), t.column("robots_allowed")
-                )
-            ).select(FRONTIER_COLS).cast(_frontier_schema()),
+            lambda t: _deferred_snapshot(t, budget_per_host),
             batch_format="pyarrow",
         )
         fdir = os.path.join(epoch_dir, "frontier_next")
@@ -800,12 +855,30 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool):
     deferred_fut = pool.submit(_write_deferred)
     pending = [pool.submit(_write_schedule), deferred_fut]
 
-    drop_cols = ["seen", "robots_allowed", "eligible", "scheduled"]
+    drop_cols = ["seen", "robots_allowed", "eligible", "scheduled", "host_rank"]
     sched = sched.map_batches(
         lambda t: t.drop_columns([c for c in drop_cols if c in t.column_names]),
         batch_format="pyarrow",
     )
     return sched, pending, deferred_fut
+
+
+def _deferred_snapshot(t: pa.Table, budget_per_host) -> pa.Table:
+    """One batch of the deferred-frontier snapshot: allowed-but-over-budget
+    rows in frontier schema, plus the budget-shifted ``host_rank``."""
+    kept = t.filter(
+        pa.compute.and_(
+            pa.compute.invert(t.column("scheduled")), t.column("robots_allowed")
+        )
+    )
+    out = kept.select(FRONTIER_COLS).cast(_frontier_schema())
+    if budget_per_host is not None and "host_rank" in kept.column_names:
+        shifted = pa.compute.subtract(
+            pa.compute.cast(kept.column("host_rank"), pa.int64()),
+            budget_per_host,
+        )
+        out = out.append_column("host_rank", shifted)
+    return out
 
 
 def read_schedule_artifacts(out_dir: str) -> pa.Table:

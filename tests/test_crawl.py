@@ -97,6 +97,30 @@ def test_budgeted_waves_match_oracle(pages_dir, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_deferred_snapshot_is_pre_ranked(pages_dir, tmp_path):
+    """The distributed deferred snapshot must carry a fully non-null
+    host_rank column — the trigger for the incremental-frontier fast path
+    (waves after the first split on rank comparison alone, no seen-shard
+    round-trips, no host shuffle). A regression that drops the column would
+    silently fall back to the full re-annotate path; this pins it."""
+    import pyarrow.parquet as pq
+
+    out_dir = str(tmp_path / "crawl_preranked")
+    _run(pages_dir, out_dir, budget_per_host=5, max_waves=1)
+    fdir = os.path.join(out_dir, "epoch=0000", "frontier_next")
+    parts = [f for f in os.listdir(fdir) if f.endswith(".parquet")]
+    assert parts
+    t = pq.read_table(fdir)
+    assert t.num_rows > 0  # budget 5 defers most of the seed list
+    assert "host_rank" in t.column_names
+    assert t.column("host_rank").null_count == 0
+    # shifted ranks restart at 0 for every host (what a full recompute
+    # would assign), so each host's minimum deferred rank must be 0
+    df = t.select(["host", "host_rank"]).to_pandas()
+    assert (df.groupby("host")["host_rank"].min() == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_resume_after_kill_produces_identical_outputs(pages_dir, tmp_path):
     full_dir = str(tmp_path / "crawl_full")
     _run(pages_dir, full_dir, budget_per_host=5)
