@@ -187,6 +187,10 @@ def run_bench() -> dict:
           lambda: TRAINPREP_REGISTRY["kmv_distinct_users"][0](SF_DIR).num_rows)
     timed("hopping_window",
           lambda: TRAINPREP_REGISTRY["hopping_window"][0](SF_DIR).num_rows)
+    timed("inverted_index_topk",
+          lambda: TRAINPREP_REGISTRY["inverted_index_topk"][0](SF_DIR).num_rows)
+    timed("char_entropy",
+          lambda: TRAINPREP_REGISTRY["char_entropy"][0](SF_DIR).num_rows)
 
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)

@@ -380,10 +380,205 @@ FROM x GROUP BY 1
 """
 
 
+def inverted_index_topk(sf_dir: str):
+    """Search-index construction: per-term postings with document frequency
+    and the top-3 documents by term frequency (ties broken by doc_id) — the
+    build step behind the reference's search sink (reference
+    src/search/search_engine.py indexes per-field term vectors; here the
+    index itself is the dataset). One map pass computes per-doc tf rows
+    (combined inside the batch), one groupby on term computes df and the
+    top-k inside the group. Group count is vocabulary-bounded (not
+    corpus-bounded), so per-group work stays O(postings of one term); a
+    stop-word-class hot term is one big group — linear scan, loud if it
+    ever needs salting."""
+    ds = _docs(sf_dir)
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        doc_ids, terms, tfs = [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in _WORD.findall((x or "").lower()):
+                counts[w] = counts.get(w, 0) + 1
+            for w in sorted(counts):
+                doc_ids.append(d)
+                terms.append(w)
+                tfs.append(counts[w])
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        df = len(g)
+        g = g.sort_values(["tf", "doc_id"], ascending=[False, True]).head(3)
+        return pd.DataFrame({
+            "term": g["term"].to_numpy(),
+            "doc_id": g["doc_id"].to_numpy(),
+            "tf": g["tf"].to_numpy(),
+            "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+            "df": np.full(len(g), df, dtype=np.int64),
+        })
+
+    out = (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(topk, batch_format="pandas")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_INVERTED_INDEX_TOPK = r"""
+WITH tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS t
+        FROM documents)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY term) AS df
+  FROM tf
+)
+SELECT term, doc_id, tf, rnk, df FROM ranked WHERE rnk <= 3
+"""
+
+
+def weekly_retention(sf_dir: str):
+    """Week-over-week user retention: for every epoch-week, the distinct
+    active users and how many of them are also active the following week
+    (epoch-weeks — epoch_us // 7 days — keep the period arithmetic pure
+    integer on both engines). Stage 1
+    reduces events to distinct (month, user) pairs (combiner-friendly
+    groupby); stage 2 self-joins the pair set against its month-shifted
+    copy (hash join on (month, user) — both sides already distinct-reduced,
+    so the join moves one row per user-month, not per event); stage 3's
+    rollups are month-keyed, and months are calendar-bounded, so the final
+    merge is a driver-side dict over a provably tiny set."""
+    from .queries import _read
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def week(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.divide(pc.cast(t["ts"], pa.int64()), 604_800_000_000)
+        return pa.table({"m": m, "user_id": t["user_id"]})
+
+    pairs = (
+        ds.map_batches(week, batch_format="pyarrow")
+        .groupby(["m", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["m", "user_id"])
+    )
+    active = pairs.groupby("m").aggregate(Count(alias_name="n_active")).to_pandas()
+
+    def shift(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # a (m, user) pair becomes the "was retained FROM month m-1" witness
+        return pa.table({"m": pc.subtract(t["m"], 1), "user_id": t["user_id"]})
+
+    retained = (
+        pairs.join(pairs.map_batches(shift, batch_format="pyarrow"),
+                   join_type="inner", num_partitions=8,
+                   on=("m", "user_id"))
+        .groupby("m")
+        .aggregate(Count(alias_name="n_retained"))
+        .to_pandas()
+    )
+    # single-period corpora produce an EMPTY join → a columnless frame
+    ret = (
+        dict(zip(retained["m"].tolist(), retained["n_retained"].tolist()))
+        if len(retained)
+        else {}
+    )
+    return pa.table({
+        "week_idx": pa.array(active["m"].astype("int64"), pa.int64()),
+        "n_active": pa.array(active["n_active"].astype("int64"), pa.int64()),
+        "n_retained": pa.array(
+            [int(ret.get(m, 0)) for m in active["m"]], pa.int64()
+        ),
+    })
+
+
+SQL_WEEKLY_RETENTION = r"""
+WITH am AS (
+  SELECT DISTINCT epoch_us(ts) // 604800000000 AS m, user_id
+  FROM events
+)
+SELECT a.m AS week_idx, count(*) AS n_active,
+       CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained
+FROM am a LEFT JOIN am b ON b.user_id = a.user_id AND b.m = a.m + 1
+GROUP BY 1
+"""
+
+
+def char_entropy(sf_dir: str):
+    """Per-document character-distribution entropy (a cheap gibberish /
+    encoding-noise quality signal): over the document's [a-z] characters,
+    entropy_q = -Σ count_c · round(ln(count_c / total) · 10⁶) — the same
+    quantize-each-log-then-integer-sum rule unigram_logprob uses, so both
+    engines agree bit-for-bit. Zero shuffle: one numpy bincount per doc
+    inside the batch."""
+    ds = _docs(sf_dir)
+
+    def ent(t: pa.Table) -> pa.Table:
+        doc_ids, totals, ents = [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            b = np.frombuffer((x or "").lower().encode(), dtype=np.uint8)
+            b = b[(b >= 97) & (b <= 122)]
+            if not len(b):
+                continue
+            counts = np.bincount(b - 97, minlength=26).astype(np.int64)
+            counts = counts[counts > 0]
+            tot = int(counts.sum())
+            logq = np.floor(
+                np.log(counts / float(tot)) * 1_000_000 + 0.5
+            ).astype(np.int64)
+            doc_ids.append(d)
+            totals.append(tot)
+            ents.append(int(-(counts * logq).sum()))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_chars_az": pa.array(totals, pa.int64()),
+            "entropy_q": pa.array(ents, pa.int64()),
+        })
+
+    out = ds.map_batches(ent, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_CHAR_ENTROPY = r"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g') AS t
+  FROM documents
+), letters AS (
+  SELECT unnest(string_split('a b c d e f g h i j k l m n o p q r s t u v w x y z',
+                             ' ')) AS c
+), cnt AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS tot,
+         CAST(len(t) - len(replace(t, c, '')) AS BIGINT) AS n
+  FROM s CROSS JOIN letters
+  WHERE len(t) > 0 AND len(t) - len(replace(t, c, '')) > 0
+)
+SELECT doc_id, CAST(max(tot) AS BIGINT) AS n_chars_az,
+       CAST(-sum(n * CAST(floor(ln(n / CAST(tot AS DOUBLE)) * 1000000 + 0.5)
+                          AS BIGINT)) AS BIGINT) AS entropy_q
+FROM cnt GROUP BY 1
+"""
+
+
 TRAINPREP_REGISTRY = {
     "doc_pack": (doc_pack, SQL_DOC_PACK),
     "boilerplate_segments": (boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
     "kmv_distinct_users": (kmv_distinct_users, SQL_KMV_DISTINCT_USERS),
     "global_percentile": (global_percentile, SQL_GLOBAL_PERCENTILE),
     "hopping_window": (hopping_window, SQL_HOPPING_WINDOW),
+    "inverted_index_topk": (inverted_index_topk, SQL_INVERTED_INDEX_TOPK),
+    "weekly_retention": (weekly_retention, SQL_WEEKLY_RETENTION),
+    "char_entropy": (char_entropy, SQL_CHAR_ENTROPY),
 }
