@@ -231,7 +231,10 @@ def run_bench() -> dict:
     }
 
 
-SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "200000"))
+# 400k pages is the representative scaling input (campaign c7, BASELINE.md):
+# it doubles the steady-state span so ramp/fixed-overhead amortization does
+# not masquerade as a scaling deficit on the short 200k job
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "400000"))
 
 
 def run_scaling_worker() -> dict:
