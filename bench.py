@@ -192,6 +192,14 @@ def run_bench() -> dict:
     timed("char_entropy",
           lambda: TRAINPREP_REGISTRY["char_entropy"][0](SF_DIR).num_rows)
 
+    from omni_ray.pipelines.graphops import GRAPH_REGISTRY
+
+    # iterative-shuffle (k rounds of join+groupby) and two-pass sketch shapes
+    timed("pagerank_topk",
+          lambda: GRAPH_REGISTRY["pagerank_topk"][0](SF_DIR))
+    timed("heavy_hitters",
+          lambda: GRAPH_REGISTRY["heavy_hitters"][0](SF_DIR))
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

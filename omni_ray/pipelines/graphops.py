@@ -1,0 +1,377 @@
+"""Link-graph and snapshot operators, round 3 batch 4: iterative PageRank
+over a link graph, snapshot-to-snapshot corpus diff, exact heavy hitters via
+two-pass candidate generation, and per-session transition counts.
+
+These cover the graph/delta side of a web-scale crawl engine the relational
+suite doesn't: ranking pages by link structure (the canonical iterative
+shuffle workload), diffing two crawl epochs to schedule recrawls, and the
+sketch-then-verify pattern for hot-key detection. Every operator is
+oracle-backed; all arithmetic is integer end-to-end (floor division, no
+floats) so Ray and DuckDB agree bit-for-bit.
+
+Scale shapes (details per docstring):
+- pagerank_topk: per iteration ONE hash join (edges ⋈ ranks on src) + ONE
+  groupby(dst) sum + ONE left join back to nodes — the textbook distributed
+  PageRank step; k iterations = k rounds of bounded shuffles, never an
+  all-pairs or a driver materialization. Rank state lives in a Dataset.
+- snapshot_diff: tagged union + ONE groupby — no outer join; min/max hash
+  aggregates decide added/removed/changed in a single reduce.
+- heavy_hitters: block-local frequency filter (the Misra–Gries pigeonhole:
+  any key with global freq > n/K exceeds n_b/K in at least one block) →
+  tiny candidate broadcast → exact second-pass count of candidates only.
+- transition_counts: per-user lag pairs with in-group partial aggregation,
+  then a groupby over the (tiny) pair domain.
+
+Reference parity anchors: the reference keeps per-domain crawl statistics
+and re-crawl scheduling in `src/crawler/web_crawler.py` (priority recompute
+per cycle) — pagerank/snapshot_diff are the scale-out generalizations of
+that read path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .queries import _read
+
+# -- pagerank over a deterministic link graph --------------------------------
+
+# PageRank constants, mirrored literally in the SQL oracle: total integer
+# mass, damping 85/100, 3 power iterations, 3 out-links per page.
+_PR_MASS = 1_000_000_000_000
+_PR_ITERS = 3
+
+
+def _n_docs(sf_dir: str) -> int:
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+def _outdeg(src: np.ndarray, n: int) -> np.ndarray:
+    """Out-degree after self-loop removal: dst_j = (7*src + j) % n for
+    j in 1..3; dst_j == src iff (6*src + j) % n == 0, at most one j."""
+    deg = np.full(len(src), 3, dtype=np.int64)
+    for j in (1, 2, 3):
+        deg -= ((6 * src + j) % n == 0).astype(np.int64)
+    return deg
+
+
+def pagerank_topk(sf_dir: str):
+    """Top-20 documents by 3-iteration integer PageRank over the derived
+    link graph (page d links to (7d+j) % n, j=1..3, self-loops dropped).
+
+    The graph is synthetic but the operator is the real thing: ranks are a
+    Dataset re-derived each iteration by edges.join(ranks, on=src) →
+    groupby(dst).sum → nodes left-join inflow, i.e. the exact shuffle
+    pattern a 10^10-node link graph needs (edges and ranks co-partition by
+    src; nothing ever leaves the cluster). Integer mass (10^12 split evenly,
+    damping 85/100 with floor division) keeps both engines bit-identical —
+    no float sum-order hazard.
+
+    Iteration discipline: edges and ranks are MATERIALIZED once per round
+    (Pregel-style superstep barrier). Both are required, not a convenience:
+    lazy chaining would (a) re-execute every earlier iteration's shuffles
+    through lineage each round, and (b) stack k×2 concurrent hash-shuffle
+    aggregator pools in one streaming execution, which starves the executor
+    below ~8 cores. Rank state is O(nodes) — two int64 columns — so the
+    barrier holds at any scale where PageRank itself is feasible."""
+    n = _n_docs(sf_dir)
+    base = _PR_MASS // n
+
+    nodes = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def make_edges(t: pa.Table) -> pa.Table:
+        src = t.column("doc_id").to_numpy()
+        srcs, dsts = [], []
+        for j in (1, 2, 3):
+            dst = (7 * src + j) % n
+            keep = dst != src
+            srcs.append(src[keep])
+            dsts.append(dst[keep])
+        return pa.table({
+            "src": np.concatenate(srcs), "dst": np.concatenate(dsts),
+        })
+
+    nodes = nodes.materialize()
+    edges = nodes.map_batches(make_edges, batch_format="pyarrow").materialize()
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "rank": np.full(len(t), base, dtype=np.int64),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(_PR_ITERS):
+        joined = edges.join(
+            ranks, "inner", num_partitions=8,
+            on=("src",), right_on=("doc_id",),
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            src = t.column("src").to_numpy()
+            rank = t.column("rank").to_numpy()
+            return pa.table({
+                "dst": t.column("dst"),
+                "contrib": rank // _outdeg(src, n),
+            })
+
+        inflow = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst").aggregate(Sum("contrib", alias_name="s"))
+        )
+        with_in = nodes.join(
+            inflow, "left_outer", num_partitions=8,
+            on=("doc_id",), right_on=("dst",),
+        )
+
+        def step(t: pa.Table) -> pa.Table:
+            s = pc.fill_null(pc.cast(t.column("s"), pa.int64()), 0).to_numpy()
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "rank": (15 * base + 85 * s) // 100,
+            })
+
+        ranks = with_in.map_batches(step, batch_format="pyarrow").materialize()
+
+    return (
+        ranks.sort(["rank", "doc_id"], descending=[True, False])
+        .limit(20).to_pandas()
+    )
+
+
+def _pagerank_sql() -> str:
+    parts = [
+        "WITH nodes AS (SELECT doc_id FROM documents),",
+        "nn AS (SELECT count(*) AS n FROM documents),",
+        "edges AS (SELECT doc_id AS src, (7*doc_id + j.j) % nn.n AS dst",
+        "  FROM nodes CROSS JOIN nn CROSS JOIN (SELECT unnest([1,2,3]) AS j) j",
+        "  WHERE (7*doc_id + j.j) % nn.n != doc_id),",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),",
+        f"r0 AS (SELECT doc_id, {_PR_MASS} // nn.n AS rank FROM nodes CROSS JOIN nn),",
+    ]
+    for i in range(_PR_ITERS):
+        tail = "," if i + 1 < _PR_ITERS else ""
+        parts.append(
+            f"r{i+1} AS (SELECT nodes.doc_id, CAST((15*({_PR_MASS} // nn.n)"
+            f" + 85*coalesce(infl.s, 0)) // 100 AS BIGINT) AS rank"
+            " FROM nodes CROSS JOIN nn LEFT JOIN"
+            f" (SELECT e.dst, sum(r{i}.rank // deg.outdeg) AS s"
+            f"  FROM edges e JOIN r{i} ON e.src = r{i}.doc_id"
+            "   JOIN deg ON deg.src = e.src GROUP BY 1) infl"
+            f" ON infl.dst = nodes.doc_id){tail}"
+        )
+    parts.append(
+        f"SELECT doc_id, rank FROM r{_PR_ITERS}"
+        " ORDER BY rank DESC, doc_id LIMIT 20"
+    )
+    return "\n".join(parts)
+
+
+SQL_PAGERANK_TOPK = _pagerank_sql()
+
+
+# -- snapshot diff (crawl epoch N vs N+1) -------------------------------------
+
+
+def snapshot_diff(sf_dir: str):
+    """Diff two corpus snapshots into (doc_id, status ∈ added/removed/
+    changed) — the recrawl-scheduling primitive: epoch N+1 is derived
+    deterministically from epoch N (docs with id%10==3 vanish, id%10==2
+    change content, id%10==4 spawn a new doc at id+n).
+
+    Shape: NO outer join — both snapshots map to (doc_id, code, h=md5) rows,
+    concat, ONE groupby(doc_id) with Sum(code)/Min(h)/Max(h) decides the
+    status vectorized (code sum 1=removed, 2=added, 3=present in both where
+    min(h)!=max(h) means changed). One shuffle of already-reduced rows."""
+    n = _n_docs(sf_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        out_id, out_code, out_h = [], [], []
+        for i, txt in zip(ids, texts):
+            h_old = hashlib.md5(txt.encode()).hexdigest()
+            out_id.append(int(i)); out_code.append(1); out_h.append(h_old)
+            m = i % 10
+            if m != 3:  # survives into the new snapshot
+                h_new = (hashlib.md5((txt + ".v2").encode()).hexdigest()
+                         if m == 2 else h_old)
+                out_id.append(int(i)); out_code.append(2); out_h.append(h_new)
+            if m == 4:  # spawns a brand-new doc in the new snapshot
+                nid = int(i) + n
+                out_id.append(nid); out_code.append(2)
+                out_h.append(hashlib.md5(str(nid).encode()).hexdigest())
+        return pa.table({
+            "doc_id": np.asarray(out_id, dtype=np.int64),
+            "code": np.asarray(out_code, dtype=np.int64),
+            "h": out_h,
+        })
+
+    g = (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("code", alias_name="present"),
+                   Min("h", alias_name="hmin"),
+                   Max("h", alias_name="hmax"))
+    )
+
+    def status(t: pa.Table) -> pa.Table:
+        present = t.column("present").to_numpy()
+        hmin = np.asarray(t.column("hmin").to_pylist())
+        hmax = np.asarray(t.column("hmax").to_pylist())
+        st = np.where(present == 1, "removed",
+                      np.where(present == 2, "added", "changed"))
+        keep = (present != 3) | (hmin != hmax)
+        return pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "status": pa.array(st[keep]),
+        })
+
+    return g.map_batches(status, batch_format="pyarrow").to_pandas()
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+old AS (SELECT doc_id, md5(text) AS h FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 2 THEN md5(text || '.v2') ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 10 != 3
+  UNION ALL
+  SELECT doc_id + nn.n, md5(CAST(doc_id + nn.n AS VARCHAR))
+  FROM documents CROSS JOIN nn WHERE doc_id % 10 = 4
+),
+u AS (SELECT doc_id, 1 AS code, h FROM old
+      UNION ALL SELECT doc_id, 2, h FROM new),
+g AS (SELECT doc_id, sum(code) AS present, min(h) AS hmin, max(h) AS hmax
+      FROM u GROUP BY 1)
+SELECT doc_id,
+       CASE WHEN present = 1 THEN 'removed'
+            WHEN present = 2 THEN 'added' ELSE 'changed' END AS status
+FROM g WHERE present != 3 OR hmin != hmax
+"""
+
+
+# -- exact heavy hitters (two-pass sketch-then-verify) ------------------------
+
+_HH_K = 32  # heavy = frequency > n / K
+
+
+def heavy_hitters(sf_dir: str):
+    """Exact heavy hitters over a skewed derived key (floor(sqrt(user_id)) —
+    bucket b covers ~2b+1 users, so frequency grows linearly in b): keys
+    with global count*K > n, with exact counts.
+
+    Two passes, the scale shape for hot-key detection on 10^10 rows:
+    pass 1 keeps keys whose BLOCK-local freq > n_b/K (Misra–Gries
+    pigeonhole: a globally heavy key must be locally heavy somewhere), so
+    the candidate set is ≤ K per block regardless of key cardinality; the
+    tiny candidate list broadcasts, and pass 2 exact-counts candidates only.
+    No full-cardinality groupby ever happens."""
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def key_of(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        return pa.table({
+            "hh_key": np.floor(np.sqrt(u.astype(np.float64))).astype(np.int64)
+        })
+
+    keyed = ev.map_batches(key_of, batch_format="pyarrow")
+
+    def local_heavy(t: pa.Table) -> pa.Table:
+        k = t.column("hh_key").to_numpy()
+        vals, cnts = np.unique(k, return_counts=True)
+        cand = vals[cnts * _HH_K > len(k)]
+        return pa.table({"hh_key": cand})
+
+    cand = set(
+        keyed.map_batches(local_heavy, batch_format="pyarrow")
+        .to_pandas()["hh_key"]
+    )
+    cand_ref = ray.put(np.array(sorted(cand), dtype=np.int64))
+
+    def filt(t: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        k = t.column("hh_key").to_numpy()
+        return pa.table({"hh_key": k[np.isin(k, c)]})
+
+    counts = (
+        keyed.map_batches(filt, batch_format="pyarrow")
+        .groupby("hh_key").aggregate(Count(alias_name="cnt"))
+    )
+    out = counts.to_pandas()
+    out = out[out["cnt"] * _HH_K > n].reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH k AS (
+  SELECT CAST(floor(sqrt(user_id)) AS BIGINT) AS hh_key FROM events
+)
+SELECT hh_key, count(*) AS cnt FROM k GROUP BY 1
+HAVING count(*) * {_HH_K} > (SELECT count(*) FROM events)
+"""
+
+
+# -- per-user event-type transitions (lag pairs) -------------------------------
+
+
+def transition_counts(sf_dir: str):
+    """Global (prev_type, next_type) transition counts over each user's
+    time-ordered event stream — the Markov-chain read on session data.
+
+    Per-user lag runs inside groupby(user_id).map_groups with IN-GROUP
+    partial aggregation (each group emits its pair counts, not its pairs),
+    then one groupby over the tiny type×type domain sums partials — the
+    combiner-before-shuffle rule."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g["event_type"].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"prev_type": [], "next_type": [], "c": []})
+        df = pd.DataFrame({"prev_type": t[:-1], "next_type": t[1:]})
+        out = df.value_counts().reset_index(name="c")
+        return out
+
+    partial = ev.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    out = (
+        partial.groupby(["prev_type", "next_type"])
+        .aggregate(Sum("c", alias_name="cnt"))
+        .to_pandas()
+    )
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+SQL_TRANSITION_COUNTS = """
+WITH w AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS prev_type, event_type AS next_type, count(*) AS cnt
+FROM w WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+GRAPH_REGISTRY = {
+    "pagerank_topk": (pagerank_topk, SQL_PAGERANK_TOPK),
+    "snapshot_diff": (snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "heavy_hitters": (heavy_hitters, SQL_HEAVY_HITTERS),
+    "transition_counts": (transition_counts, SQL_TRANSITION_COUNTS),
+}

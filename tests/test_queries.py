@@ -7,11 +7,13 @@ import pandas as pd
 import pytest
 
 from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
+from omni_ray.pipelines.graphops import GRAPH_REGISTRY
 from omni_ray.pipelines.mlqueries import ML_REGISTRY
 from omni_ray.pipelines.queries import REGISTRY
 from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
 
-ALL = {**REGISTRY, **ML_REGISTRY, **CORPUS_REGISTRY, **TRAINPREP_REGISTRY}
+ALL = {**REGISTRY, **ML_REGISTRY, **CORPUS_REGISTRY, **TRAINPREP_REGISTRY,
+       **GRAPH_REGISTRY}
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
