@@ -10,10 +10,11 @@ from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
 from omni_ray.pipelines.graphops import GRAPH_REGISTRY
 from omni_ray.pipelines.mlqueries import ML_REGISTRY
 from omni_ray.pipelines.queries import REGISTRY
+from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
 from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
 
 ALL = {**REGISTRY, **ML_REGISTRY, **CORPUS_REGISTRY, **TRAINPREP_REGISTRY,
-       **GRAPH_REGISTRY}
+       **GRAPH_REGISTRY, **RELSCALE_REGISTRY}
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
