@@ -409,9 +409,271 @@ GROUP BY 1
 """
 
 
+# -- deterministic weighted sampling -------------------------------------------
+
+_WS_K = 100
+
+
+def weighted_sample(sf_dir: str):
+    """Deterministic weighted corpus sample (training-data mixing): each
+    document gets priority = md5_64(doc_id) // weight — a longer document
+    (higher weight) gets a proportionally smaller priority, i.e. a higher
+    chance to land in the global bottom-K (the integer-exact cousin of
+    A-ES exponential-jump sampling; stable under re-runs and growth).
+
+    Shape: priorities are computed map-side and each block pre-reduces to
+    its local bottom-K, so the global sort sees ≤ K·blocks rows, never the
+    corpus. The same rule is reproduced verbatim in SQL (md5 hex prefix →
+    UBIGINT), so the sample is bit-identical in both engines."""
+    from .mlqueries import _docs
+
+    ds = _docs(sf_dir)
+
+    def prio(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        pr, ws = [], []
+        for i, x in zip(ids, texts):
+            w = 1 + len((x or "").encode()) // 200
+            # 60-bit hash (15 hex chars): priority fits BIGINT at w=1,
+            # so neither engine ever range-errors before the LIMIT
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            pr.append(h // w)
+            ws.append(w)
+        df = pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "weight": np.asarray(ws, dtype=np.int64),
+            "priority": np.asarray(pr, dtype=np.int64),
+        })
+        # per-block bottom-K pre-reduction: the global sort never sees more
+        # than K rows per block
+        df = df.nsmallest(_WS_K, ["priority", "doc_id"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.map_batches(prio, batch_format="pyarrow")
+        .sort(["priority", "doc_id"]).limit(_WS_K).to_pandas()
+    )
+    out["priority"] = out["priority"].astype("int64")
+    return out
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         1 + octet_length(encode(coalesce(text, ''))) // 200 AS weight,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+              // (1 + octet_length(encode(coalesce(text, ''))) // 200)
+              AS BIGINT) AS priority
+  FROM documents
+)
+SELECT doc_id, weight, priority FROM w
+ORDER BY priority, doc_id LIMIT {_WS_K}
+"""
+
+
+# -- integer-exact daily anomaly detection --------------------------------------
+
+
+def daily_anomalies(sf_dir: str):
+    """Days where an event type's count deviates from that type's own mean
+    by more than 2 population standard deviations — the monitoring/alerting
+    read path (reference src/alerts/alert_engine.py evaluates thresholds
+    over daily aggregates) as a pure integer rule:
+        (cnt·nd − tot)² > 4·(nd·ssq − tot²)
+    which is |cnt − μ| > 2σ with both sides multiplied by nd², so no float
+    ever appears and both engines agree exactly.
+
+    Shape: one groupby to daily counts, one groupby over the (tiny) type
+    domain for the moments, one broadcast-size hash join back — the per-day
+    table never moves twice."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def day_of(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "day": pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                             86_400_000_000),
+        })
+
+    daily = (
+        ev.map_batches(day_of, batch_format="pyarrow")
+        .groupby(["event_type", "day"]).aggregate(Count(alias_name="cnt"))
+        .materialize()
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = t.column("cnt").to_numpy().astype(np.int64)
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pylist()})
+        df["nd"], df["tot"], df["ssq"] = 1, c, c * c
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(), preserve_index=False
+        )
+
+    m = (
+        daily.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("nd", alias_name="nd"), Sum("tot", alias_name="tot"),
+                   Sum("ssq", alias_name="ssq"))
+        .to_pandas()
+    )
+    m_ref = ray.put({
+        r.event_type: (int(r.nd), int(r.tot), int(r.ssq))
+        for r in m.itertuples()
+    })
+
+    def flag(t: pa.Table) -> pa.Table:
+        mm = _fetch_broadcast(m_ref)
+        et = t.column("event_type").to_pylist()
+        cnt = t.column("cnt").to_numpy().astype(np.int64)
+        nd = np.array([mm[e][0] for e in et], dtype=np.int64)
+        tot = np.array([mm[e][1] for e in et], dtype=np.int64)
+        ssq = np.array([mm[e][2] for e in et], dtype=np.int64)
+        dev = cnt * nd - tot
+        keep = dev * dev > 4 * (nd * ssq - tot * tot)
+        return pa.table({
+            "event_type": pa.array(np.asarray(et, object)[keep]),
+            "day": t.column("day").filter(pa.array(keep)),
+            "cnt": pa.array(cnt[keep]),
+        })
+
+    out = daily.map_batches(flag, batch_format="pyarrow").to_pandas()
+    for c in ("day", "cnt"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_DAILY_ANOMALIES = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, count(*) AS nd, sum(cnt) AS tot, sum(cnt*cnt) AS ssq
+  FROM c GROUP BY 1
+)
+SELECT c.event_type, c.day, c.cnt
+FROM c JOIN m USING (event_type)
+WHERE (c.cnt*m.nd - m.tot)*(c.cnt*m.nd - m.tot) > 4*(m.nd*m.ssq - m.tot*m.tot)
+"""
+
+
+# -- ordered string-agg digest ---------------------------------------------------
+
+
+def event_digest(sf_dir: str):
+    """Per-day digest string: the top-3 event types by count, comma-joined
+    in rank order (ties by type name) plus their combined count — ordered
+    list aggregation (string_agg ... ORDER BY), the shape behind
+    'assemble a per-key summary document'. Day count is calendar-bounded,
+    so the per-day group step is provably tiny; the wide work is the one
+    daily-counts groupby."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def day_of(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "day": pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                             86_400_000_000),
+        })
+
+    daily = (
+        ev.map_batches(day_of, batch_format="pyarrow")
+        .groupby(["event_type", "day"]).aggregate(Count(alias_name="cnt"))
+    )
+
+    def digest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "event_type"], ascending=[False, True],
+                          kind="mergesort").head(3)
+        return pd.DataFrame({
+            "day": [int(g["day"].iloc[0])],
+            "digest": [",".join(g["event_type"])],
+            "top3_cnt": [int(g["cnt"].sum())],
+        })
+
+    out = daily.groupby("day").map_groups(digest, batch_format="pandas").to_pandas()
+    for c in ("day", "top3_cnt"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_EVENT_DIGEST = """
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT day, event_type, cnt,
+         row_number() OVER (PARTITION BY day ORDER BY cnt DESC, event_type) AS rnk
+  FROM c
+)
+SELECT day, string_agg(event_type, ',' ORDER BY rnk) AS digest,
+       sum(cnt) AS top3_cnt
+FROM r WHERE rnk <= 3 GROUP BY day
+"""
+
+
+# -- relational division ----------------------------------------------------------
+
+
+def users_every_day(sf_dir: str):
+    """Relational division: users active on EVERY day of the span ('for
+    all' containment — the operator classic inventories miss). Stage 1
+    distinct-reduces to (user, day) pairs map-side before ONE groupby;
+    stage 2 compares each user's day count to the global day count, which
+    arrives as a broadcast scalar from a Dataset aggregate (no driver
+    materialization of the pair set)."""
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(),
+            "day": pc.cast(t.column("ts"), pa.int64()).to_numpy()
+                   // 86_400_000_000,
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    p = ev.map_batches(pairs, batch_format="pyarrow").materialize()
+    n_days = p.map_batches(
+        lambda t: pa.table({"day": pc.unique(t.column("day"))}),
+        batch_format="pyarrow",
+    ).groupby("day").aggregate(Count(alias_name="c")).count()
+
+    # distinct (user, day) then per-user day count == global day count
+    per_user = (
+        p.groupby(["user_id", "day"]).aggregate(Count(alias_name="_c"))
+        .groupby("user_id").aggregate(Count(alias_name="n_days"))
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("n_days"), n_days))
+
+    out = per_user.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if out.empty:  # empty Dataset.to_pandas() drops the schema entirely
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "n_days": pd.Series([], dtype="int64")})
+    for c in ("user_id", "n_days"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_USERS_EVERY_DAY = """
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+)
+SELECT user_id, count(*) AS n_days
+FROM p GROUP BY 1
+HAVING count(*) = (SELECT count(DISTINCT epoch_us(ts) // 86400000000) FROM events)
+"""
+
+
 RELSCALE_REGISTRY = {
     "bloom_antijoin": (bloom_antijoin, SQL_BLOOM_ANTIJOIN),
     "corr_moments": (corr_moments, SQL_CORR_MOMENTS),
     "ttl_dedup": (ttl_dedup, SQL_TTL_DEDUP),
     "salted_segment_revenue": (salted_segment_revenue, SQL_SALTED_SEGMENT_REVENUE),
+    "weighted_sample": (weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "daily_anomalies": (daily_anomalies, SQL_DAILY_ANOMALIES),
+    "event_digest": (event_digest, SQL_EVENT_DIGEST),
+    "users_every_day": (users_every_day, SQL_USERS_EVERY_DAY),
 }
