@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.mlqueries import ML_REGISTRY, ML_ROWS_ONLY
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
+    from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
 
     out: dict[str, Callable[[str], Any]] = {
@@ -73,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in TRAINPREP_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in GRAPH_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in RELSCALE_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in STATOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -85,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.mlqueries import ML_REGISTRY
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
+    from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
 
     out = {name: sql for name, (_fn, sql) in REGISTRY.items()}
@@ -93,4 +96,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in TRAINPREP_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in GRAPH_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in RELSCALE_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in STATOPS_REGISTRY.items()})
     return out
