@@ -512,6 +512,321 @@ GROUP BY 1, 2, 3
 """
 
 
+# -- late_events --------------------------------------------------------------
+
+_WM_LAG_US = 60_000_000  # 1-minute lateness threshold (mirrored in SQL)
+
+
+def late_events(sf_dir: str):
+    """Watermark / out-of-order detection: an event is LATE when its ts
+    lags the running max ts over all previously ARRIVED events by more
+    than 1 minute. Per-day counts + worst lag. The synthetic events table
+    is perfectly time-ordered, so arrival order is simulated with a
+    deterministic +/-60 s jitter both engines compute identically in
+    integer arithmetic: ak = ts_us + (event_id*2654435761) % 2^32
+    % 120000001 - 60000000 (Knuth multiplicative hash; no int64 overflow
+    for event_id < 4.2e9 — the jitter modulus guards the rest).
+
+    The distributed prefix-max scan (same bucket-partials shape as
+    doc_pack's prefix-sum): arrival keys fall into contiguous one-hour
+    buckets; one map pass emits per-bucket max-ts partials (tiny table →
+    driver exclusive prefix max → broadcast); each bucket then scans
+    locally inside its group, ordered by (ak, event_id) — running max is
+    np.maximum.accumulate, no global sort, no window over the full
+    stream. Bucketing by ARRIVAL key keeps the scan correct: every
+    earlier arrival is either in an earlier bucket (covered by the base)
+    or earlier inside this one (covered by the accumulate)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy()
+        jitter = (eid * 2654435761) % 4294967296 % 120000001 - 60000000
+        ak = ts_us + jitter
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "ak": pa.array(ak, pa.int64()),
+            "bucket": pa.array(ak // 3_600_000_000, pa.int64()),
+        })
+
+    rows = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    bmax = (
+        rows.groupby("bucket").aggregate(Max("ts_us", alias_name="mx"))
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    )
+    buckets = bmax["bucket"].to_numpy().astype(np.int64)
+    mx = bmax["mx"].to_numpy().astype(np.int64)
+    base = np.full(len(mx), np.iinfo(np.int64).min, dtype=np.int64)
+    if len(mx) > 1:
+        base[1:] = np.maximum.accumulate(mx)[:-1]
+    base_ref = ray.put((buckets, base))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        bks, bases = _fetch_broadcast(base_ref)
+        g = g.sort_values(["ak", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        wm = np.empty_like(ts)
+        wm[0] = bases[np.searchsorted(bks, int(g["bucket"].iloc[0]))]
+        if len(ts) > 1:
+            wm[1:] = np.maximum.accumulate(ts)[:-1]
+            wm[1:] = np.maximum(wm[1:], wm[0])
+        wm = np.maximum(wm, ts)  # first-ever event: watermark = own ts
+        lag = wm - ts
+        late = lag > _WM_LAG_US
+        day = ts // _DAY_US
+        out = pd.DataFrame({"day": day, "late": late.astype(np.int64),
+                            "lag": np.where(late, lag, 0)})
+        p = out.groupby("day", sort=True).agg(
+            n_events=("late", "size"), n_late=("late", "sum"),
+            max_lag_us=("lag", "max")).reset_index()
+        return p
+
+    out = (
+        rows.groupby("bucket").map_groups(scan, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("n_late", alias_name="n_late"),
+                   Max("max_lag_us", alias_name="max_lag_us"))
+    )
+    df = out.to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_LATE_EVENTS = """
+WITH c AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) // 86400000000 AS day,
+         epoch_us(ts) + (event_id * 2654435761) % 4294967296 % 120000001
+           - 60000000 AS ak
+  FROM events
+), w AS (
+  SELECT day, ts_us,
+         greatest(coalesce(max(ts_us) OVER (ORDER BY ak, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  ts_us), ts_us) AS wm
+  FROM c
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN wm - ts_us > 60000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(max(CASE WHEN wm - ts_us > 60000000 THEN wm - ts_us ELSE 0 END)
+            AS BIGINT) AS max_lag_us
+FROM w GROUP BY 1
+"""
+
+
+# -- conversion_latency -------------------------------------------------------
+
+
+def conversion_latency(sf_dir: str):
+    """Funnel latency: per user, seconds from first 'view' to first
+    'purchase' (users whose first purchase precedes their first view don't
+    convert). Reports viewer/purchaser/converted counts, the exact median
+    latency (lower median, rank (n+1)//2) and the max.
+
+    Shape at scale: the per-user pivot is ONE groupby with conditional-min
+    aggregates (map-side the ts is nulled out of the wrong column; Min
+    skips nulls) — no (user, type) intermediate, no join; the median comes
+    from the latency value-domain CDF (bounded by converted-user count),
+    never a sort."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        is_v = pc.equal(t["event_type"], "view")
+        is_p = pc.equal(t["event_type"], "purchase")
+        null = pa.nulls(len(t), pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "vt": pc.if_else(is_v, ts_us, null),
+            "pt": pc.if_else(is_p, ts_us, null),
+        })
+
+    per_user = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("vt", alias_name="vt"), Min("pt", alias_name="pt"))
+        .materialize()  # one row per user — the reduced entity
+    )
+    def valid_counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "nv": pa.array([pc.count(t["vt"]).as_py()], pa.int64()),
+            "np": pa.array([pc.count(t["pt"]).as_py()], pa.int64()),
+        })
+
+    vc = (
+        per_user.map_batches(valid_counts, batch_format="pyarrow")
+        .aggregate(Sum("nv", alias_name="nv"), Sum("np", alias_name="np"))
+    )
+    n_viewers, n_purchasers = int(vc["nv"]), int(vc["np"])
+
+    def lat(t: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(pc.is_valid(t["vt"]),
+                           pc.greater_equal(t["pt"], t["vt"]))
+        t = t.filter(pc.fill_null(ok, False))
+        return pa.table({
+            "lat_s": pc.divide(pc.subtract(t["pt"], t["vt"]), 1_000_000),
+        })
+
+    lats = per_user.map_batches(lat, batch_format="pyarrow")
+    hist = (
+        lats.groupby("lat_s").aggregate(Count(alias_name="cnt"))
+        .to_pandas().sort_values("lat_s").reset_index(drop=True)
+    )
+    counts = hist["cnt"].to_numpy().astype(np.int64)
+    values = hist["lat_s"].to_numpy().astype(np.int64)
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    median = int(values[np.searchsorted(cum, (n + 1) // 2)]) if n else -1
+    mx = int(values[-1]) if n else -1
+    return pa.table({
+        "n_viewers": pa.array([n_viewers], pa.int64()),
+        "n_purchasers": pa.array([n_purchasers], pa.int64()),
+        "n_converted": pa.array([n], pa.int64()),
+        "median_latency_s": pa.array([median], pa.int64()),
+        "max_latency_s": pa.array([mx], pa.int64()),
+    })
+
+
+SQL_CONVERSION_LATENCY = """
+WITH v AS (SELECT user_id, min(epoch_us(ts)) AS vt FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT user_id, min(epoch_us(ts)) AS pt FROM events
+      WHERE event_type = 'purchase' GROUP BY 1),
+j AS (SELECT (p.pt - v.vt) // 1000000 AS lat_s
+      FROM v JOIN p USING (user_id) WHERE p.pt >= v.vt),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+r AS (SELECT lat_s, row_number() OVER (ORDER BY lat_s) AS rn FROM j)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewers,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchasers,
+       st.n AS n_converted,
+       coalesce((SELECT lat_s FROM r, st WHERE rn = (st.n + 1) // 2), -1)
+         AS median_latency_s,
+       coalesce((SELECT max(lat_s) FROM j), -1) AS max_latency_s
+FROM st
+"""
+
+
+# -- source_token_gini --------------------------------------------------------
+
+
+def source_token_gini(sf_dir: str):
+    """Corpus-balance diagnostic: Gini coefficient of total whitespace
+    tokens per source, integer-exact in parts-per-million:
+    gini_ppm = floor(1e6 * (2W - (n+1)S) / (nS)) where W = sum of
+    rank*tokens over sources sorted by (tokens, source). The mixing-weight
+    sanity check every multi-source corpus needs.
+
+    Shape: token counting is the vectorized Arrow regex kernel; the one
+    shuffle is a groupby on source (domain = source count, not docs); the
+    Gini fold happens on the driver over that tiny table."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "tok": pc.cast(pc.fill_null(
+                pc.count_substring_regex(t["text"], r"\S+"), 0), pa.int64()),
+        })
+
+    per_source = (
+        ds.map_batches(toks, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("tok", alias_name="toks"))
+        .to_pandas().sort_values(["toks", "source"]).reset_index(drop=True)
+    )
+    x = per_source["toks"].to_numpy().astype(np.int64)
+    n = len(x)
+    s = int(x.sum())
+    w = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+    gini_ppm = (1_000_000 * (2 * w - (n + 1) * s)) // (n * s)
+    return pa.table({
+        "n_sources": pa.array([n], pa.int64()),
+        "total_tokens": pa.array([s], pa.int64()),
+        "gini_ppm": pa.array([int(gini_ppm)], pa.int64()),
+    })
+
+
+SQL_SOURCE_TOKEN_GINI = r"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+  FROM documents
+), s AS (
+  SELECT source, CAST(sum(tok) AS BIGINT) AS toks FROM d GROUP BY 1
+), r AS (
+  SELECT toks, row_number() OVER (ORDER BY toks, source) AS i FROM s
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(toks) AS BIGINT) AS s,
+         CAST(sum(i * toks) AS BIGINT) AS w
+  FROM r
+)
+SELECT n AS n_sources, s AS total_tokens,
+       (1000000 * (2 * w - (n + 1) * s)) // (n * s) AS gini_ppm
+FROM a
+"""
+
+
+# -- embedding_norm_bands -----------------------------------------------------
+
+
+def embedding_norm_bands(sf_dir: str):
+    """Per-label embedding-norm statistics on the integer-quantized squared
+    L2 norm: nsq = sum(round(e*1e4)^2) per vector (exact int64 — float sum
+    order can never flip a bit). The norm-distribution health check that
+    precedes any cosine-similarity stage.
+
+    Shape: the list<float> column never unnests through a shuffle — each
+    batch reshapes the flat Arrow values buffer to (rows, dim) in numpy and
+    reduces to one int64 per vector; the groupby runs on label."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def nsq(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // len(t)
+        q = np.floor(flat * 10_000.0 + 0.5).astype(np.int64).reshape(len(t), dim)
+        return pa.table({
+            "label": pc.cast(t["label"], pa.int64()),
+            "nsq": pa.array((q * q).sum(axis=1), pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(nsq, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n_vecs"),
+                   Min("nsq", alias_name="min_nsq"),
+                   Max("nsq", alias_name="max_nsq"),
+                   Sum("nsq", alias_name="sum_nsq"))
+    )
+    df = out.to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_EMBEDDING_NORM_BANDS = """
+WITH u AS (
+  SELECT vec_id, label, unnest(embedding) AS e FROM embeddings
+), q AS (
+  SELECT vec_id, label,
+         CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qe
+  FROM u
+), n AS (
+  SELECT vec_id, label, CAST(sum(qe * qe) AS BIGINT) AS nsq
+  FROM q GROUP BY 1, 2
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+       min(nsq) AS min_nsq, max(nsq) AS max_nsq,
+       CAST(sum(nsq) AS BIGINT) AS sum_nsq
+FROM n GROUP BY 1
+"""
+
+
 STATOPS_REGISTRY = {
     "chunk_documents": (chunk_documents, SQL_CHUNK_DOCUMENTS),
     "pareto_orders": (pareto_orders, SQL_PARETO_ORDERS),
@@ -519,4 +834,8 @@ STATOPS_REGISTRY = {
     "triangle_count": (triangle_count, SQL_TRIANGLE_COUNT),
     "rolling_dau_7d": (rolling_dau_7d, SQL_ROLLING_DAU_7D),
     "winsorized_stats": (winsorized_stats, SQL_WINSORIZED_STATS),
+    "late_events": (late_events, SQL_LATE_EVENTS),
+    "conversion_latency": (conversion_latency, SQL_CONVERSION_LATENCY),
+    "source_token_gini": (source_token_gini, SQL_SOURCE_TOKEN_GINI),
+    "embedding_norm_bands": (embedding_norm_bands, SQL_EMBEDDING_NORM_BANDS),
 }
