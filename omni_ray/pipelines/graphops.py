@@ -369,9 +369,211 @@ FROM w WHERE prev IS NOT NULL GROUP BY 1, 2
 """
 
 
+# -- co-occurrence-graph suite (shares statops._coorder_edges) ----------------
+
+# the distinct-edge CTE every co-order SQL oracle starts from
+_SQL_PAIRS = """
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+
+def degree_histogram(sf_dir: str):
+    """Degree distribution of the part co-occurrence graph: how many nodes
+    have each degree. Two groupbys over already-reduced keys: endpoints
+    (map-side concat of u and v columns) -> per-node degree -> per-degree
+    node count. The graph-health read every link-analysis pipeline runs
+    first; the histogram domain is bounded by max degree, not node count."""
+    from .statops import _coorder_edges
+
+    edges = _coorder_edges(sf_dir)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"node": t["u"]}), pa.table({"node": t["v"]})
+        ])
+
+    out = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="degree"))
+        .groupby("degree").aggregate(Count(alias_name="n_nodes"))
+    )
+    df = out.to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_DEGREE_HISTOGRAM = f"""
+WITH {_SQL_PAIRS},
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY 1
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1
+"""
+
+
+def khop_reachable(sf_dir: str):
+    """BFS reachability from the minimum node id: how many NEW nodes enter
+    the reachable set at each hop 0..3 (min-hop semantics). The iterative
+    broadcast-frontier regime: the edge entity is materialized once; each
+    hop is one map_batches filter against the broadcast frontier (both
+    edge directions) + one distinct groupby of the candidate neighbors.
+    The visited set lives on the driver — bounded by NODE count (parts,
+    not lineitems); past driver memory the same loop switches to the
+    dedup.py label-propagation machinery (visited as a Dataset, anti-join
+    per hop), which duplicate_of already exercises at 10^6 scale."""
+    from ..stages.dedup import _fetch_broadcast
+    from .statops import _coorder_edges
+
+    edges = _coorder_edges(sf_dir)
+    seed = int(edges.aggregate(Min("u"))["min(u)"])
+    visited = {seed}
+    frontier = np.array([seed], dtype=np.int64)
+    rows = [(0, 1)]
+    for hop in (1, 2, 3):
+        fr_ref = ray.put(np.sort(frontier))
+
+        def neigh(t: pa.Table, _ref=fr_ref) -> pa.Table:
+            fr = _fetch_broadcast(_ref)
+            u = t["u"].to_numpy()
+            v = t["v"].to_numpy()
+            pos_u = np.searchsorted(fr, u)
+            in_u = (pos_u < len(fr)) & (fr[np.minimum(pos_u, len(fr) - 1)] == u)
+            pos_v = np.searchsorted(fr, v)
+            in_v = (pos_v < len(fr)) & (fr[np.minimum(pos_v, len(fr) - 1)] == v)
+            return pa.table({
+                "node": pa.array(np.concatenate([v[in_u], u[in_v]]), pa.int64()),
+            })
+
+        cand = (
+            edges.map_batches(neigh, batch_format="pyarrow")
+            .groupby("node").aggregate(Count(alias_name="_n"))
+            .to_pandas()["node"].to_numpy().astype(np.int64)
+        )
+        new = np.array([n for n in cand.tolist() if n not in visited],
+                       dtype=np.int64)
+        if len(new) == 0:
+            break  # no row for an empty hop (min-hop table has none either)
+        visited.update(new.tolist())
+        rows.append((hop, len(new)))
+        frontier = new
+    df = pd.DataFrame(rows, columns=["hop", "n_new"]).astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_KHOP_REACHABLE = f"""
+WITH RECURSIVE {_SQL_PAIRS},
+e AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+r(node, hop) AS (
+  SELECT (SELECT min(u) FROM pairs), 0
+  UNION
+  SELECT e.v, r.hop + 1 FROM r JOIN e ON e.u = r.node WHERE r.hop < 3
+),
+mh AS (SELECT node, min(hop) AS hop FROM r GROUP BY 1)
+SELECT hop, CAST(count(*) AS BIGINT) AS n_new FROM mh GROUP BY 1
+"""
+
+
+def degree_assortativity(sf_dir: str):
+    """Degree assortativity of the co-occurrence graph: Pearson r over
+    (deg(u), deg(v)) of every directed edge (both orientations), from
+    exact integer moment sums — the corr_moments recipe on graph data.
+    By symmetry sy = sx and syy = sxx, so r_ppm = floor(1e6 * (n*sxy -
+    sx^2) / (n*sxx - sx^2)) — the float step is one IEEE division over
+    identical integers in both engines. int64 headroom: n*sxy <
+    2E * maxdeg^2 * ... stays under 2^63 through sf0.1 (bounds re-checked
+    in the test data: n*sxy ~ 5e18 worst case).
+
+    Shape: the degree table (bounded by NODE count) broadcasts; one map
+    pass over edges emits per-block moment partials; one global Sum."""
+    from ..stages.dedup import _fetch_broadcast
+    from .statops import _coorder_edges
+
+    edges = _coorder_edges(sf_dir)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"node": t["u"]}), pa.table({"node": t["v"]})
+        ])
+
+    deg = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="d"))
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    nodes = deg["node"].to_numpy().astype(np.int64)
+    ds_arr = deg["d"].to_numpy().astype(np.int64)
+    deg_ref = ray.put((nodes, ds_arr))
+
+    def moments(t: pa.Table) -> pa.Table:
+        nd, dd = _fetch_broadcast(deg_ref)
+        x = dd[np.searchsorted(nd, t["u"].to_numpy())]
+        y = dd[np.searchsorted(nd, t["v"].to_numpy())]
+        # both orientations: (x,y) and (y,x)
+        sx = int(x.sum() + y.sum())
+        sxx = int((x * x).sum() + (y * y).sum())
+        sxy = int(2 * (x * y).sum())
+        return pa.table({
+            "n": pa.array([2 * len(t)], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sxx": pa.array([sxx], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+        })
+
+    m = edges.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sxx", alias_name="sxx"), Sum("sxy", alias_name="sxy"))
+    n, sx = int(m["n"]), int(m["sx"])
+    sxx, sxy = int(m["sxx"]), int(m["sxy"])
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    import math
+    r_ppm = math.floor(1_000_000.0 * num / float(den)) if den > 0 else None
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "num": pa.array([num], pa.int64()),
+        "den": pa.array([den], pa.int64()),
+        "r_ppm": pa.array([r_ppm], pa.int64()),
+    })
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH {_SQL_PAIRS},
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY 1
+),
+dir AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+j AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM dir JOIN deg du ON du.node = dir.u JOIN deg dv ON dv.node = dir.v
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+         sum(x*x) AS sxx, sum(x*y) AS sxy
+  FROM j
+)
+SELECT n, n*sxy - sx*sx AS num, n*sxx - sx*sx AS den,
+       CASE WHEN n*sxx - sx*sx > 0 THEN
+         CAST(floor(1000000.0 * (n*sxy - sx*sx)
+              / CAST(n*sxx - sx*sx AS DOUBLE)) AS BIGINT)
+       END AS r_ppm
+FROM m
+"""
+
+
 GRAPH_REGISTRY = {
     "pagerank_topk": (pagerank_topk, SQL_PAGERANK_TOPK),
     "snapshot_diff": (snapshot_diff, SQL_SNAPSHOT_DIFF),
     "heavy_hitters": (heavy_hitters, SQL_HEAVY_HITTERS),
     "transition_counts": (transition_counts, SQL_TRANSITION_COUNTS),
+    "degree_histogram": (degree_histogram, SQL_DEGREE_HISTOGRAM),
+    "khop_reachable": (khop_reachable, SQL_KHOP_REACHABLE),
+    "degree_assortativity": (degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
 }

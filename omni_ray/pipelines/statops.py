@@ -275,19 +275,20 @@ _TRI_BUCKETS = 256
 _KEY_BASE = 1_000_000_000  # partkeys < 1e9 at every TPC-H scale this sees
 
 
-def triangle_count(sf_dir: str):
-    """Triangle census of the part co-occurrence graph (parts linked when
-    they ship in the same order): n_edges, oriented n_wedges, n_triangles.
+def _coorder_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct undirected edges (u < v) of the part co-occurrence graph
+    (parts linked when they ship in the same order), MATERIALIZED — E rows,
+    the reduced graph entity every graph operator downstream reuses.
 
-    Build shape: per-order pair generation is a bucketed SELF-MERGE (order
-    keys hash into _TRI_BUCKETS groups; inside a bucket one vectorized
-    pandas merge on l_orderkey emits all pairs) — the aggregate+join shape,
-    not 10^5 tiny per-order groups (see BASELINE.md boilerplate lesson).
-    Edges dedupe with one groupby on (u, v). Wedges come from the LOWER
-    endpoint's out-neighborhood only (orientation bounds hub skew: a node's
-    wedge count depends on its out-degree among higher ids, not its full
-    degree), again bucketed self-merge. Closing check is a hash join of
-    wedge keys against edge keys — adjacency lists never ship."""
+    Per-order pair generation is a bucketed SELF-MERGE (order keys hash
+    into _TRI_BUCKETS groups; inside a bucket one vectorized pandas merge
+    on l_orderkey emits all pairs) — the aggregate+join shape, not 10^5
+    tiny per-order groups (see BASELINE.md boilerplate lesson). The global
+    dedup is a SECOND bucketed map_groups (hash of the pair key ->
+    _TRI_BUCKETS groups, vectorized drop_duplicates inside), NOT a
+    groupby().aggregate over the pair domain: Ray's sort-based aggregate
+    finalizes per key in Python, measured 15 s vs 1.3 s for the bucketed
+    dedup at 117k distinct pairs (see BASELINE.md)."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
     def order_bucket(t: pa.Table) -> pa.Table:
@@ -303,15 +304,31 @@ def triangle_count(sf_dir: str):
         m = m[m["l_partkey_x"] < m["l_partkey_y"]]
         out = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
         out.columns = ["u", "v"]
+        out["pb"] = (out["u"].to_numpy() * _KEY_BASE
+                     + out["v"].to_numpy()) % _TRI_BUCKETS
         return out.reset_index(drop=True)
 
-    edges = (
+    def dedup_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["u", "v"]].drop_duplicates().reset_index(drop=True)
+
+    return (
         li.map_batches(order_bucket, batch_format="pyarrow")
         .groupby("b").map_groups(pairs_in_bucket, batch_format="pandas")
-        .groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
-        .select_columns(["u", "v"])
-        .materialize()  # E rows (the reduced entity); reused 3x below
+        .groupby("pb").map_groups(dedup_in_bucket, batch_format="pandas")
+        .materialize()
     )
+
+
+def triangle_count(sf_dir: str):
+    """Triangle census of the part co-occurrence graph: n_edges, oriented
+    n_wedges, n_triangles over the _coorder_edges entity.
+
+    Wedges come from the LOWER endpoint's out-neighborhood only
+    (orientation bounds hub skew: a node's wedge count depends on its
+    out-degree among higher ids, not its full degree), generated by a
+    bucketed self-merge. Closing check is a hash join of wedge keys
+    against edge keys — adjacency lists never ship."""
+    edges = _coorder_edges(sf_dir)
     n_edges = edges.count()
 
     def u_bucket(t: pa.Table) -> pa.Table:
