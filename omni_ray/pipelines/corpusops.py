@@ -173,8 +173,11 @@ def unigram_logprob(sf_dir: str):
             "tf": pa.array(tfs, pa.int64()),
         })
 
+    from .queries import _bucketed_agg
+
     tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
-    freq = tf.groupby("term").aggregate(Sum("tf", alias_name="cnt"))
+    # term domain is row-sized -> bucketed combiner, not groupby().aggregate
+    freq = _bucketed_agg(tf, ["term"], {"cnt": ("tf", "sum")})
     total = int(tf.aggregate(Sum("tf", alias_name="t"))["t"])
 
     def logp(t: pa.Table) -> pa.Table:
@@ -196,11 +199,10 @@ def unigram_logprob(sf_dir: str):
             "part": pc.multiply(t["tf"], t["logp_q"]),
         })
 
-    out = (
-        scored.map_batches(mul, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("tf", alias_name="n_tokens"),
-                   Sum("part", alias_name="logprob_q"))
+    out = _bucketed_agg(
+        scored.map_batches(mul, batch_format="pyarrow"),
+        ["doc_id"],
+        {"n_tokens": ("tf", "sum"), "logprob_q": ("part", "sum")},
     )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
@@ -248,10 +250,11 @@ def vocab_coverage(sf_dir: str):
             "cnt": pa.array(list(c.values()), pa.int64()),
         })
 
-    freq = (
-        ds.map_batches(term_counts, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    from .queries import _bucketed_agg
+
+    freq = _bucketed_agg(
+        ds.map_batches(term_counts, batch_format="pyarrow"),
+        ["term"], {"cnt": ("cnt", "sum")},
     )
     top = freq.sort(["cnt", "term"], descending=[True, False]).limit(_VOCAB_V)
     vocab = frozenset(r["term"] for r in top.take_all())

@@ -41,7 +41,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from .queries import _read
+from .queries import _bucketed_agg, _read
 
 # -- pagerank over a deterministic link graph --------------------------------
 
@@ -125,9 +125,10 @@ def pagerank_topk(sf_dir: str):
                 "contrib": rank // _outdeg(src, n),
             })
 
-        inflow = (
-            joined.map_batches(contrib, batch_format="pyarrow")
-            .groupby("dst").aggregate(Sum("contrib", alias_name="s"))
+        # dst domain = node count (row-sized) -> bucketed combiner
+        inflow = _bucketed_agg(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            ["dst"], {"s": ("contrib", "sum")},
         )
         with_in = nodes.join(
             inflow, "left_outer", num_partitions=8,

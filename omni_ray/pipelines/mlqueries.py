@@ -872,8 +872,11 @@ def tfidf_top_terms(sf_dir: str):
             "tf": pa.array(tfs, pa.int64()),
         })
 
+    from .queries import _bucketed_agg
+
     tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
-    df = tf.groupby("term").aggregate(Count(alias_name="df"))
+    # vocabulary domain is row-sized -> bucketed combiner (BASELINE.md)
+    df = _bucketed_agg(tf, ["term"], {"df": ("tf", "count")})
 
     def idf(t: pa.Table) -> pa.Table:
         d = t["df"].to_numpy()
@@ -896,14 +899,25 @@ def tfidf_top_terms(sf_dir: str):
 
     import pandas as pd
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["score", "term"], ascending=[False, True],
-                             kind="mergesort").head(3)
+    def add_db(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "_db", pc.bit_wise_and(t["doc_id"], 255))
+
+    def top3_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-bucket top-3: ONE sort + C-level groupby.head,
+        # not one Python group per doc (BASELINE.md bucketed-agg note)
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby("doc_id", sort=False).head(3)[
+            ["doc_id", "term", "score"]]
 
     out = (
         scored.map_batches(score, batch_format="pyarrow")
-        .groupby("doc_id")
-        .map_groups(top3, batch_format="pandas")
+        .map_batches(add_db, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(top3_in_bucket, batch_format="pandas")
     )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
@@ -1083,10 +1097,11 @@ def bigram_top_terms(sf_dir: str):
     from omni_ray.pipelines.queries import _block_topk
 
     keys, desc = ["n", "bigram"], [True, False]
+    from .queries import _bucketed_agg
+
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
+        _bucketed_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["bigram"], {"n": ("n", "sum")})
         .map_batches(_block_topk(keys, desc, 25), batch_format="pyarrow")
         .sort(keys, descending=desc)
         .limit(25)
@@ -1139,10 +1154,12 @@ def dedup_keep_best(sf_dir: str):
             "pack": pa.array(pack, pa.int64()),
         })
 
-    agg = (
-        ds.map_batches(h, batch_format="pyarrow")
-        .groupby("content_hash")
-        .aggregate(Max("pack", alias_name="pack"), Count(alias_name="n_copies"))
+    from .queries import _bucketed_agg
+
+    agg = _bucketed_agg(
+        ds.map_batches(h, batch_format="pyarrow"),
+        ["content_hash"],
+        {"pack": ("pack", "max"), "n_copies": ("pack", "count")},
     )
 
     def unpack(t: pa.Table) -> pa.Table:

@@ -32,6 +32,50 @@ def _read(sf_dir: str, table: str, columns=None, filter=None):
     )
 
 
+_BAGG_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _bucketed_agg(ds, keys: list, spec: dict, n_buckets: int = 256):
+    """Per-key aggregate via hash-bucketed, combiner-style vectorized pandas
+    reduces — the replacement for groupby(keys).aggregate(...) whenever the
+    key DOMAIN is row-sized (terms, doc hashes, order keys). Ray's
+    sort-based aggregate finalizes per key in Python: measured 15 s at 117k
+    keys vs 1.3 s for the bucketed shape (BASELINE.md round-3 note);
+    bounded domains (days, categories, hosts) should stay on the built-in
+    aggregate.
+
+    ``spec`` maps out_col -> (in_col, op) with op in sum/count/min/max —
+    all merge-associative, so every input block pre-reduces BEFORE the
+    shuffle (the combiner) and each of the ``n_buckets`` groups re-reduces
+    after it: the shuffle moves one row per (block, key), and the only
+    Python-level loop anywhere is over buckets, not keys."""
+    first = keys[0]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        cols = {
+            out: (g.size() if op == "count" else getattr(g[col], op)())
+            for out, (col, op) in spec.items()
+        }
+        p = pd.DataFrame(cols).reset_index()
+        p["_kb"] = (pd.util.hash_array(p[first].to_numpy())
+                    % n_buckets).astype(np.int64)
+        return p
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(keys, sort=False)
+        cols = {
+            out: getattr(gg[out], _BAGG_MERGE[spec[out][1]])()
+            for out in spec
+        }
+        return pd.DataFrame(cols).reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_kb").map_groups(final, batch_format="pandas")
+    )
+
+
 def _quantize(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
     """Float aggregate → int64 via round(x*scale): cross-engine hash-stable
     (pc.round and DuckDB round can differ in the last ulp of a double; an
@@ -1146,19 +1190,22 @@ def anti_join_customers(sf_dir: str):
 
     def tag_build(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        k = pc.cast(t["c_custkey"], pa.int64())
         return pa.table({
-            "key": pc.cast(t["c_custkey"], pa.int64()),
+            "key": k,
             "c_name": t["c_name"],
             "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "kb": pc.bit_wise_and(k, 255),
         })
 
     def tag_probe(t: pa.Table) -> pa.Table:
-        u = pc.unique(t["user_id"])
+        u = pc.cast(pc.unique(t["user_id"]), pa.int64())
         n = len(u)
         return pa.table({
-            "key": pc.cast(u, pa.int64()),
+            "key": u,
             "c_name": pa.nulls(n, pa.string()),
             "side": pa.array(np.ones(n, dtype=np.int8)),
+            "kb": pc.bit_wise_and(u, 255),
         })
 
     both = cust.map_batches(tag_build, batch_format="pyarrow").union(
@@ -1166,12 +1213,14 @@ def anti_join_customers(sf_dir: str):
     )
 
     def keep(g: pd.DataFrame) -> pd.DataFrame:
-        if (g["side"] == 1).any():
-            g = g.iloc[0:0]
-        out = g[g["side"] == 0][["key", "c_name"]]
+        # vectorized in-bucket anti-join: one isin per bucket, not one
+        # Python group per key (BASELINE.md bucketed-agg note)
+        probe_keys = g.loc[g["side"] == 1, "key"].to_numpy()
+        build = g[g["side"] == 0]
+        out = build[~build["key"].isin(probe_keys)][["key", "c_name"]]
         return out.rename(columns={"key": "c_custkey"})
 
-    out = both.groupby("key").map_groups(keep, batch_format="pandas")
+    out = both.groupby("kb").map_groups(keep, batch_format="pandas")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -1218,42 +1267,43 @@ def order_revenue_topk(sf_dir: str):
     """3-way join with pre-aggregation (TPC-H Q10 family): lineitem revenue
     is aggregated per order FIRST (the combiner groupby), so the hash join
     to orders moves one row per order, not one per lineitem — at 100 TB the
-    difference between shuffling the fact table once vs twice. The top-10 is
-    taken on quantized int64 revenue (per-block pre-reduction, then the
-    bounded global sort), and customer names are attached LAST with a
+    difference between shuffling the fact table once vs twice. The per-order
+    sum runs over integer CENTS (quantize-then-sum, order-independent and
+    the repo's integer-arithmetic rule) inside 256 hash buckets with a
+    vectorized pandas reduce — NOT groupby(key).aggregate, whose per-key
+    Python finalize costs ~15 s at 10^5 keys (BASELINE.md bucketed-dedup
+    note). The top-10 is taken with per-block pre-reduction then the
+    bounded global sort, and customer names are attached LAST with a
     pruned-by-key read for just the k winners — the same small-result
     pattern as multi_field_search's highlight stage."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def disc(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
         return pa.table({
             "l_orderkey": t["l_orderkey"],
-            "rev": pc.multiply(
-                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-            ),
+            "cents": pc.cast(pc.round(pc.multiply(rev, 100.0)), pa.int64()),
+            "gb": pc.bit_wise_and(t["l_orderkey"], 255),
         })
+
+    def sum_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("l_orderkey", as_index=False)["cents"].sum()
+        a.columns = ["l_orderkey", "revenue_q"]
+        return a
 
     rev = (
         li.map_batches(disc, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
+        .groupby("gb").map_groups(sum_in_bucket, batch_format="pandas")
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     j = orders.join(rev, join_type="inner", on=("o_orderkey",),
                     right_on=("l_orderkey",), num_partitions=8)
 
-    def q(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderkey": t["o_orderkey"],
-            "o_custkey": t["o_custkey"],
-            "revenue_q": pc.cast(
-                pc.round(pc.multiply(t["revenue"], 100.0)), pa.int64()
-            ),
-        })
-
     keys, desc = ["revenue_q", "o_orderkey"], [True, False]
     top = (
-        j.map_batches(q, batch_format="pyarrow")
+        j.select_columns(["o_orderkey", "o_custkey", "revenue_q"])
         .map_batches(_block_topk(keys, desc, 10), batch_format="pyarrow")
         .sort(keys, descending=desc)
         .limit(10)
@@ -1276,7 +1326,8 @@ def order_revenue_topk(sf_dir: str):
 SQL_ORDER_REVENUE_TOPK = """
 WITH rev AS (
   SELECT l_orderkey,
-         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_q
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_q
   FROM lineitem GROUP BY 1
 )
 SELECT o.o_orderkey, c.c_name, rev.revenue_q
@@ -1293,17 +1344,28 @@ def top3_orders_per_customer(sf_dir: str):
     Partitioning assumption: one customer's orders fit in a worker."""
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
+    def add_cb(t: pa.Table) -> pa.Table:
+        return t.append_column("_cb", pc.bit_wise_and(t["o_custkey"], 255))
+
+    def top3_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE sort + C-level groupby head/cumcount per bucket, not one
+        # Python group per customer (BASELINE.md bucketed-agg note)
         g = g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
-        ).head(3)
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        g = g.groupby("o_custkey", sort=False).head(3)
         g = g.assign(
-            rnk=np.arange(1, len(g) + 1, dtype=np.int64),
-            price_q=np.floor(g["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64),
+            rnk=g.groupby("o_custkey", sort=False).cumcount().to_numpy() + 1,
+            price_q=np.floor(
+                g["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64),
         )
         return g[["o_custkey", "o_orderkey", "rnk", "price_q"]]
 
-    out = ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
+    out = (
+        ds.map_batches(add_cb, batch_format="pyarrow")
+        .groupby("_cb").map_groups(top3_in_bucket, batch_format="pandas")
+    )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 

@@ -401,12 +401,18 @@ def rolling_dau_7d(sf_dir: str):
         return pa.table({
             "user_id": t["user_id"],
             "day": pc.divide(pc.cast(t["ts"], pa.int64()), _DAY_US),
+            "ub": pc.bit_wise_and(t["user_id"], 255),
         })
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # (user, day) domain is row-sized -> bucketed vectorized distinct,
+        # not groupby().aggregate (BASELINE.md bucketed-agg note)
+        return g[["user_id", "day", "ub"]].drop_duplicates(
+            ["user_id", "day"]).reset_index(drop=True)
 
     pairs = (
         ds.map_batches(day_of, batch_format="pyarrow")
-        .groupby(["user_id", "day"]).aggregate(Count(alias_name="_n"))
-        .select_columns(["user_id", "day"])
+        .groupby("ub").map_groups(distinct_pairs, batch_format="pandas")
         .materialize()  # |users x active-days| rows; reused for the day set
     )
     days_arr = np.sort(
@@ -420,7 +426,9 @@ def rolling_dau_7d(sf_dir: str):
         parts = []
         for shift in range(7):
             w = pc.add(t["day"], shift)
-            parts.append(pa.table({"user_id": t["user_id"], "wday": w}))
+            parts.append(pa.table({
+                "user_id": t["user_id"], "wday": w, "ub": t["ub"],
+            }))
         both = pa.concat_tables(parts)
         w = both["wday"].to_numpy()
         pos = np.searchsorted(dsorted, w)
@@ -428,9 +436,12 @@ def rolling_dau_7d(sf_dir: str):
         keep = pa.array(dsorted[pos_c] == w)
         return both.filter(keep)
 
+    def distinct_windows(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["user_id", "wday"]].drop_duplicates().reset_index(drop=True)
+
     out = (
         pairs.map_batches(expand, batch_format="pyarrow")
-        .groupby(["user_id", "wday"]).aggregate(Count(alias_name="_n"))
+        .groupby("ub").map_groups(distinct_windows, batch_format="pandas")
         .groupby("wday").aggregate(Count(alias_name="rolling_users"))
     )
     df = out.to_pandas().rename(columns={"wday": "day"})

@@ -162,8 +162,11 @@ def boilerplate_segments(sf_dir: str):
             "n_occ": pa.array(occ, pa.int64()),
         })
 
+    from .queries import _bucketed_agg
+
     seg_rows = ds.map_batches(segs, batch_format="pyarrow").materialize()
-    freqs = seg_rows.groupby("seg").aggregate(Sum("n_occ", alias_name="f"))
+    # segment-hash domain is row-sized -> bucketed combiner (BASELINE.md)
+    freqs = _bucketed_agg(seg_rows, ["seg"], {"f": ("n_occ", "sum")})
     joined = seg_rows.join(freqs, join_type="inner", on=("seg",),
                            num_partitions=16)
 
@@ -176,13 +179,11 @@ def boilerplate_segments(sf_dir: str):
             "n_rep": pa.array(np.where(f >= 2, n, 0).astype(np.int64), pa.int64()),
         })
 
-    rolled = (
-        joined.map_batches(rep, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("n", alias_name="n_segments"),
-                   Sum("n_rep", alias_name="n_repeated"))
-        .to_pandas()
-    )
+    rolled = _bucketed_agg(
+        joined.map_batches(rep, batch_format="pyarrow"),
+        ["doc_id"],
+        {"n_segments": ("n", "sum"), "n_repeated": ("n_rep", "sum")},
+    ).to_pandas()
     rolled["keep_doc"] = (
         2 * rolled["n_repeated"] <= rolled["n_segments"]
     ).astype("int64")
