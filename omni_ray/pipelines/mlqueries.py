@@ -717,6 +717,99 @@ def media_features_q(sf_dir: str):
     return media_feature_pipeline(media)
 
 
+def media_pipeline_stats(sf_dir: str):
+    """Oracle-backed multimodal pipeline statistics: documents become media
+    rows deterministically (payload = UTF-8 text bytes, kind = doc_id % 3
+    over image/audio/video, video duration = 1000 + n_chars ms), flow
+    through the REAL decode and frame-sample stages (fake kernels, real
+    plumbing: wide binary dropped at decode, small batches), and reduce to
+    per-kind counts, byte totals, checksum sums and sampled-frame counts.
+    The DuckDB twin reproduces the decode stage's feat_crc integrity column
+    bit-for-bit (uint32 LE of sha256(payload)[:4], parsed from DuckDB's hex
+    sha256) — so the driver verifies the multimodal PLUMBING end-to-end
+    even though the decode kernel itself is stubbed in this environment."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages.multimodal import FrameSampleStage, ImageDecodeStage
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    kinds = ["image", "audio", "video"]
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = [(x or "") for x in t["text"].to_pylist()]
+        n_chars = t["n_chars"].to_numpy()
+        kind = [kinds[int(i) % 3] for i in ids]
+        dur = np.where(ids % 3 == 0, 0, 1000 + n_chars).astype(np.int32)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kind, pa.string()),
+            "payload": pa.array([s.encode() for s in texts], pa.binary()),
+            "duration_ms": pa.array(dur, pa.int32()),
+        })
+
+    media = ds.map_batches(to_media, batch_format="pyarrow").materialize()
+    decoded = media.map_batches(
+        ImageDecodeStage(mode="fake"),
+        batch_size=ImageDecodeStage.BATCH_SIZE, batch_format="pyarrow",
+    )
+    per_kind = (
+        decoded.groupby("kind")
+        .aggregate(Count(alias_name="n_media"),
+                   Sum("payload_bytes", alias_name="total_bytes"),
+                   Max("payload_bytes", alias_name="max_bytes"),
+                   Sum("feat_crc", alias_name="crc_sum"))
+        .to_pandas()
+    )
+    frames = media.map_batches(
+        FrameSampleStage(every_ms=500), batch_format="pyarrow",
+        batch_size=FrameSampleStage.BATCH_SIZE,
+    )
+    n_frames = frames.count()
+    per_kind["n_frames"] = np.where(
+        per_kind["kind"].to_numpy() == "video", n_frames, 0
+    ).astype("int64")
+    for c in per_kind.columns:
+        if c != "kind":
+            per_kind[c] = per_kind[c].astype("int64")
+    return pa.Table.from_pandas(per_kind, preserve_index=False)
+
+
+def _hex_u32_le(col: str) -> str:
+    """SQL for uint32-LE of the first 4 bytes of a hex sha256 string."""
+    def byte(i: int) -> str:
+        return (f"((strpos('0123456789abcdef', substr({col},{i},1))-1)*16"
+                f" + (strpos('0123456789abcdef', substr({col},{i+1},1))-1))")
+    return (f"({byte(1)} + 256*{byte(3)} + 65536*{byte(5)}"
+            f" + 16777216*{byte(7)})")
+
+
+SQL_MEDIA_PIPELINE_STATS = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         coalesce(text, '') AS payload_txt,
+         CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1000 + n_chars END
+           AS duration_ms
+  FROM documents
+), f AS (
+  SELECT kind, octet_length(encode(payload_txt)) AS nb,
+         sha256(payload_txt) AS h, duration_ms
+  FROM m
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(nb) AS BIGINT) AS total_bytes,
+       CAST(max(nb) AS BIGINT) AS max_bytes,
+       CAST(sum({_hex_u32_le('h')}) AS BIGINT) AS crc_sum,
+       CAST(sum(CASE WHEN kind = 'video' THEN (duration_ms + 499) // 500
+                     ELSE 0 END) AS BIGINT) AS n_frames
+FROM f GROUP BY 1
+"""
+
+
 def crawl_schedule_core(sf_dir: str):
     """Oracle-backed core of the frontier scheduler (SURVEY.md O1/D1/ST4;
     north_rule "matching the reference's crawl ordering").
@@ -1402,6 +1495,7 @@ GROUP BY 1, 2
 
 
 ML_REGISTRY = {
+    "media_pipeline_stats": (media_pipeline_stats, SQL_MEDIA_PIPELINE_STATS),
     "token_counts": (token_counts, SQL_TOKEN_COUNTS),
     "text_quality_stats": (text_quality_stats, SQL_TEXT_QUALITY_STATS),
     "lang_id": (lang_id, SQL_LANG_ID),

@@ -89,9 +89,18 @@ class ImageDecodeStage:
         fn = self._decode_fake if self.mode == "fake" else self._decode_real
         feats = [fn(p or b"") for p in payloads]
         sizes = [len(p or b"") for p in payloads]
+        # integer payload checksum (uint32 LE of sha256[:4]): the lineage /
+        # integrity column that survives into downstream tables and is
+        # exactly reproducible by any engine (see media_pipeline_stats'
+        # DuckDB twin) — unlike the float32 feature vector
+        crcs = [
+            int.from_bytes(hashlib.sha256(p or b"").digest()[:4], "little")
+            for p in payloads
+        ]
         return (
             batch.drop_columns(["payload"])  # drop wide bytes immediately
             .append_column("payload_bytes", pa.array(sizes, pa.int64()))
+            .append_column("feat_crc", pa.array(crcs, pa.int64()))
             .append_column(
                 "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
             )
