@@ -200,6 +200,22 @@ def run_bench() -> dict:
     timed("heavy_hitters",
           lambda: GRAPH_REGISTRY["heavy_hitters"][0](SF_DIR))
 
+    from omni_ray.pipelines.statops import STATOPS_REGISTRY
+
+    # round-3-late batches: chunker (zero-shuffle explode), co-occurrence
+    # graph census (bucketed self-merge + wedge join), sliding distinct,
+    # watermark scan, multimodal plumbing
+    timed("chunk_documents",
+          lambda: STATOPS_REGISTRY["chunk_documents"][0](SF_DIR).num_rows)
+    timed("triangle_count",
+          lambda: STATOPS_REGISTRY["triangle_count"][0](SF_DIR).num_rows)
+    timed("rolling_dau_7d",
+          lambda: STATOPS_REGISTRY["rolling_dau_7d"][0](SF_DIR).num_rows)
+    timed("late_events",
+          lambda: STATOPS_REGISTRY["late_events"][0](SF_DIR).num_rows)
+    timed("media_pipeline_stats",
+          lambda: ML_REGISTRY["media_pipeline_stats"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

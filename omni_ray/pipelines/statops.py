@@ -855,7 +855,82 @@ FROM n GROUP BY 1
 """
 
 
+# -- ema_final_per_user -------------------------------------------------------
+
+
+def ema_final_per_user(sf_dir: str):
+    """Integer exponential moving average per user over the event value
+    stream (alpha = 1/4 with floor division: ema_i = (3*ema_{i-1} +
+    cents_i) // 4, seeded with the first value, events ordered by (ts,
+    event_id)) — the sequential-recurrence-per-key pattern (fraud scores,
+    session heat, rate limiters).
+
+    A floor-division recurrence has no closed form and no associative
+    combine, so the scan is genuinely sequential PER KEY; the distributed
+    shape is: hash-bucket by user (all of one user's rows co-locate), ONE
+    vectorized sort per bucket, then a single linear pass over the bucket
+    with numpy-boundary resets — the per-row loop is irreducible, but it
+    runs once per event inside parallel buckets, never on the driver."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "cents": _cents(t["value"]),
+            "ub": pc.bit_wise_and(t["user_id"], 255),
+        })
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = users[1:] != users[:-1]
+        ema = 0
+        out_u, out_n, out_e = [], [], []
+        n = 0
+        for i in range(len(g)):
+            if first[i]:
+                if i:
+                    out_u.append(users[i - 1]); out_n.append(n); out_e.append(ema)
+                ema = int(cents[i]); n = 1
+            else:
+                ema = (3 * ema + int(cents[i])) // 4; n += 1
+        if len(g):
+            out_u.append(users[-1]); out_n.append(n); out_e.append(ema)
+        return pd.DataFrame({
+            "user_id": np.asarray(out_u, dtype=np.int64),
+            "n_events": np.asarray(out_n, dtype=np.int64),
+            "ema_final": np.asarray(out_e, dtype=np.int64),
+        })
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("ub").map_groups(scan, batch_format="pandas")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_EMA_FINAL_PER_USER = """
+WITH RECURSIVE c AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, rn, cents AS ema FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.rn, (3 * r.ema + c.cents) // 4
+  FROM r JOIN c ON c.user_id = r.user_id AND c.rn = r.rn + 1
+), last AS (SELECT user_id, max(rn) AS mx FROM c GROUP BY 1)
+SELECT r.user_id, last.mx AS n_events, r.ema AS ema_final
+FROM r JOIN last ON r.user_id = last.user_id AND r.rn = last.mx
+"""
+
+
 STATOPS_REGISTRY = {
+    "ema_final_per_user": (ema_final_per_user, SQL_EMA_FINAL_PER_USER),
     "chunk_documents": (chunk_documents, SQL_CHUNK_DOCUMENTS),
     "pareto_orders": (pareto_orders, SQL_PARETO_ORDERS),
     "daily_ohlc": (daily_ohlc, SQL_DAILY_OHLC),

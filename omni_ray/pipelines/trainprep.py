@@ -573,7 +573,70 @@ FROM cnt GROUP BY 1
 """
 
 
+def bpe_first_merges(sf_dir: str):
+    """Tokenizer-fit statistics: the first BPE merge candidates — counts of
+    adjacent a-z character pairs inside words, corpus-wide top-20 (count
+    desc, pair asc). This is exactly the statistic byte-pair-encoding
+    training computes on its first pass.
+
+    Shape at scale: per batch the text collapses to one byte array
+    ([^a-z]+ -> space), pairs come from two shifted numpy views, and the
+    count is ONE bincount over the bounded 26x26 pair domain — so a block
+    of any size reduces to <=676 partial rows map-side, and the global
+    groupby runs on the bounded pair domain. Zero Python loops, zero
+    row-sized shuffles."""
+    from .mlqueries import _docs
+
+    ds = _docs(sf_dir)
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        chunks = []
+        for x in t["text"].to_pylist():
+            chunks.append(_re.sub(r"[^a-z]+", " ", (x or "").lower()))
+        s = (" ".join(chunks)).encode("ascii", "ignore")
+        arr = np.frombuffer(s, dtype=np.uint8)
+        if len(arr) < 2:
+            return pa.table({"code": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        a, b = arr[:-1], arr[1:]
+        mask = (a != 32) & (b != 32)
+        codes = (a[mask].astype(np.int64) - 97) * 26 + (b[mask].astype(np.int64) - 97)
+        cnt = np.bincount(codes, minlength=676)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "code": pa.array(nz, pa.int64()),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby("code").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg["pair"] = [chr(97 + c // 26) + chr(97 + c % 26) for c in agg["code"]]
+    agg = agg.sort_values(["n", "pair"], ascending=[False, True]).head(20)
+    agg["n"] = agg["n"].astype("int64")
+    return pa.Table.from_pandas(agg[["pair", "n"]], preserve_index=False)
+
+
+SQL_BPE_FIRST_MERGES = r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(coalesce(text, '')), '[^a-z]+'))
+           AS wd
+  FROM documents
+), p AS (
+  SELECT substr(wd, u.i, 2) AS pair
+  FROM w, UNNEST(range(1, len(wd))) AS u(i) WHERE len(wd) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
+"""
+
+
 TRAINPREP_REGISTRY = {
+    "bpe_first_merges": (bpe_first_merges, SQL_BPE_FIRST_MERGES),
     "doc_pack": (doc_pack, SQL_DOC_PACK),
     "boilerplate_segments": (boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
     "kmv_distinct_users": (kmv_distinct_users, SQL_KMV_DISTINCT_USERS),
