@@ -667,7 +667,177 @@ HAVING count(*) = (SELECT count(DISTINCT epoch_us(ts) // 86400000000) FROM event
 """
 
 
+# -- full-outer-join classification -------------------------------------------
+
+
+def full_outer_activity(sf_dir: str):
+    """Full-outer-join coverage classification: every key in customer ∪
+    events classified as both / customer_only / event_only, with class
+    counts. The cogroup generalization of the anti-join: both sides reduce
+    to distinct keys map-side, hash-bucket by key, and ONE vectorized
+    pandas outer-merge (indicator=True) per bucket does the classification
+    — no per-key Python groups, no Ray outer-join operator needed."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def side(col: str, tag: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = pc.cast(pc.unique(t[col]), pa.int64())
+            return pa.table({
+                "k": k,
+                "side": pa.array(np.full(len(k), tag, dtype=np.int8)),
+                "kb": pc.bit_wise_and(k, 255),
+            })
+        return f
+
+    both = cust.map_batches(side("c_custkey", 0), batch_format="pyarrow").union(
+        ev.map_batches(side("user_id", 1), batch_format="pyarrow")
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.loc[g["side"] == 0, ["k"]].drop_duplicates()
+        e = g.loc[g["side"] == 1, ["k"]].drop_duplicates()
+        m = c.merge(e, on="k", how="outer", indicator=True)
+        cls = m["_merge"].astype(str).map({
+            "left_only": "customer_only", "right_only": "event_only",
+            "both": "both",
+        })
+        out = cls.value_counts().rename_axis("cls").reset_index(name="n")
+        out["cls"] = out["cls"].astype(str)
+        return out[out["n"] > 0].reset_index(drop=True)
+
+    out = (
+        both.groupby("kb").map_groups(classify, batch_format="pandas")
+        .groupby("cls").aggregate(Sum("n", alias_name="n_keys"))
+    )
+    df = out.to_pandas()
+    df["cls"] = df["cls"].astype(str)
+    df["n_keys"] = df["n_keys"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_FULL_OUTER_ACTIVITY = """
+WITH c AS (SELECT DISTINCT c_custkey AS k FROM customer),
+e AS (SELECT DISTINCT user_id AS k FROM events),
+j AS (
+  SELECT CASE WHEN c.k IS NULL THEN 'event_only'
+              WHEN e.k IS NULL THEN 'customer_only'
+              ELSE 'both' END AS cls
+  FROM c FULL OUTER JOIN e ON c.k = e.k
+)
+SELECT cls, CAST(count(*) AS BIGINT) AS n_keys FROM j GROUP BY 1
+"""
+
+
+# -- CUBE rollup ---------------------------------------------------------------
+
+
+def cube_revenue(sf_dir: str):
+    """GROUP BY CUBE (returnflag, linestatus) over quantized lineitem
+    revenue: all four grouping sets, rolled-up dims marked 'ALL'. The
+    distributed CUBE discipline: aggregate the FINEST grain once (one
+    shuffle over the bounded 6-cell domain), then derive the coarser sets
+    from that tiny table on the driver — never 4 passes over the fact."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice",
+                        "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({
+            "rf": t["l_returnflag"],
+            "ls": t["l_linestatus"],
+            "cents": pc.cast(pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)),
+                             pa.int64()),
+        })
+
+    fine = (
+        li.map_batches(cents, batch_format="pyarrow")
+        .groupby(["rf", "ls"])
+        .aggregate(Sum("cents", alias_name="rev_cents"),
+                   Count(alias_name="n_rows"))
+        .to_pandas()
+    )
+    by_rf = fine.groupby("rf", as_index=False)[["rev_cents", "n_rows"]].sum()
+    by_rf["ls"] = "ALL"
+    by_ls = fine.groupby("ls", as_index=False)[["rev_cents", "n_rows"]].sum()
+    by_ls["rf"] = "ALL"
+    total = pd.DataFrame({
+        "rf": ["ALL"], "ls": ["ALL"],
+        "rev_cents": [fine["rev_cents"].sum()],
+        "n_rows": [fine["n_rows"].sum()],
+    })
+    out = pd.concat([fine, by_rf, by_ls, total], ignore_index=True)[
+        ["rf", "ls", "rev_cents", "n_rows"]]
+    for c in ("rev_cents", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_CUBE_REVENUE = """
+WITH c AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT CASE WHEN GROUPING(rf) = 1 THEN 'ALL' ELSE rf END AS rf,
+       CASE WHEN GROUPING(ls) = 1 THEN 'ALL' ELSE ls END AS ls,
+       CAST(sum(cents) AS BIGINT) AS rev_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM c GROUP BY CUBE (rf, ls)
+"""
+
+
+# -- join-key skew profile -----------------------------------------------------
+
+
+def key_skew_profile(sf_dir: str):
+    """Join-key skew diagnostic: the distribution of lineitem fan-out per
+    orderkey as (lines_per_order, n_orders) — the profile a planner reads
+    before choosing broadcast vs salt vs plain hash join. Per-key counts
+    run in the bucketed-combiner shape (orderkey domain is row-sized); the
+    histogram groupby runs on the bounded fan-out domain."""
+    from .queries import _bucketed_agg
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "one": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+
+    per_key = _bucketed_agg(
+        li.map_batches(one, batch_format="pyarrow"),
+        ["l_orderkey"], {"lines_per_order": ("one", "sum")},
+    )
+    out = (
+        per_key.groupby("lines_per_order")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    df = out.to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH c AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS lines_per_order
+  FROM lineitem GROUP BY 1
+)
+SELECT lines_per_order, CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY 1
+"""
+
+
 RELSCALE_REGISTRY = {
+    "full_outer_activity": (full_outer_activity, SQL_FULL_OUTER_ACTIVITY),
+    "cube_revenue": (cube_revenue, SQL_CUBE_REVENUE),
+    "key_skew_profile": (key_skew_profile, SQL_KEY_SKEW_PROFILE),
     "bloom_antijoin": (bloom_antijoin, SQL_BLOOM_ANTIJOIN),
     "corr_moments": (corr_moments, SQL_CORR_MOMENTS),
     "ttl_dedup": (ttl_dedup, SQL_TTL_DEDUP),

@@ -84,3 +84,49 @@ def test_org_linear_scan_equals_reference_regex(text):
         want = [m.group(0) for m in pat.finditer(text)]
         got = _org_matches_linear(text, suffixes)
         assert got == want, (text, got, want)
+
+
+def test_bucketed_agg_equals_builtin_aggregate():
+    """queries._bucketed_agg (the row-sized-domain combiner) must agree
+    with groupby().aggregate exactly — sum/count/min/max over a skewed
+    random key mix, including string keys."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from omni_ray.pipelines.queries import _bucketed_agg
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    df = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.3, 5,
+                      rng.integers(0, 5_000, n)).astype(np.int64),
+        "s": [f"t{v}" for v in rng.integers(0, 3_000, n)],
+        "x": rng.integers(-100, 100, n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(16).materialize()
+
+    got = _bucketed_agg(
+        ds, ["k"],
+        {"sx": ("x", "sum"), "n": ("x", "count"),
+         "mn": ("x", "min"), "mx": ("x", "max")},
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    want = (
+        ds.groupby("k")
+        .aggregate(Sum("x", alias_name="sx"), Count(alias_name="n"),
+                   Min("x", alias_name="mn"), Max("x", alias_name="mx"))
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "sx", "n", "mn", "mx"]].astype("int64"),
+        want[["k", "sx", "n", "mn", "mx"]].astype("int64"),
+    )
+
+    # string keys through pd.util.hash_array bucketing
+    got_s = _bucketed_agg(ds, ["s"], {"sx": ("x", "sum")}).to_pandas()
+    want_s = ds.groupby("s").aggregate(Sum("x", alias_name="sx")).to_pandas()
+    got_s = got_s.sort_values("s").reset_index(drop=True)
+    want_s = want_s.sort_values("s").reset_index(drop=True)
+    assert (got_s["s"] == want_s["s"]).all()
+    assert (got_s["sx"].astype("int64") == want_s["sx"].astype("int64")).all()
