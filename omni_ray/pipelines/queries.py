@@ -1178,6 +1178,90 @@ JOIN (VALUES {_RANGE_VALUES}) AS w(window_id, ws, we)
 """
 
 
+_RJB_WIN_US = 21_600_000_000  # 6-hour interval length (mirrored in SQL)
+_RJB_COHORT = 50  # cohort equi-key modulus
+_RJB_BASE = 1_000_000_000_000
+
+
+def range_join_bucketed(sf_dir: str):
+    """Range join where the interval side is LARGE (scales with users) —
+    the plan range_join_windows' docstring promises for that regime: both
+    sides key by (cohort, coarse-time-bucket) and meet in an ordinary hash
+    join; exact bounds verify in the map after it. Each 6-hour interval
+    expands to at most 2 six-hour buckets, each probe to exactly 1, so the
+    join fan-out is bounded and an event can pair with a window only via
+    the single bucket containing its ts (no post-join dedup needed).
+    Semantics: every user's first event opens a 6 h window; an event joins
+    every window of its 50-way cohort whose span covers it."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    ev = ds.map_batches(to_us, batch_format="pyarrow").materialize()
+    firsts = _bucketed_agg(ev, ["user_id"], {"ws": ("ts_us", "min")})
+
+    def win_rows(t: pa.Table) -> pa.Table:
+        wu = t["user_id"].to_numpy()
+        ws = t["ws"].to_numpy()
+        we = ws + _RJB_WIN_US
+        b0 = ws // _RJB_WIN_US
+        b1 = (we - 1) // _RJB_WIN_US
+        cohort = wu % _RJB_COHORT
+        # expand to the <=2 buckets the interval touches
+        jk0 = cohort * _RJB_BASE + b0
+        jk1 = cohort * _RJB_BASE + b1
+        second = b1 != b0
+        return pa.table({
+            "jk": pa.array(np.concatenate([jk0, jk1[second]]), pa.int64()),
+            "wu": pa.array(np.concatenate([wu, wu[second]]), pa.int64()),
+            "ws": pa.array(np.concatenate([ws, ws[second]]), pa.int64()),
+            "we": pa.array(np.concatenate([we, we[second]]), pa.int64()),
+        })
+
+    wins = firsts.map_batches(win_rows, batch_format="pyarrow")
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        ts = t["ts_us"].to_numpy()
+        cohort = t["user_id"].to_numpy() % _RJB_COHORT
+        return pa.table({
+            "jk": pa.array(cohort * _RJB_BASE + ts // _RJB_WIN_US, pa.int64()),
+            "event_id": t["event_id"],
+            "ts_us": pa.array(ts, pa.int64()),
+        })
+
+    probes = ev.map_batches(probe_rows, batch_format="pyarrow")
+    joined = probes.join(wins, join_type="inner", on=("jk",),
+                         num_partitions=8)
+
+    def verify(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.greater_equal(t["ts_us"], t["ws"]),
+                     pc.less(t["ts_us"], t["we"]))
+        sel = t.filter(ok)
+        return pa.table({
+            "event_id": sel["event_id"],
+            "window_user": sel["wu"],
+        })
+
+    out = joined.map_batches(verify, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_RANGE_JOIN_BUCKETED = """
+WITH f AS (
+  SELECT user_id AS wu, min(epoch_us(ts)) AS ws FROM events GROUP BY 1
+), w AS (SELECT wu, ws, ws + 21600000000 AS we FROM f)
+SELECT e.event_id, w.wu AS window_user
+FROM events e JOIN w
+  ON e.user_id % 50 = w.wu % 50
+ AND epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.we
+"""
+
+
 def anti_join_customers(sf_dir: str):
     """Hash anti-join: customers with NO events (NOT EXISTS). Both sides are
     tagged and unioned into ONE groupby shuffle; a group that contains any
@@ -1522,6 +1606,7 @@ REGISTRY = {
     "paginated_listing": (paginated_listing, SQL_PAGINATED_LISTING),
     "asof_join_attribution": (asof_join_attribution, SQL_ASOF_ATTRIBUTION),
     "range_join_windows": (range_join_windows, SQL_RANGE_JOIN_WINDOWS),
+    "range_join_bucketed": (range_join_bucketed, SQL_RANGE_JOIN_BUCKETED),
     "anti_join_customers": (anti_join_customers, SQL_ANTI_JOIN_CUSTOMERS),
     "segment_quantiles": (segment_quantiles, SQL_SEGMENT_QUANTILES),
     "order_revenue_topk": (order_revenue_topk, SQL_ORDER_REVENUE_TOPK),
