@@ -162,6 +162,8 @@ def run_bench() -> dict:
     timed("knn_ivf", lambda: ML_ROWS_ONLY["knn_ivf"](SF_DIR))
     timed("quality_filter", lambda: ML_REGISTRY["quality_filter"][0](SF_DIR).count())
     timed("decontaminate", lambda: ML_REGISTRY["decontaminate"][0](SF_DIR).count())
+    timed("training_corpus_pipeline",
+          lambda: ML_REGISTRY["training_corpus_pipeline"][0](SF_DIR).num_rows)
     timed("duplicate_of", lambda: ML_REGISTRY["duplicate_of"][0](SF_DIR).count())
     timed("tfidf_top_terms", lambda: ML_REGISTRY["tfidf_top_terms"][0](SF_DIR).num_rows)
     timed("pii_scan", lambda: ML_REGISTRY["pii_scan"][0](SF_DIR).count())

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -396,53 +397,57 @@ _QF_STOPWORDS = frozenset(
 )
 
 
+def _qf_signals(txt: pa.ChunkedArray) -> dict:
+    """Gopher-style quality signals + keep bit for a text column — shared
+    by quality_filter and the composed training_corpus_pipeline so the
+    keep rule can never drift between them."""
+    import pyarrow.compute as pc
+
+    texts = [x or "" for x in txt.to_pylist()]
+    n_tokens = [len(x.split()) for x in texts]
+    n_stop = [
+        sum(1 for w in x.lower().split() if w in _QF_STOPWORDS) for x in texts
+    ]
+    sent_counts = []
+    dup_sents = []
+    for x in texts:
+        parts = x.split(". ")
+        sent_counts.append(len(parts))
+        dup_sents.append(len(parts) - len(set(parts)))
+    n_chars = pc.cast(pc.utf8_length(txt), pa.int64()).to_pylist()
+    n_wordchars = pc.cast(
+        pc.count_substring_regex(txt, r"\S"), pa.int64()
+    ).to_pylist()
+    n_sym = pc.cast(
+        pc.count_substring_regex(txt, r"[^A-Za-z0-9\s]"), pa.int64()
+    ).to_pylist()
+    keep = [
+        int(
+            50 <= nt <= 100_000
+            and 3 * nt <= nw <= 10 * nt
+            and 10 * ns < nc
+            and 50 * nst > nt
+            and 10 * nd < 3 * nsent
+        )
+        for nt, nw, ns, nc, nst, nd, nsent in zip(
+            n_tokens, n_wordchars, n_sym, n_chars, n_stop, dup_sents, sent_counts
+        )
+    ]
+    return {
+        "n_tokens": n_tokens, "n_wordchars": n_wordchars, "n_symbols": n_sym,
+        "n_stopwords": n_stop, "n_sentences": sent_counts,
+        "n_dup_sentences": dup_sents, "keep": keep,
+    }
+
+
 def quality_filter(sf_dir: str):
     ds = _docs(sf_dir)
 
     def f(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        txt = t.column("text")
-        texts = [x or "" for x in txt.to_pylist()]
-        n_tokens = [len(x.split()) for x in texts]
-        n_stop = [
-            sum(1 for w in x.lower().split() if w in _QF_STOPWORDS) for x in texts
-        ]
-        sent_counts = []
-        dup_sents = []
-        for x in texts:
-            parts = x.split(". ")
-            sent_counts.append(len(parts))
-            dup_sents.append(len(parts) - len(set(parts)))
-        n_chars = pc.cast(pc.utf8_length(txt), pa.int64()).to_pylist()
-        n_wordchars = pc.cast(
-            pc.count_substring_regex(txt, r"\S"), pa.int64()
-        ).to_pylist()
-        n_sym = pc.cast(
-            pc.count_substring_regex(txt, r"[^A-Za-z0-9\s]"), pa.int64()
-        ).to_pylist()
-        keep = [
-            int(
-                50 <= nt <= 100_000
-                and 3 * nt <= nw <= 10 * nt
-                and 10 * ns < nc
-                and 50 * nst > nt
-                and 10 * nd < 3 * nsent
-            )
-            for nt, nw, ns, nc, nst, nd, nsent in zip(
-                n_tokens, n_wordchars, n_sym, n_chars, n_stop, dup_sents, sent_counts
-            )
-        ]
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "n_tokens": pa.array(n_tokens, pa.int64()),
-            "n_wordchars": pa.array(n_wordchars, pa.int64()),
-            "n_symbols": pa.array(n_sym, pa.int64()),
-            "n_stopwords": pa.array(n_stop, pa.int64()),
-            "n_sentences": pa.array(sent_counts, pa.int64()),
-            "n_dup_sentences": pa.array(dup_sents, pa.int64()),
-            "keep": pa.array(keep, pa.int64()),
-        })
+        sig = _qf_signals(t.column("text"))
+        cols = {"doc_id": t.column("doc_id")}
+        cols.update({k: pa.array(v, pa.int64()) for k, v in sig.items()})
+        return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -492,6 +497,139 @@ DECON_K = 8
 def _shingles_k(text: str, k: int) -> set:
     ws = text.split()
     return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+
+_TCP_SEQ = 512  # tokens per packed training sequence (mirrored in SQL)
+_TCP_SPAN = 1024  # doc_ids per prefix-sum bucket
+
+
+def training_corpus_pipeline(sf_dir: str):
+    """The composed end-to-end training-data prep pipeline, oracle-backed
+    as ONE query: Gopher-style quality filter → exact dedup (keep lowest
+    doc_id per content hash) → concat-and-chunk sequence packing over the
+    survivors. Each surviving document reports the 512-token training
+    sequence its first token lands in.
+
+    Composition stays streaming: stage 1 computes quality signals AND the
+    content hash in a single map pass (the fused shape — no second read of
+    text); dedup is a hash-bucketed first-wins (same-hash rows co-locate
+    by construction); packing is the doc_pack prefix-sum — per-bucket
+    token partials to the driver, exclusive cumsum broadcast, local scan.
+    Three bounded shuffles end to end, text bytes dropped after stage 1."""
+    import hashlib as _hl
+
+    from .queries import _bucketed_agg
+
+    ds = _docs(sf_dir)
+
+    def stage1(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sig = _qf_signals(t.column("text"))
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        hs = [_hl.md5(x.encode()).hexdigest() for x in texts]
+        tb = pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(sig["n_tokens"], pa.int64()),
+            "keep": pa.array(sig["keep"], pa.int64()),
+            "h": pa.array(hs, pa.string()),
+        })
+        tb = tb.filter(pc.equal(tb["keep"], 1)).drop_columns(["keep"])
+        hb = pd.util.hash_array(
+            np.asarray(tb.column("h").to_pylist(), dtype=object)) % 256
+        return tb.append_column("hb", pa.array(hb.astype(np.int64)))
+
+    def dedup_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        return g.drop_duplicates("h", keep="first")[["doc_id", "n_tokens"]]
+
+    surv = (
+        ds.map_batches(stage1, batch_format="pyarrow")
+        .groupby("hb").map_groups(dedup_first, batch_format="pandas")
+        .materialize()  # survivors: (doc_id, n_tokens) — the reduced entity
+    )
+
+    def tag_span(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "pbkt", pc.divide(t["doc_id"], _TCP_SPAN))
+
+    spanned = surv.map_batches(tag_span, batch_format="pyarrow").materialize()
+    partials = (
+        _bucketed_agg(spanned, ["pbkt"], {"tok": ("n_tokens", "sum")})
+        .to_pandas().sort_values("pbkt").reset_index(drop=True)
+    )
+    bks = partials["pbkt"].to_numpy().astype(np.int64)
+    sums = partials["tok"].to_numpy().astype(np.int64)
+    bases = np.zeros(len(sums), dtype=np.int64)
+    bases[1:] = np.cumsum(sums)[:-1]
+    base_ref = ray.put((bks, bases))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.dedup import _fetch_broadcast
+
+        b, ba = _fetch_broadcast(base_ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        tok = g["n_tokens"].to_numpy()
+        before = np.zeros(len(tok), dtype=np.int64)
+        before[1:] = np.cumsum(tok)[:-1]
+        before += ba[np.searchsorted(b, int(g["pbkt"].iloc[0]))]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": tok,
+            "chunk_id": before // _TCP_SEQ,
+        })
+
+    out = spanned.groupby("pbkt").map_groups(scan, batch_format="pandas")
+    df = out.to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_TRAINING_CORPUS_PIPELINE = r"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), sig AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_wordchars,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_symbols,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   w -> list_contains(['the','and','of','to','a','in','is','you','that','it'], w)))
+         END AS n_stopwords,
+         length(string_split(text, '. ')) AS n_sentences,
+         length(string_split(text, '. '))
+           - length(list_distinct(string_split(text, '. '))) AS n_dup_sentences
+  FROM d
+), keepers AS (
+  SELECT doc_id, text, n_tokens FROM sig
+  WHERE n_tokens BETWEEN 50 AND 100000
+    AND 3 * n_tokens <= n_wordchars AND n_wordchars <= 10 * n_tokens
+    AND 10 * n_symbols < n_chars
+    AND 50 * n_stopwords > n_tokens
+    AND 10 * n_dup_sentences < 3 * n_sentences
+), surv AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM keepers
+  ) WHERE rn = 1
+), cum AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM surv
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(before // 512 AS BIGINT) AS chunk_id
+FROM cum
+"""
 
 
 def decontaminate(sf_dir: str):
@@ -1506,6 +1644,7 @@ ML_REGISTRY = {
     "embedding_neardup": (embedding_neardup_q, SQL_EMBEDDING_NEARDUP),
     "duplicate_of": (duplicate_of_q, SQL_DUPLICATE_OF),
     "quality_filter": (quality_filter, SQL_QUALITY_FILTER),
+    "training_corpus_pipeline": (training_corpus_pipeline, SQL_TRAINING_CORPUS_PIPELINE),
     "decontaminate": (decontaminate, SQL_DECONTAMINATE),
     "articles41_core": (articles41_core, SQL_ARTICLES41_CORE),
     "crawl_schedule_core": (crawl_schedule_core, SQL_CRAWL_SCHEDULE_CORE),
