@@ -76,12 +76,26 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     throughput: dict[str, float] = {}
     headline_reps: dict[str, list] = {}
+    op_reps: dict[str, list] = {}
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        return out
+        # best-of-2 for EVERY op, not only the headliners: the shared host
+        # shows uniform 1.5-3x inflation in bad windows (one observed run:
+        # pagerank 7->23 s, triangle 9->18 s with zero code change), and a
+        # single-shot suite total would read as a regression. Peak capacity
+        # is the honest per-op signal here; raw pairs kept alongside.
+        best_out, best_t = None, float("inf")
+        raw = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            raw.append(round(dt, 3))
+            if dt < best_t:
+                best_out, best_t = out, dt
+        timings[name] = round(best_t, 3)
+        op_reps[name] = raw
+        return best_out
 
     def timed_best(name, fn, reps=2):
         # headline variance guard: the sandbox host is SHARED and shows 2-3×
@@ -254,6 +268,7 @@ def run_bench() -> dict:
         # methodology: headline pipelines report best-of-N on this SHARED
         # host (peak capacity); raw per-rep walls kept for transparency
         "headline_reps": headline_reps,
+        "op_reps": op_reps,
     }
 
 
