@@ -929,7 +929,62 @@ FROM r JOIN last ON r.user_id = last.user_id AND r.rn = last.mx
 """
 
 
+# -- moving_sum3_per_user -----------------------------------------------------
+
+
+def moving_sum3_per_user(sf_dir: str):
+    """Bounded window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    per-user 3-event moving sum of integer cents in (ts, event_id) order —
+    the rate/velocity feature window. Unlike the EMA recurrence this IS
+    vectorized: rows co-locate by user hash-bucket, ONE sort per bucket,
+    then a C-level pandas groupby.rolling(3).sum with min_periods=1.
+    Integer cents make the rolling sum exact in any engine."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "cents": _cents(t["value"]),
+            "ub": pc.bit_wise_and(t["user_id"], 255),
+        })
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        w = (
+            g.groupby("user_id", sort=False)["cents"]
+            .rolling(3, min_periods=1).sum()
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "w3sum_cents": w.to_numpy().astype(np.int64),
+        })
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("ub").map_groups(roll, batch_format="pandas")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_MOVING_SUM3_PER_USER = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS w3sum_cents
+FROM c
+"""
+
+
 STATOPS_REGISTRY = {
+    "moving_sum3_per_user": (moving_sum3_per_user, SQL_MOVING_SUM3_PER_USER),
     "ema_final_per_user": (ema_final_per_user, SQL_EMA_FINAL_PER_USER),
     "chunk_documents": (chunk_documents, SQL_CHUNK_DOCUMENTS),
     "pareto_orders": (pareto_orders, SQL_PARETO_ORDERS),
