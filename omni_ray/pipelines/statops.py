@@ -983,7 +983,55 @@ FROM c
 """
 
 
+# -- exact_distinct_2level ----------------------------------------------------
+
+
+def exact_distinct_2level(sf_dir: str):
+    """Exact COUNT(DISTINCT) at scale, two-level: block-local dedup
+    (map-side combiner — each block emits its distinct keys once), hash
+    buckets co-locate equal keys, per-bucket vectorized nunique, one tiny
+    Sum. The exact complement to the KMV sketch (kmv_distinct_users):
+    per-key state never exists, the shuffle carries block-distinct keys
+    only, and the only Python loop is over 256 buckets. Counts distinct
+    users and distinct (user, event_type) pairs in one pass."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(),
+            "event_type": t["event_type"].to_pylist(),
+        }).drop_duplicates()
+        df["ub"] = df["user_id"].to_numpy() & 255
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "event_type"]].drop_duplicates()
+        return pd.DataFrame({
+            "n_users": [d["user_id"].nunique()],
+            "n_user_types": [len(d)],
+        })
+
+    agg = (
+        ds.map_batches(block_distinct, batch_format="pyarrow")
+        .groupby("ub").map_groups(bucket_counts, batch_format="pandas")
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("n_user_types", alias_name="n_user_types"))
+    )
+    return pa.table({
+        "n_users": pa.array([int(agg["n_users"])], pa.int64()),
+        "n_user_types": pa.array([int(agg["n_user_types"])], pa.int64()),
+    })
+
+
+SQL_EXACT_DISTINCT_2LEVEL = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_user_types
+FROM events
+"""
+
+
 STATOPS_REGISTRY = {
+    "exact_distinct_2level": (exact_distinct_2level, SQL_EXACT_DISTINCT_2LEVEL),
     "moving_sum3_per_user": (moving_sum3_per_user, SQL_MOVING_SUM3_PER_USER),
     "ema_final_per_user": (ema_final_per_user, SQL_EMA_FINAL_PER_USER),
     "chunk_documents": (chunk_documents, SQL_CHUNK_DOCUMENTS),
