@@ -30,6 +30,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
@@ -635,7 +636,63 @@ FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
 """
 
 
+def dataset_split_assign(sf_dir: str):
+    """Leakage-aware deterministic train/val/test assignment: the split is
+    a hash of the CONTENT (first 8 hex chars of md5(text) mod 100 →
+    train <90, val <95, else test), so byte-identical duplicates can never
+    straddle splits — the eval-leakage guarantee random row splits lose.
+    Emits the per-doc assignment plus token counts (the split-balance
+    audit). Zero shuffle: one vectorizable map pass; the summary rollup
+    groups on the 3-value split domain."""
+    from .mlqueries import _docs
+
+    ds = _docs(sf_dir)
+
+    def assign(t: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        texts = [x or "" for x in t["text"].to_pylist()]
+        buckets = np.array(
+            [int(_hl.md5(x.encode()).hexdigest()[:8], 16) % 100 for x in texts],
+            dtype=np.int64,
+        )
+        split = np.where(buckets < 90, "train",
+                         np.where(buckets < 95, "val", "test"))
+        tok = pc.fill_null(
+            pc.count_substring_regex(t["text"], r"\S+"), 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "split": pa.array(split.tolist(), pa.string()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "n_tokens": pc.cast(tok, pa.int64()),
+        })
+
+    out = ds.map_batches(assign, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_DATASET_SPLIT_ASSIGN = r"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS BIGINT)
+           AS bucket,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tokens
+  FROM d
+)
+SELECT doc_id,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       bucket, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM h
+"""
+
+
 TRAINPREP_REGISTRY = {
+    "dataset_split_assign": (dataset_split_assign, SQL_DATASET_SPLIT_ASSIGN),
     "bpe_first_merges": (bpe_first_merges, SQL_BPE_FIRST_MERGES),
     "doc_pack": (doc_pack, SQL_DOC_PACK),
     "boilerplate_segments": (boilerplate_segments, SQL_BOILERPLATE_SEGMENTS),
