@@ -232,6 +232,13 @@ def run_bench() -> dict:
     timed("media_pipeline_stats",
           lambda: ML_REGISTRY["media_pipeline_stats"][0](SF_DIR).num_rows)
 
+    from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
+
+    timed("audio_chunks",
+          lambda: MEDIAOPS_REGISTRY["audio_chunks"][0](SF_DIR).num_rows)
+    timed("frame_sample_index",
+          lambda: MEDIAOPS_REGISTRY["frame_sample_index"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

@@ -1,0 +1,165 @@
+"""Multimodal row-level operators, oracle-backed.
+
+``media_pipeline_stats`` (mlqueries.py) verifies the multimodal plumbing at
+the AGGREGATE level; this module promotes the individual stages to row-level
+driver-verified queries: every sampled frame, every audio chunk and every
+resize plan row is value-hashed against a DuckDB twin. The media table is
+synthesized deterministically from ``documents`` with the same kind rule as
+media_pipeline_stats (kind = doc_id % 3 over image/audio/video, video/audio
+duration = 1000 + n_chars ms, payload = UTF-8 text bytes) plus synthetic
+image geometry (width = 320 + 7*doc_id % 1280, height = 240 + 13*doc_id
+% 720) so the three stages all have realistic inputs.
+
+Reference parity: omni-crawler processes media URLs as opaque downloads with
+typed metadata (media_extractor.py's image/audio handling); these stages are
+the Ray-Data-native shape of that work — actor-pool map_batches with small
+batches for wide binary rows, explode patterns for frame/window-level rows,
+and the wide payload column dropped inside the stage.
+
+Scale shape: all three queries are pure map-side explodes over one read —
+zero shuffle, no driver materialization until the (row-sized) result table.
+At 100 TB the explode fan-out is bounded per row (frames = duration/500ms,
+chunks = chars/100), so block sizes stay predictable; the binary payload
+never crosses a stage boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages.multimodal import AudioChunkStage, FrameSampleStage, ResizePlanStage
+from .mlqueries import _hex_u32_le
+
+_KINDS = ["image", "audio", "video"]
+
+
+def _media(sf_dir: str) -> ray.data.Dataset:
+    """documents → deterministic media table (see module docstring)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        texts = [(x or "") for x in t["text"].to_pylist()]
+        n_chars = t["n_chars"].to_numpy().astype(np.int64)
+        kind = [_KINDS[int(i) % 3] for i in ids]
+        dur = np.where(ids % 3 == 0, 0, 1000 + n_chars).astype(np.int32)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kind, pa.string()),
+            "payload": pa.array([s.encode() for s in texts], pa.binary()),
+            "duration_ms": pa.array(dur, pa.int32()),
+            "width": pa.array(320 + (ids * 7) % 1280, pa.int32()),
+            "height": pa.array(240 + (ids * 13) % 720, pa.int32()),
+        })
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def _collect_i64(ds: ray.data.Dataset, str_cols: tuple[str, ...] = ()) -> pa.Table:
+    """Materialize a row-sized result with every non-string column as int64
+    (the repo's driver-compare rule: integer values, identical dtypes)."""
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    cols = {
+        name: (t[name] if name in str_cols else pc.cast(t[name], pa.int64()))
+        for name in t.column_names
+    }
+    return pa.table(cols)
+
+
+def frame_sample_index(sf_dir: str):
+    """Row-level frame sampling through the REAL FrameSampleStage (one row
+    per sampled 500 ms frame of every video): the driver verifies the
+    explode arithmetic per frame, not just the aggregate frame count that
+    media_pipeline_stats checks."""
+    frames = _media(sf_dir).map_batches(
+        FrameSampleStage(every_ms=500),
+        batch_format="pyarrow", batch_size=FrameSampleStage.BATCH_SIZE,
+    )
+    return _collect_i64(frames)
+
+
+SQL_FRAME_SAMPLE_INDEX = r"""
+WITH v AS (
+  SELECT doc_id AS media_id, 1000 + n_chars AS dur
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT v.media_id,
+       CAST(u.i AS BIGINT) AS frame_index,
+       CAST(u.i * 500 AS BIGINT) AS frame_ts_ms
+FROM v, UNNEST(range(0, (v.dur + 499) // 500)) AS u(i)
+"""
+
+
+def audio_chunks(sf_dir: str):
+    """Fixed-width transcript chunking through the REAL AudioChunkStage
+    (one row per 100-char window of every audio payload), each chunk
+    carrying a uint32-LE sha256 checksum of its character slice — the
+    integrity column the DuckDB twin reproduces bit-for-bit."""
+    chunks = _media(sf_dir).map_batches(
+        AudioChunkStage(chunk_chars=100),
+        batch_format="pyarrow", batch_size=AudioChunkStage.BATCH_SIZE,
+    )
+    return _collect_i64(chunks)
+
+
+SQL_AUDIO_CHUNKS = f"""
+WITH a AS (
+  SELECT doc_id AS media_id, coalesce(text, '') AS text
+  FROM documents WHERE doc_id % 3 = 1
+), c AS (
+  SELECT media_id, u.i AS ci,
+         substring(text, u.i * 100 + 1, 100) AS piece
+  FROM a, UNNEST(range(0, (len(text) + 99) // 100)) AS u(i)
+), h AS (
+  SELECT media_id, ci, len(piece) AS piece_len, sha256(piece) AS hx FROM c
+)
+SELECT media_id,
+       CAST(ci AS BIGINT) AS chunk_index,
+       CAST(ci * 100 AS BIGINT) AS start_pos,
+       CAST(piece_len AS BIGINT) AS chunk_len,
+       CAST({_hex_u32_le('hx')} AS BIGINT) AS chunk_crc
+FROM h
+"""
+
+
+def resize_plan(sf_dir: str):
+    """Integer-exact aspect-fit resize planning through the REAL
+    ResizePlanStage: output geometry for a 224×224 target box per image,
+    the metadata a real resize kernel consumes per row."""
+    plans = _media(sf_dir).map_batches(
+        ResizePlanStage(target=224),
+        batch_format="pyarrow", batch_size=ResizePlanStage.BATCH_SIZE,
+    )
+    return _collect_i64(plans)
+
+
+SQL_RESIZE_PLAN = r"""
+WITH i AS (
+  SELECT doc_id AS media_id,
+         320 + (doc_id * 7) % 1280 AS width,
+         240 + (doc_id * 13) % 720 AS height
+  FROM documents WHERE doc_id % 3 = 0
+), p AS (
+  SELECT media_id, width, height,
+         greatest(1, (width * 224) // greatest(width, height, 1)) AS out_w,
+         greatest(1, (height * 224) // greatest(width, height, 1)) AS out_h
+  FROM i
+)
+SELECT media_id, CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+       CAST(out_w * out_h * 3 AS BIGINT) AS est_bytes
+FROM p
+"""
+
+
+MEDIAOPS_REGISTRY = {
+    "frame_sample_index": (frame_sample_index, SQL_FRAME_SAMPLE_INDEX),
+    "audio_chunks": (audio_chunks, SQL_AUDIO_CHUNKS),
+    "resize_plan": (resize_plan, SQL_RESIZE_PLAN),
+}

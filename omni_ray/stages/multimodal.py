@@ -140,6 +140,86 @@ class FrameSampleStage:
         )
 
 
+class AudioChunkStage:
+    """Audio transcript chunking: emits one row per fixed-width character
+    window of the decoded payload — the explode pattern a speech pipeline
+    uses to cut long audio into model-sized windows. The PCM-frame slicer
+    is the stubbed seam (this environment has no audio codec); the window
+    arithmetic, per-chunk integrity checksum, batch sizing and actor
+    signature are real. Each chunk carries a uint32-LE sha256 checksum of
+    its character slice, reproducible by any engine (DuckDB ``substring``
+    and Python ``str`` slicing are both character-based, so parity holds
+    for non-ASCII payloads too)."""
+
+    BATCH_SIZE = 32
+
+    def __init__(self, chunk_chars: int = 100, mode: str = "fake"):
+        if chunk_chars <= 0:
+            raise ValueError(chunk_chars)
+        self.chunk_chars = chunk_chars
+        self.mode = mode
+        # real mode would open the codec / VAD model HERE, once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_idx, out_start, out_len, out_crc = [], [], [], [], []
+        w = self.chunk_chars
+        for mid, kind, payload in zip(ids, kinds, payloads):
+            if kind != "audio":
+                continue
+            text = (payload or b"").decode("utf-8", errors="replace")
+            for ci in range(0, (len(text) + w - 1) // w):
+                piece = text[ci * w:(ci + 1) * w]
+                out_id.append(mid)
+                out_idx.append(ci)
+                out_start.append(ci * w)
+                out_len.append(len(piece))
+                out_crc.append(int.from_bytes(
+                    hashlib.sha256(piece.encode()).digest()[:4], "little"))
+        return pa.table({
+            "media_id": pa.array(out_id, pa.int64()),
+            "chunk_index": pa.array(out_idx, pa.int64()),
+            "start_pos": pa.array(out_start, pa.int64()),
+            "chunk_len": pa.array(out_len, pa.int64()),
+            "chunk_crc": pa.array(out_crc, pa.int64()),
+        })
+
+
+class ResizePlanStage:
+    """Aspect-fit resize planning: integer-exact output geometry for a
+    target box (default 224×224). This is the metadata half of an image
+    resize stage — the real kernel (PIL/torchvision) would consume
+    (out_w, out_h) per row at the clearly-marked seam; here the plan
+    itself is the verifiable output. Pure vectorized integer arithmetic:
+    out_dim = max(1, dim * target // max(w, h)), est_bytes = out_w*out_h*3
+    (RGB8)."""
+
+    BATCH_SIZE = 1024  # metadata-only rows: large batches are fine
+
+    def __init__(self, target: int = 224):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = np.asarray(batch.column("kind").to_pylist())
+        mask = kinds == "image"
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)[mask]
+        w = batch.column("width").to_numpy(zero_copy_only=False)[mask].astype(np.int64)
+        h = batch.column("height").to_numpy(zero_copy_only=False)[mask].astype(np.int64)
+        m = np.maximum(np.maximum(w, h), 1)
+        out_w = np.maximum(1, (w * self.target) // m)
+        out_h = np.maximum(1, (h * self.target) // m)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(w, pa.int64()),
+            "height": pa.array(h, pa.int64()),
+            "out_w": pa.array(out_w, pa.int64()),
+            "out_h": pa.array(out_h, pa.int64()),
+            "est_bytes": pa.array(out_w * out_h * 3, pa.int64()),
+        })
+
+
 def media_feature_pipeline(media: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
     """media table → per-item features (actor pool, small batches)."""
     return media.map_batches(

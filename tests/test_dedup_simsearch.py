@@ -194,6 +194,49 @@ def test_multimodal_plumbing():
     assert len(frames) > 0
 
 
+def test_audio_chunk_and_resize_stages():
+    import hashlib
+
+    import pyarrow as pa
+
+    from omni_ray.stages.multimodal import AudioChunkStage, ResizePlanStage
+
+    batch = pa.table({
+        "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "kind": pa.array(["audio", "image", "audio", "audio"]),
+        "payload": pa.array(
+            [b"a" * 250, b"ignored", "héllo".encode(), b""], pa.binary()
+        ),
+        "width": pa.array([0, 1000, 0, 0], pa.int32()),
+        "height": pa.array([0, 400, 0, 0], pa.int32()),
+    })
+    chunks = AudioChunkStage(chunk_chars=100)(batch)
+    # 250 chars -> 3 chunks (100/100/50); 5 chars -> 1; empty -> 0; image skipped
+    assert chunks["media_id"].to_pylist() == [1, 1, 1, 3]
+    assert chunks["chunk_len"].to_pylist() == [100, 100, 50, 5]
+    assert chunks["start_pos"].to_pylist() == [0, 100, 200, 0]
+    # checksum is over the CHARACTER slice of the decoded payload
+    want = int.from_bytes(hashlib.sha256("héllo".encode()).digest()[:4], "little")
+    assert chunks["chunk_crc"].to_pylist()[3] == want
+
+    plans = ResizePlanStage(target=224)(batch)
+    assert plans["media_id"].to_pylist() == [2]  # images only
+    # 1000x400 -> long side 1000 scales to 224, short side floor(400*224/1000)
+    assert plans["out_w"].to_pylist() == [224]
+    assert plans["out_h"].to_pylist() == [89]
+    assert plans["est_bytes"].to_pylist() == [224 * 89 * 3]
+    # degenerate zero-dim image never emits a zero output dimension
+    degenerate = pa.table({
+        "media_id": pa.array([9], pa.int64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([b""], pa.binary()),
+        "width": pa.array([0], pa.int32()),
+        "height": pa.array([5], pa.int32()),
+    })
+    p = ResizePlanStage(target=224)(degenerate)
+    assert p["out_w"].to_pylist() == [1] and p["out_h"].to_pylist() == [224]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_embedding_neardup_lsh_equals_exact(sf_dir):
     """The LSH-bucketed scale path must reproduce the blocked all-pairs

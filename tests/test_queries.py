@@ -8,6 +8,7 @@ import pytest
 
 from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
 from omni_ray.pipelines.graphops import GRAPH_REGISTRY
+from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
 from omni_ray.pipelines.mlqueries import ML_REGISTRY
 from omni_ray.pipelines.queries import REGISTRY
 from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
@@ -15,7 +16,8 @@ from omni_ray.pipelines.statops import STATOPS_REGISTRY
 from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
 
 ALL = {**REGISTRY, **ML_REGISTRY, **CORPUS_REGISTRY, **TRAINPREP_REGISTRY,
-       **GRAPH_REGISTRY, **RELSCALE_REGISTRY, **STATOPS_REGISTRY}
+       **GRAPH_REGISTRY, **RELSCALE_REGISTRY, **STATOPS_REGISTRY,
+       **MEDIAOPS_REGISTRY}
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
