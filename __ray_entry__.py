@@ -59,6 +59,7 @@ def _crawl_schedule(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
+    from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mlqueries import ML_REGISTRY, ML_ROWS_ONLY
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in RELSCALE_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in STATOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in MEDIAOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in ENGINEOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -85,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
+    from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mlqueries import ML_REGISTRY
@@ -101,4 +104,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in RELSCALE_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in STATOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in MEDIAOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in ENGINEOPS_REGISTRY.items()})
     return out

@@ -7,6 +7,7 @@ import pandas as pd
 import pytest
 
 from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
+from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
 from omni_ray.pipelines.graphops import GRAPH_REGISTRY
 from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
 from omni_ray.pipelines.mlqueries import ML_REGISTRY
@@ -17,7 +18,7 @@ from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
 
 ALL = {**REGISTRY, **ML_REGISTRY, **CORPUS_REGISTRY, **TRAINPREP_REGISTRY,
        **GRAPH_REGISTRY, **RELSCALE_REGISTRY, **STATOPS_REGISTRY,
-       **MEDIAOPS_REGISTRY}
+       **MEDIAOPS_REGISTRY, **ENGINEOPS_REGISTRY}
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
