@@ -503,6 +503,476 @@ FROM c GROUP BY user_id
 """
 
 
+# -- column_profile -----------------------------------------------------------
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+                 "o_orderstatus"]
+
+
+def column_profile(sf_dir: str):
+    """Per-column dataset profiling (the DESCRIBE / data-quality scan every
+    engine ships): null count, exact distinct count, min and max for each
+    orders column, in long format. Numerics profile on their canonical
+    integer form (cents, day ordinal); strings lexicographically; min/max
+    are rendered as strings so one schema carries all five columns.
+
+    Scale shape: ONE pass computes per-block partials — (col, n_null,
+    min, max) rows plus block-distinct (col, value) rows (the combiner for
+    the exact distinct count) — then a 5-key bounded groupby merges the
+    min/max/null partials and a hash-bucketed nunique finishes the
+    distinct side. The full column values never leave their blocks."""
+    ds = _read(sf_dir, "orders", columns=_PROFILE_COLS)
+
+    def canon(t: pa.Table) -> dict[str, np.ndarray]:
+        return {
+            "o_orderkey": t["o_orderkey"].to_numpy().astype(np.int64),
+            "o_custkey": t["o_custkey"].to_numpy().astype(np.int64),
+            "o_totalprice": _cents(t["o_totalprice"]).to_numpy(),
+            "o_orderdate": pc.divide(
+                pc.cast(t["o_orderdate"], pa.int64()), _DAY_US).to_numpy(),
+            "o_orderstatus": t["o_orderstatus"].to_numpy(zero_copy_only=False),
+        }
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        cols = canon(t)
+        rows = []
+        for name in _PROFILE_COLS:
+            v = cols[name]
+            n_null = int(pd.isna(v).sum())
+            vv = v[~pd.isna(v)] if n_null else v
+            if name == "o_orderstatus":
+                mn = mx = None
+                mns = str(vv.min()) if len(vv) else None
+                mxs = str(vv.max()) if len(vv) else None
+            else:
+                mn = int(vv.min()) if len(vv) else None
+                mx = int(vv.max()) if len(vv) else None
+                mns = mxs = None
+            rows.append((name, n_null, mn, mx, mns, mxs))
+        cols_t = list(zip(*rows))
+        return pa.table({
+            "col_name": pa.array(cols_t[0], pa.string()),
+            "n_null": pa.array(cols_t[1], pa.int64()),
+            "min_i": pa.array(cols_t[2], pa.int64()),
+            "max_i": pa.array(cols_t[3], pa.int64()),
+            "min_s": pa.array(cols_t[4], pa.string()),
+            "max_s": pa.array(cols_t[5], pa.string()),
+        })
+
+    def dv_partial(t: pa.Table) -> pa.Table:
+        cols = canon(t)
+        names, vals = [], []
+        for name in _PROFILE_COLS:
+            u = pd.unique(pd.Series(cols[name]).dropna())
+            names.extend([name] * len(u))
+            vals.extend(str(x) for x in u)
+        df = pd.DataFrame({"col_name": names, "v": vals})
+        df["_kb"] = (pd.util.hash_array(df["v"].to_numpy())
+                     % 64).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dv_final(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col_name", "v"]).groupby(
+            "col_name", sort=False).size()
+        return pd.DataFrame({
+            "col_name": d.index.to_numpy(),
+            "nd": d.to_numpy().astype(np.int64),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow")
+        .groupby("col_name").aggregate(
+            Sum("n_null", alias_name="n_null"),
+            Min("min_i", alias_name="min_i"), Max("max_i", alias_name="max_i"),
+            Min("min_s", alias_name="min_s"), Max("max_s", alias_name="max_s"),
+        ).to_pandas()
+    )
+    nd = (
+        ds.map_batches(dv_partial, batch_format="pyarrow")
+        .groupby("_kb").map_groups(dv_final, batch_format="pandas")
+        .groupby("col_name").aggregate(Sum("nd", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    out = mm.merge(nd, on="col_name")
+    is_str = out["col_name"] == "o_orderstatus"
+    out["min_v"] = np.where(is_str, out["min_s"],
+                            out["min_i"].map(lambda x: str(int(x))
+                                             if pd.notna(x) else None))
+    out["max_v"] = np.where(is_str, out["max_s"],
+                            out["max_i"].map(lambda x: str(int(x))
+                                             if pd.notna(x) else None))
+    out = out[["col_name", "n_null", "n_distinct", "min_v", "max_v"]]
+    out["n_null"] = out["n_null"].astype(np.int64)
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+SQL_COLUMN_PROFILE = """
+WITH c AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(o_orderdate) // 86400000000 AS day, o_orderstatus
+  FROM orders
+)
+SELECT 'o_orderkey' AS col_name, CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_v, CAST(max(o_orderkey) AS VARCHAR) AS max_v FROM c
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM c
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) FILTER (cents IS NULL) AS BIGINT),
+       CAST(count(DISTINCT cents) AS BIGINT),
+       CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR) FROM c
+UNION ALL
+SELECT 'o_orderdate', CAST(count(*) FILTER (day IS NULL) AS BIGINT),
+       CAST(count(DISTINCT day) AS BIGINT),
+       CAST(min(day) AS VARCHAR), CAST(max(day) AS VARCHAR) FROM c
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) FILTER (o_orderstatus IS NULL) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus) FROM c
+"""
+
+
+# -- pmi_top_pairs -------------------------------------------------------------
+
+
+def pmi_top_pairs(sf_dir: str):
+    """Top-50 adjacent-word pairs by pointwise mutual information
+    (min count 5) — the phrase-mining / collocation detector.
+    pmi = ln(c_ab * N_u^2 / (N_bi * c_a * c_b)), quantized to 1e-6 via the
+    same floor(ln(int ratio)*1e6+0.5) rule unigram_logprob validated
+    cross-engine.
+
+    Scale shape: bigram and unigram counts are map-side combined (Counter
+    per block) then bucket-reduced, so token rows never individually cross
+    a shuffle. The unigram lookup does NOT broadcast the vocabulary (it is
+    row-sized at corpus scale): candidate bigrams explode into two
+    word-keyed rows that co-locate with the unigram partition by word-hash
+    bucket, merge vectorized, and re-group by pair — the same
+    candidate-filtered lookup shape as ngram_jaccard's size join."""
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .queries import _block_topk, _bucketed_agg
+
+    tok = re.compile(r"[^a-z0-9]+")
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(w for w in tok.split((x or "").lower()) if w)
+        return pa.table({
+            "w": pa.array(list(c.keys()), pa.string()),
+            "c": pa.array(list(c.values()), pa.int64()),
+        })
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            ws = [w for w in tok.split((x or "").lower()) if w]
+            c.update(zip(ws, ws[1:]))
+        k = list(c.keys())
+        return pa.table({
+            "w1": pa.array([a for a, _ in k], pa.string()),
+            "w2": pa.array([b for _, b in k], pa.string()),
+            "n_ab": pa.array(list(c.values()), pa.int64()),
+        })
+
+    uni = _bucketed_agg(ds.map_batches(uni_partial, batch_format="pyarrow"),
+                        ["w"], {"c": ("c", "sum")}).materialize()
+    bi = _bucketed_agg(ds.map_batches(bi_partial, batch_format="pyarrow"),
+                       ["w1", "w2"], {"n_ab": ("n_ab", "sum")})
+    n_u = int(uni.aggregate(Sum("c", alias_name="s"))["s"])
+    n_bi = int(bi.aggregate(Sum("n_ab", alias_name="s"))["s"])
+    cand = bi.filter(expr="n_ab >= 5")
+
+    n_wb = 64
+
+    cols = ["w", "w1", "w2", "n_ab", "side", "c", "_wb"]
+
+    def explode_words(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat([
+            pd.DataFrame({"w": df["w1"], "w1": df["w1"], "w2": df["w2"],
+                          "n_ab": df["n_ab"].astype(np.int64),
+                          "side": np.int64(1)}),
+            pd.DataFrame({"w": df["w2"], "w1": df["w1"], "w2": df["w2"],
+                          "n_ab": df["n_ab"].astype(np.int64),
+                          "side": np.int64(2)}),
+        ])
+        out["c"] = np.int64(0)
+        out["_wb"] = (pd.util.hash_array(out["w"].to_numpy())
+                      % n_wb).astype(np.int64)
+        return out[cols]
+
+    def tag_uni(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "w": df["w"], "w1": "", "w2": "",
+            "n_ab": np.int64(0), "side": np.int64(0),
+            "c": df["c"].astype(np.int64),
+        })
+        out["_wb"] = (pd.util.hash_array(out["w"].to_numpy())
+                      % n_wb).astype(np.int64)
+        return out[cols]
+
+    def lookup(g: pd.DataFrame) -> pd.DataFrame:
+        lut = g[g["side"] == 0][["w", "c"]]
+        need = g[g["side"] > 0][["w", "w1", "w2", "n_ab", "side"]]
+        m = need.merge(lut, on="w", how="left")
+        m["_pb"] = (pd.util.hash_array(m["w1"].to_numpy())
+                    % n_wb).astype(np.int64)
+        return m[["w1", "w2", "n_ab", "side", "c", "_pb"]]
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        ca = g[g["side"] == 1][["w1", "w2", "n_ab", "c"]].rename(
+            columns={"c": "c_a"})
+        cb = g[g["side"] == 2][["w1", "w2", "c"]].rename(columns={"c": "c_b"})
+        m = ca.merge(cb, on=["w1", "w2"])
+        num = m["n_ab"].to_numpy().astype(np.float64) * n_u * n_u
+        den = float(n_bi) * m["c_a"].to_numpy() * m["c_b"].to_numpy()
+        m["pmi_q"] = np.floor(
+            np.log(num / den) * 1_000_000 + 0.5).astype(np.int64)
+        m["n_ab"] = m["n_ab"].astype(np.int64)
+        return m[["w1", "w2", "n_ab", "pmi_q"]]
+
+    # word-bucketed unigram lookup (side 0 = counts, 1/2 = pair slots)
+    uni_tagged = uni.map_batches(tag_uni, batch_format="pandas")
+    need = cand.map_batches(explode_words, batch_format="pandas")
+    joined = uni_tagged.union(need).groupby("_wb").map_groups(
+        lookup, batch_format="pandas")
+    scored = joined.groupby("_pb").map_groups(score, batch_format="pandas")
+
+    keys, desc = ["pmi_q", "w1", "w2"], [True, False, False]
+    out = (
+        scored.map_batches(_block_topk(keys, desc, 50), batch_format="pyarrow")
+        .sort(keys, descending=desc).limit(50)
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_PMI_TOP_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS i FROM toks
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1
+), nu AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_u FROM uni
+), bi AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n_ab
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1 GROUP BY 1, 2
+), nb AS (
+  SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM bi
+)
+SELECT f.w1, f.w2, f.n_ab,
+       CAST(floor(ln((f.n_ab::DOUBLE * nu.n_u * nu.n_u)
+                     / (nb.n_bi::DOUBLE * u1.c * u2.c)) * 1000000 + 0.5)
+            AS BIGINT) AS pmi_q
+FROM bi f
+CROSS JOIN nu CROSS JOIN nb
+JOIN uni u1 ON u1.w = f.w1
+JOIN uni u2 ON u2.w = f.w2
+WHERE f.n_ab >= 5
+ORDER BY pmi_q DESC, w1, w2 LIMIT 50
+"""
+
+
+# -- user_path_signature -------------------------------------------------------
+
+
+def user_path_signature(sf_dir: str):
+    """Ordered string_agg: each user's journey signature — the event_type
+    sequence of their FIRST 8 events (by ts, event_id), comma-joined. The
+    behavioral-clustering / funnel-shape feature.
+
+    Scale shape: per-user hash bucket, one sort, head(8) per user via
+    cumcount mask (vectorized), then the join is a per-key reduce over at
+    most 8 tiny strings — bounded work per key by construction."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+            "_ub": pc.bit_wise_and(t["user_id"], 255),
+        })
+
+    def sig(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        g = g[g.groupby("user_id", sort=False).cumcount() < 8]
+        agg = g.groupby("user_id", sort=False)["event_type"].agg(
+            path_sig=",".join, n_used="size")
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(),
+            "path_sig": agg["path_sig"].to_numpy(),
+            "n_used": agg["n_used"].to_numpy().astype(np.int64),
+        })
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_ub").map_groups(sig, batch_format="pandas")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_USER_PATH_SIGNATURE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)
+SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS path_sig,
+       CAST(count(*) AS BIGINT) AS n_used
+FROM o WHERE rn <= 8 GROUP BY user_id
+"""
+
+
+# -- zscore_by_type ------------------------------------------------------------
+
+
+def zscore_by_type(sf_dir: str):
+    """Per-group feature standardization: each event's value z-scored
+    against its event_type population (the feature-scaling pass before
+    model training). Integer-exact across engines: the numerator and the
+    sqrt argument are built from integer aggregates, so
+    z = (x*n - s) / sqrt(n*ssq - s^2) is the same IEEE double in Ray and
+    DuckDB (products are cast to double FIRST, in the same order, so even
+    the >2^63 regime matches).
+
+    Scale shape: bounded-domain groupby for (n, s, ssq) per type, a tiny
+    broadcast map back, ONE vectorized scoring pass. Zero row shuffles."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _cents(t["value"])
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "x": x,
+            "xx": pc.multiply(x, x),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    stats = prepped.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("x", alias_name="s"),
+        Sum("xx", alias_name="ssq"),
+    ).to_pandas()
+    lut = {
+        r.event_type: (int(r.n), int(r.s), int(r.ssq))
+        for r in stats.itertuples()
+    }
+    lut_ref = ray.put(lut)
+
+    def zscore(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lut_ref)
+        tr = df["event_type"].map(m)
+        n = np.array([t[0] for t in tr], np.float64)
+        s = np.array([t[1] for t in tr], np.float64)
+        ssq = np.array([t[2] for t in tr], np.float64)
+        x = df["x"].to_numpy().astype(np.float64)
+        var_n2 = n * ssq - s * s
+        z = np.where(var_n2 > 0, (x * n - s) / np.sqrt(np.maximum(var_n2, 1)), 0.0)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "z_q": np.floor(z * 1_000_000 + 0.5).astype(np.int64),
+        })
+
+    out = prepped.map_batches(zscore, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_ZSCORE_BY_TYPE = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+), a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ssq
+  FROM c GROUP BY 1
+)
+SELECT c.event_id,
+       CAST(CASE WHEN a.n::DOUBLE * a.ssq - a.s::DOUBLE * a.s <= 0 THEN 0
+            ELSE floor((c.x::DOUBLE * a.n - a.s)
+                       / sqrt(a.n::DOUBLE * a.ssq - a.s::DOUBLE * a.s)
+                       * 1000000 + 0.5) END AS BIGINT) AS z_q
+FROM c JOIN a USING (event_type)
+"""
+
+
+# -- cume_dist_day -------------------------------------------------------------
+
+
+def cume_dist_day(sf_dir: str):
+    """CUME_DIST within day: for each event, the fraction of same-day
+    events with value <= its value, as the exact integer
+    c_le * 1e6 // n_day (integer floor division on both engines — no
+    float percentile anywhere). The within-partition percentile feature.
+
+    Scale shape: day is a bounded partition domain -> groupby(day)
+    .map_groups; inside the group ONE sort + searchsorted gives every
+    row's tie-inclusive rank simultaneously. No per-row window scan."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()), _DAY_US),
+            "cents": _cents(t["value"]),
+        })
+
+    def cume(g: pd.DataFrame) -> pd.DataFrame:
+        cents = g["cents"].to_numpy()
+        srt = np.sort(cents, kind="mergesort")
+        c_le = np.searchsorted(srt, cents, side="right").astype(np.int64)
+        n = len(g)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "cd_q": c_le * 1_000_000 // n,
+        })
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day").map_groups(cume, batch_format="pandas")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_CUME_DIST_DAY = """
+WITH c AS (
+  SELECT event_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT event_id,
+         count(*) OVER (PARTITION BY day ORDER BY cents
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c_le,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM c
+)
+SELECT event_id, CAST(c_le * 1000000 // n AS BIGINT) AS cd_q FROM w
+"""
+
+
 ENGINEOPS_REGISTRY = {
     "streak_longest_per_user": (streak_longest_per_user, SQL_STREAK_LONGEST_PER_USER),
     "scd2_intervals": (scd2_intervals, SQL_SCD2_INTERVALS),
@@ -510,4 +980,9 @@ ENGINEOPS_REGISTRY = {
     "above_nation_avg": (above_nation_avg, SQL_ABOVE_NATION_AVG),
     "ntile_day_quartiles": (ntile_day_quartiles, SQL_NTILE_DAY_QUARTILES),
     "interval_coalesce": (interval_coalesce, SQL_INTERVAL_COALESCE),
+    "column_profile": (column_profile, SQL_COLUMN_PROFILE),
+    "pmi_top_pairs": (pmi_top_pairs, SQL_PMI_TOP_PAIRS),
+    "user_path_signature": (user_path_signature, SQL_USER_PATH_SIGNATURE),
+    "zscore_by_type": (zscore_by_type, SQL_ZSCORE_BY_TYPE),
+    "cume_dist_day": (cume_dist_day, SQL_CUME_DIST_DAY),
 }
