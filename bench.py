@@ -239,6 +239,16 @@ def run_bench() -> dict:
     timed("frame_sample_index",
           lambda: MEDIAOPS_REGISTRY["frame_sample_index"][0](SF_DIR).num_rows)
 
+    from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
+
+    # classic-engine batch: MERGE (union + keep-last combiner + key shuffle)
+    # and PMI (two count combiners + word-hash lookup + pair regroup) are the
+    # two shuffle-heavy representatives
+    timed("merge_upsert_snapshot",
+          lambda: ENGINEOPS_REGISTRY["merge_upsert_snapshot"][0](SF_DIR).num_rows)
+    timed("pmi_top_pairs",
+          lambda: ENGINEOPS_REGISTRY["pmi_top_pairs"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

@@ -973,6 +973,272 @@ SELECT event_id, CAST(c_le * 1000000 // n AS BIGINT) AS cd_q FROM w
 """
 
 
+# -- local_supplier_revenue (TPC-H Q5 family) ---------------------------------
+
+
+def local_supplier_revenue(sf_dir: str):
+    """Chain join across the dimension hierarchy (TPC-H Q5 family):
+    revenue from lineitems whose CUSTOMER and SUPPLIER share a nation,
+    rolled up per nation name. Exercises the one join planning decision
+    the other relational ops don't: a BIG-BIG equi-join (lineitem ⋈ orders
+    on orderkey, both fact-sized) combined with broadcast dimension
+    attachment (supplier, customer, nation maps via ray.put +
+    searchsorted) and a bounded-domain final rollup.
+
+    Scale shape: the big-big join is a hash-partitioned Dataset.join on
+    the shared orderkey; every dimension lookup rides the map side; the
+    c_nation = s_nation filter drops rows BEFORE the final 25-key
+    groupby. The fact table crosses the wire exactly once."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def dim_map(table: str, key: str, val: str):
+        refs = _read(sf_dir, table, columns=[key, val]).to_arrow_refs()
+        t = pa.concat_tables([ray.get(r).combine_chunks() for r in refs])
+        k = t.column(key).to_numpy().astype(np.int64)
+        v = t.column(val).to_numpy(zero_copy_only=False)
+        o = np.argsort(k, kind="stable")
+        return ray.put((k[o], v[o]))
+
+    supp_ref = dim_map("supplier", "s_suppkey", "s_nationkey")
+    cust_ref = dim_map("customer", "c_custkey", "c_nationkey")
+    nat_ref = dim_map("nation", "n_nationkey", "n_name")
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        sk, sv = ray.get(supp_ref)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        s_nat = sv[np.searchsorted(
+            sk, t["l_suppkey"].to_numpy())].astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "s_nat": pa.array(s_nat, pa.int64()),
+            "cents": _cents(rev),
+        })
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        ck, cv = ray.get(cust_ref)
+        c_nat = cv[np.searchsorted(
+            ck, t["o_custkey"].to_numpy())].astype(np.int64)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "c_nat": pa.array(c_nat, pa.int64()),
+        })
+
+    j = li.map_batches(li_prep, batch_format="pyarrow").join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=8,
+    )
+
+    from ray.data.aggregate import Sum
+
+    local = j.filter(expr="s_nat == c_nat")
+    per_nat = local.groupby("s_nat").aggregate(
+        Sum("cents", alias_name="revenue_q")).to_pandas()
+    nk, nv = ray.get(nat_ref)
+    per_nat["n_name"] = nv[np.searchsorted(nk, per_nat["s_nat"].to_numpy())]
+    per_nat["revenue_q"] = per_nat["revenue_q"].astype(np.int64)
+    return pa.Table.from_pandas(per_nat[["n_name", "revenue_q"]],
+                                preserve_index=False)
+
+
+SQL_LOCAL_SUPPLIER_REVENUE = """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_q
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""
+
+
+# -- kmv_week_overlap ----------------------------------------------------------
+
+_KMV_MULT2 = 2654435761
+_KMV_MOD2 = 4294967296
+_KMV_K2 = 64
+
+
+def kmv_week_overlap(sf_dir: str):
+    """Sketch SET OPERATIONS: estimated Jaccard overlap between the user
+    sets of even-index and odd-index weeks, from two KMV sketches — the
+    retention/audience-overlap estimator that never shuffles the full id
+    sets. Uses the same integer multiplicative hash as kmv_distinct_users;
+    the union trick scores |A∩B| on the k smallest hashes of A∪B, so both
+    engines compute the identical integer ppm.
+
+    Scale shape: each block reduces to ≤ k distinct hashes PER SIDE
+    map-side; only sketch-sized rows reach the driver, which folds two
+    64-value arrays — the legitimate driver-side finalize for an O(k)
+    sketch."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def bottom_k(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), _DAY_US).to_numpy()
+        side = ((day // 7) % 2).astype(np.int64)
+        h = ((u * _KMV_MULT2) % _KMV_MOD2).astype(np.int64)
+        outs, outh = [], []
+        for s in (0, 1):
+            hh = np.unique(h[side == s])[:_KMV_K2]
+            outs.append(np.full(len(hh), s, np.int64))
+            outh.append(hh)
+        return pa.table({
+            "side": pa.array(np.concatenate(outs), pa.int64()),
+            "h": pa.array(np.concatenate(outh), pa.int64()),
+        })
+
+    rows = ds.map_batches(bottom_k, batch_format="pyarrow").to_pandas()
+    ka = np.sort(rows[rows["side"] == 0]["h"].unique())[:_KMV_K2]
+    kb = np.sort(rows[rows["side"] == 1]["h"].unique())[:_KMV_K2]
+    un = np.sort(np.union1d(ka, kb))[:_KMV_K2]
+    k_eff = len(un)
+    n_both = int((np.isin(un, ka) & np.isin(un, kb)).sum()) if k_eff else 0
+    ppm = n_both * 1_000_000 // k_eff if k_eff else 0
+    return pa.table({
+        "k_eff": pa.array([k_eff], pa.int64()),
+        "n_both": pa.array([n_both], pa.int64()),
+        "jaccard_ppm": pa.array([ppm], pa.int64()),
+    })
+
+
+SQL_KMV_WEEK_OVERLAP = """
+WITH e AS (
+  SELECT user_id, ((epoch_us(ts) // 86400000000) // 7) % 2 AS side
+  FROM events
+), h AS (
+  SELECT DISTINCT side,
+         CAST(CAST(user_id AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT)
+           AS h
+  FROM e
+), ka AS (SELECT h FROM h WHERE side = 0 ORDER BY h LIMIT 64),
+kb AS (SELECT h FROM h WHERE side = 1 ORDER BY h LIMIT 64),
+un AS (
+  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 64
+), b AS (
+  SELECT count(*) AS n_both FROM un
+  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+), k AS (SELECT count(*) AS k_eff FROM un)
+SELECT CAST(k.k_eff AS BIGINT) AS k_eff,
+       CAST(b.n_both AS BIGINT) AS n_both,
+       CAST(CASE WHEN k.k_eff = 0 THEN 0
+            ELSE b.n_both * 1000000 // k.k_eff END AS BIGINT) AS jaccard_ppm
+FROM b, k
+"""
+
+
+# -- table_checksum ------------------------------------------------------------
+
+_CK_MOD = 2305843009213693951  # 2^61 - 1
+
+
+def table_checksum(sf_dir: str):
+    """Order-independent table fingerprints (the anti-entropy check used to
+    validate replication / migration / rewrite equivalence): per table, the
+    row count plus XOR and modular-SUM folds of a 60-bit slice of each
+    row's md5 over its canonical string. Any row lost, duplicated or
+    altered flips the digests; row order and partitioning cannot.
+
+    Scale shape: each block folds to ONE partial row (count, xor, sum);
+    the driver combines block partials — O(blocks) state, zero shuffle.
+    The md5-per-row Python loop is the operation itself (the same cost the
+    reference pays hashing content), isolated in the map stage."""
+    import hashlib
+
+    def partials(ds, fmt) -> pa.Table:
+        def fold(t: pa.Table) -> pa.Table:
+            cols = fmt(t)
+            n = len(cols[0])
+            hs = np.empty(n, np.int64)
+            it = zip(*[c for c in cols])
+            for i, parts in enumerate(it):
+                s = "|".join(parts)
+                hs[i] = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            x = int(np.bitwise_xor.reduce(hs)) if n else 0
+            sm = int(hs.astype(object).sum()) % _CK_MOD if n else 0
+            return pa.table({
+                "n": pa.array([n], pa.int64()),
+                "x": pa.array([x], pa.int64()),
+                "s": pa.array([sm], pa.int64()),
+            })
+
+        p = ds.map_batches(fold, batch_format="pyarrow").to_pandas()
+        return (int(p["n"].sum()),
+                int(np.bitwise_xor.reduce(p["x"].to_numpy())) if len(p) else 0,
+                int(p["s"].astype(object).sum()) % _CK_MOD)
+
+    def orders_fmt(t: pa.Table):
+        return (
+            [str(x) for x in t["o_orderkey"].to_pylist()],
+            [str(x) for x in t["o_custkey"].to_pylist()],
+            [str(x) for x in _cents(t["o_totalprice"]).to_pylist()],
+            [str(x) for x in pc.divide(
+                pc.cast(t["o_orderdate"], pa.int64()), _DAY_US).to_pylist()],
+            t["o_orderstatus"].to_pylist(),
+        )
+
+    def customer_fmt(t: pa.Table):
+        return (
+            [str(x) for x in t["c_custkey"].to_pylist()],
+            [str(x) for x in _cents(t["c_acctbal"]).to_pylist()],
+            t["c_mktsegment"].to_pylist(),
+        )
+
+    rows = []
+    n, x, s = partials(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_totalprice",
+                       "o_orderdate", "o_orderstatus"]), orders_fmt)
+    rows.append(("orders", n, x, s))
+    n, x, s = partials(
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_acctbal", "c_mktsegment"]),
+        customer_fmt)
+    rows.append(("customer", n, x, s))
+    cols = list(zip(*rows))
+    return pa.table({
+        "table_name": pa.array(cols[0], pa.string()),
+        "n_rows": pa.array(cols[1], pa.int64()),
+        "xor60": pa.array(cols[2], pa.int64()),
+        "sum_mod": pa.array(cols[3], pa.int64()),
+    })
+
+
+SQL_TABLE_CHECKSUM = """
+WITH oh AS (
+  SELECT CAST(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' ||
+           CAST(o_custkey AS VARCHAR) || '|' ||
+           CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+           || '|' ||
+           CAST(epoch_us(o_orderdate) // 86400000000 AS VARCHAR) || '|' ||
+           o_orderstatus), 1, 15)) AS BIGINT) AS h
+  FROM orders
+), ch AS (
+  SELECT CAST(('0x' || substr(md5(
+           CAST(c_custkey AS VARCHAR) || '|' ||
+           CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)
+           || '|' || c_mktsegment), 1, 15)) AS BIGINT) AS h
+  FROM customer
+)
+SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor60,
+       CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_mod
+FROM oh
+UNION ALL
+SELECT 'customer', CAST(count(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+       CAST(sum(h) % 2305843009213693951 AS BIGINT)
+FROM ch
+"""
+
+
 ENGINEOPS_REGISTRY = {
     "streak_longest_per_user": (streak_longest_per_user, SQL_STREAK_LONGEST_PER_USER),
     "scd2_intervals": (scd2_intervals, SQL_SCD2_INTERVALS),
@@ -985,4 +1251,7 @@ ENGINEOPS_REGISTRY = {
     "user_path_signature": (user_path_signature, SQL_USER_PATH_SIGNATURE),
     "zscore_by_type": (zscore_by_type, SQL_ZSCORE_BY_TYPE),
     "cume_dist_day": (cume_dist_day, SQL_CUME_DIST_DAY),
+    "local_supplier_revenue": (local_supplier_revenue, SQL_LOCAL_SUPPLIER_REVENUE),
+    "kmv_week_overlap": (kmv_week_overlap, SQL_KMV_WEEK_OVERLAP),
+    "table_checksum": (table_checksum, SQL_TABLE_CHECKSUM),
 }
