@@ -1248,6 +1248,143 @@ FROM ch
 """
 
 
+# -- time_weighted_avg ---------------------------------------------------------
+
+
+def time_weighted_avg(sf_dir: str):
+    """Time-weighted average value per user — the step-function integral
+    (each event's value holds until the next event): sum(cents_i * dt_i)
+    // sum(dt_i) over a user's consecutive event gaps, exact integer
+    division on both engines. The billing/metering/telemetry aggregate
+    plain AVG gets wrong whenever sampling is irregular.
+
+    Scale shape: per-user hash bucket, one sort, one vectorized
+    groupby-shift for the next-timestamp, integer products summed per
+    user. Users with a single event have no dwell time and drop out, same
+    as the SQL's WHERE nxt IS NOT NULL."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "cents": _cents(t["value"]),
+            "_ub": pc.bit_wise_and(t["user_id"], 255),
+        })
+
+    def twa(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        nxt = g.groupby("user_id", sort=False)["ts_us"].shift(-1)
+        keep = nxt.notna().to_numpy()
+        dt = (nxt.to_numpy()[keep] - g["ts_us"].to_numpy()[keep]).astype(np.int64)
+        d = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy()[keep],
+            "num": g["cents"].to_numpy()[keep] * dt,
+            "dt": dt,
+        })
+        agg = d.groupby("user_id", sort=False).sum()
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(),
+            "twa_q": (agg["num"].to_numpy() // agg["dt"].to_numpy())
+                .astype(np.int64),
+        })
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_ub").map_groups(twa, batch_format="pandas")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT user_id, cents, ts_us,
+         lead(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS nxt
+  FROM o
+)
+SELECT user_id,
+       CAST(sum(cents * (nxt - ts_us)) // sum(nxt - ts_us) AS BIGINT) AS twa_q
+FROM w WHERE nxt IS NOT NULL GROUP BY user_id
+"""
+
+
+# -- peak_concurrency ----------------------------------------------------------
+
+
+def peak_concurrency(sf_dir: str):
+    """Sweep-line peak concurrency per day: every event opens a 30-minute
+    presence interval; the answer is the max of the GLOBAL running sum of
+    +1/-1 boundary deltas, reported per day — the capacity-planning
+    number (max simultaneous sessions) no groupby can produce.
+
+    Scale shape: a distributed PREFIX SUM, the additive twin of
+    late_events' prefix-max scan: deltas partition by day (bounded,
+    time-ordered), each partition sorts locally and computes its own
+    prefix run and total, the driver folds the ~31 per-day totals into
+    base offsets, and peak_d = base_d + local_max_d. No global sort, no
+    serial scan; ends sort before starts at the same instant so touching
+    intervals never double-count."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def deltas(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["ts"], pa.int64()).to_numpy()
+        e = s + _SESSION_US
+        tt = np.concatenate([s, e])
+        dd = np.concatenate([np.ones(len(s), np.int64),
+                             np.full(len(e), -1, np.int64)])
+        return pa.table({
+            "t": pa.array(tt, pa.int64()),
+            "delta": pa.array(dd, pa.int64()),
+            "day": pa.array(tt // _DAY_US, pa.int64()),
+        })
+
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "delta"], kind="mergesort")
+        run = np.cumsum(g["delta"].to_numpy())
+        return pd.DataFrame({
+            "day": [int(g["day"].iloc[0])],
+            "total": [int(run[-1])],
+            "max_prefix": [int(run.max())],
+        })
+
+    parts = (
+        ds.map_batches(deltas, batch_format="pyarrow")
+        .groupby("day").map_groups(local_scan, batch_format="pandas")
+        .to_pandas()
+        .sort_values("day")
+    )
+    base = np.concatenate([[0], np.cumsum(parts["total"].to_numpy())[:-1]])
+    return pa.table({
+        "day": pa.array(parts["day"].to_numpy(), pa.int64()),
+        "peak": pa.array(base + parts["max_prefix"].to_numpy(), pa.int64()),
+    })
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH iv AS (
+  SELECT epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e FROM events
+), d AS (
+  SELECT s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e, -1 FROM iv
+), r AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM d
+)
+SELECT t // 86400000000 AS day, CAST(max(run) AS BIGINT) AS peak
+FROM r GROUP BY 1
+"""
+
+
 ENGINEOPS_REGISTRY = {
     "streak_longest_per_user": (streak_longest_per_user, SQL_STREAK_LONGEST_PER_USER),
     "scd2_intervals": (scd2_intervals, SQL_SCD2_INTERVALS),
@@ -1263,4 +1400,6 @@ ENGINEOPS_REGISTRY = {
     "local_supplier_revenue": (local_supplier_revenue, SQL_LOCAL_SUPPLIER_REVENUE),
     "kmv_week_overlap": (kmv_week_overlap, SQL_KMV_WEEK_OVERLAP),
     "table_checksum": (table_checksum, SQL_TABLE_CHECKSUM),
+    "time_weighted_avg": (time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+    "peak_concurrency": (peak_concurrency, SQL_PEAK_CONCURRENCY),
 }
