@@ -158,8 +158,121 @@ FROM p
 """
 
 
+# -- REAL-codec queries --------------------------------------------------------
+#
+# These two close the realism gap between the stubbed JPEG/MP4 seam and the
+# plumbing-only checks: real encoded bytes are synthesized per document,
+# decoded by a REAL parser inside the actor-pool stage (byte-level PPM
+# tokenizer / stdlib ``wave`` reader), and the DECODED statistics are
+# verified against a DuckDB twin that computes the closed-form expectation
+# directly — if the parser mis-reads a single byte, the hash mismatches.
+
+
+def image_channel_stats(sf_dir: str):
+    """Images (doc_id % 3 == 0) are encoded as REAL binary-PPM payloads
+    (variable geometry w=32+(id%8)*4, h=24+(id%6)*4), then decoded by
+    PpmDecodeStage (an actual P6 parser, not a checksum of opaque bytes);
+    output is each image's exact integer channel means.
+
+    Scale shape: encode and decode are both map-side in one fused pass;
+    payload bytes never cross a stage boundary; zero shuffle."""
+    from ..stages.multimodal import PpmDecodeStage, encode_ppm
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_ppm(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        ids = ids[ids % 3 == 0]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [encode_ppm(int(i), 32 + int(i) % 8 * 4, 24 + int(i) % 6 * 4)
+                 for i in ids], pa.binary()),
+        })
+
+    out = (
+        ds.map_batches(to_ppm, batch_format="pyarrow")
+        .map_batches(PpmDecodeStage, batch_format="pyarrow",
+                     batch_size=PpmDecodeStage.BATCH_SIZE, concurrency=2)
+    )
+    return _collect_i64(out)
+
+
+SQL_IMAGE_CHANNEL_STATS = """
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         32 + (doc_id % 8) * 4 AS w, 24 + (doc_id % 6) * 4 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), rows_y AS (
+  SELECT media_id, w, h, unnest(range(h)) AS y FROM imgs
+), px AS (
+  SELECT media_id, w, h, y, unnest(range(w)) AS x FROM rows_y
+), sums AS (
+  SELECT media_id, w, h,
+         sum((media_id * 7 + x * 3 + y * 5) % 256) AS sr,
+         sum((media_id * 7 + x * 3 + y * 5 + 11) % 256) AS sg,
+         sum((media_id * 7 + x * 3 + y * 5 + 22) % 256) AS sb
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sr * 1000 // (w * h) AS BIGINT) AS mean_r_q,
+       CAST(sg * 1000 // (w * h) AS BIGINT) AS mean_g_q,
+       CAST(sb * 1000 // (w * h) AS BIGINT) AS mean_b_q
+FROM sums
+"""
+
+
+def wav_audio_stats(sf_dir: str):
+    """Audio docs (doc_id % 3 == 1) are encoded as REAL PCM16 WAV bytes via
+    the stdlib ``wave`` encoder (n = 4000 + (id%7)*500 samples @ 8 kHz),
+    decoded back by WavDecodeStage through the stdlib reader, and reduced
+    to (n_samples, duration_ms, quantized RMS). The RIFF header, frame
+    count and sample bytes all round-trip for real."""
+    from ..stages.multimodal import WavDecodeStage, encode_wav
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_wav(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        ids = ids[ids % 3 == 1]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [encode_wav(int(i), 4000 + int(i) % 7 * 500) for i in ids],
+                pa.binary()),
+        })
+
+    out = (
+        ds.map_batches(to_wav, batch_format="pyarrow")
+        .map_batches(WavDecodeStage, batch_format="pyarrow",
+                     batch_size=WavDecodeStage.BATCH_SIZE, concurrency=2)
+    )
+    return _collect_i64(out)
+
+
+SQL_WAV_AUDIO_STATS = """
+WITH auds AS (
+  SELECT doc_id AS media_id, 4000 + (doc_id % 7) * 500 AS n
+  FROM documents WHERE doc_id % 3 = 1
+), samp AS (
+  SELECT media_id, n, unnest(range(n)) AS i FROM auds
+), s AS (
+  SELECT media_id, n,
+         sum(((media_id * 13 + i * 31) % 4096 - 2048)
+             * ((media_id * 13 + i * 31) % 4096 - 2048)) AS ssq
+  FROM samp GROUP BY 1, 2
+)
+SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(floor(sqrt(ssq::DOUBLE / n)) AS BIGINT) AS rms_q
+FROM s
+"""
+
+
 MEDIAOPS_REGISTRY = {
     "frame_sample_index": (frame_sample_index, SQL_FRAME_SAMPLE_INDEX),
     "audio_chunks": (audio_chunks, SQL_AUDIO_CHUNKS),
     "resize_plan": (resize_plan, SQL_RESIZE_PLAN),
+    "image_channel_stats": (image_channel_stats, SQL_IMAGE_CHANNEL_STATS),
+    "wav_audio_stats": (wav_audio_stats, SQL_WAV_AUDIO_STATS),
 }

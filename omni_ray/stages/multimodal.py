@@ -1,12 +1,17 @@
 """Multimodal column stages: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels themselves are STUBBED (no PIL/ffmpeg in this
+The HEAVY decode kernels (JPEG/MP4) are stubbed (no PIL/ffmpeg in this
 environment): ``decode=fake`` produces deterministic fake features derived
 from the payload bytes, so the Ray-side plumbing — schema, batch sizing,
 actor signature, output layout — is real and tested; ``decode=real`` raises
 NotImplementedError at the clearly-marked seam where a codec library would
-slot in.
+slot in. Two formats need no external codec, so their paths are REAL
+end-to-end: binary PPM (P6) images (``encode_ppm``/``decode_ppm``/
+``PpmDecodeStage``) and PCM16 WAV audio through the stdlib ``wave`` module
+(``encode_wav``/``decode_wav``/``WavDecodeStage``) — real bytes, real
+parsers, oracle-verified statistics (mediaops.image_channel_stats /
+wav_audio_stats).
 
 Batch-size guidance baked into the stage defaults: binary payloads are wide
 (MBs/row), so batches are small (32) and the stage is an actor pool whose
@@ -218,6 +223,137 @@ class ResizePlanStage:
             "out_h": pa.array(out_h, pa.int64()),
             "est_bytes": pa.array(out_w * out_h * 3, pa.int64()),
         })
+
+
+# -- REAL codecs (no external deps) -------------------------------------------
+#
+# The heavy codecs (JPEG/MP4) stay behind the NotImplementedError seam above,
+# but two standard formats need nothing beyond the stdlib, so their decode
+# paths are REAL end-to-end: binary PPM (P6) images parsed byte-for-byte, and
+# PCM16 WAV audio through the stdlib ``wave`` reader. Real bytes go in, a
+# real parser runs in the actor pool, and real pixel/sample statistics come
+# out — oracle-verified in mediaops.image_channel_stats / wav_audio_stats.
+
+
+def encode_ppm(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic binary-PPM (P6) image: pixel value for channel c at
+    (x, y) is (media_id*7 + x*3 + y*5 + c*11) % 256 — closed form, so a SQL
+    engine can compute any statistic of the DECODED image directly."""
+    y, x, c = np.meshgrid(
+        np.arange(height, dtype=np.int64),
+        np.arange(width, dtype=np.int64),
+        np.arange(3, dtype=np.int64),
+        indexing="ij",
+    )
+    px = ((media_id * 7 + x * 3 + y * 5 + c * 11) % 256).astype(np.uint8)
+    return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL binary-PPM parser: header tokens (with `#` comment support), one
+    whitespace byte after maxval, then the raw RGB plane. Returns
+    (height, width, 3) uint8; raises ValueError on malformed input."""
+    tokens, i, n = [], 0, len(payload)
+    while len(tokens) < 4 and i < n:
+        ch = payload[i:i + 1]
+        if ch.isspace():
+            i += 1
+        elif ch == b"#":
+            while i < n and payload[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        else:
+            j = i
+            while j < n and not payload[j:j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 4 or tokens[0] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    i += 1  # exactly one whitespace byte separates maxval from raster data
+    raster = payload[i:i + width * height * 3]
+    if len(raster) != width * height * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, np.uint8).reshape(height, width, 3)
+
+
+def encode_wav(media_id: int, n_samples: int, rate: int = 8000) -> bytes:
+    """Deterministic PCM16 mono WAV through the stdlib ``wave`` ENCODER:
+    sample i = ((media_id*13 + i*31) % 4096) - 2048."""
+    import io
+    import wave
+
+    s = (((media_id * 13 + np.arange(n_samples, dtype=np.int64) * 31) % 4096)
+         - 2048).astype(np.int16)
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(s.tobytes())
+    w.close()
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV decode via the stdlib reader: (int16 samples, frame rate)."""
+    import io
+    import wave
+
+    r = wave.open(io.BytesIO(payload), "rb")
+    if r.getsampwidth() != 2 or r.getnchannels() != 1:
+        raise ValueError("only PCM16 mono supported")
+    samples = np.frombuffer(r.readframes(r.getnframes()), np.int16)
+    return samples, r.getframerate()
+
+
+class PpmDecodeStage:
+    """Actor-pool stage with a REAL image kernel: parses each row's binary
+    PPM payload and emits exact integer channel statistics
+    (mean_{r,g,b}_q = channel sum * 1000 // pixel count). Small batches —
+    payloads are the wide column — and the payload is dropped inside the
+    stage, the same discipline as ImageDecodeStage."""
+
+    BATCH_SIZE = 32
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        out = {"media_id": [], "width": [], "height": [],
+               "mean_r_q": [], "mean_g_q": [], "mean_b_q": []}
+        for mid, payload in zip(ids, batch.column("payload").to_pylist()):
+            img = decode_ppm(payload)
+            h, w, _ = img.shape
+            sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            out["media_id"].append(mid)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["mean_r_q"].append(int(sums[0]) * 1000 // (w * h))
+            out["mean_g_q"].append(int(sums[1]) * 1000 // (w * h))
+            out["mean_b_q"].append(int(sums[2]) * 1000 // (w * h))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+class WavDecodeStage:
+    """Actor-pool stage with a REAL audio kernel: stdlib ``wave`` parse of
+    each PCM16 payload → sample count, duration and quantized RMS
+    (floor(sqrt(ssq / n)) — integer-stable IEEE on any engine)."""
+
+    BATCH_SIZE = 32
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        out = {"media_id": [], "n_samples": [], "duration_ms": [], "rms_q": []}
+        for mid, payload in zip(ids, batch.column("payload").to_pylist()):
+            samples, rate = decode_wav(payload)
+            n = len(samples)
+            ssq = int((samples.astype(np.int64) ** 2).sum())
+            out["media_id"].append(mid)
+            out["n_samples"].append(n)
+            out["duration_ms"].append(n * 1000 // rate)
+            out["rms_q"].append(int(np.floor(np.sqrt(ssq / n))) if n else 0)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
 
 def media_feature_pipeline(media: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
