@@ -1385,6 +1385,187 @@ FROM r GROUP BY 1
 """
 
 
+# -- densified_daily_counts ----------------------------------------------------
+
+
+def densified_daily_counts(sf_dir: str):
+    """Gap filling / densification: the dense (day × event_type) matrix with
+    explicit ZERO rows for combinations that never occurred — what every
+    charting/forecast consumer needs and a plain groupby cannot produce.
+
+    Scale shape: the sparse counts come from one bounded-domain groupby;
+    the dense frame is generated (days span × type list, both bounded
+    metadata — never a data shuffle) and the sparse counts are broadcast
+    into it. At 100 TB the dense frame is still |days| × |types| rows."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()), _DAY_US),
+            "event_type": t["event_type"],
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    sparse = prepped.groupby(["day", "event_type"]).aggregate(
+        Count(alias_name="n")).to_pandas()
+    span = prepped.aggregate(Min("day", alias_name="lo"),
+                             Max("day", alias_name="hi"))
+    days = np.arange(int(span["lo"]), int(span["hi"]) + 1, dtype=np.int64)
+    types = np.sort(sparse["event_type"].unique())
+    dense = pd.MultiIndex.from_product(
+        [days, types], names=["day", "event_type"]).to_frame(index=False)
+    out = dense.merge(sparse, on=["day", "event_type"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_DENSIFIED_DAILY_COUNTS = """
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events
+), span AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM c
+), days AS (
+  SELECT lo + unnest(range(hi - lo + 1)) AS day FROM span
+), types AS (
+  SELECT DISTINCT event_type FROM c
+), sparse AS (
+  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2
+)
+SELECT d.day, t.event_type, CAST(coalesce(s.n, 0) AS BIGINT) AS n
+FROM days d CROSS JOIN types t
+LEFT JOIN sparse s ON s.day = d.day AND s.event_type = t.event_type
+"""
+
+
+# -- unpivot_ohlc ---------------------------------------------------------------
+
+
+def unpivot_ohlc(sf_dir: str):
+    """UNPIVOT (wide → long): per-day order-price open/high/low/close cents
+    melt into (day, metric, value) rows — the inverse of daily_type_matrix's
+    pivot and the standard hand-off shape for charting layers.
+
+    Scale shape: the wide source is the bounded daily_ohlc aggregate; the
+    melt is a constant 4× map-side explode. No shuffle beyond the
+    aggregate that built the wide table."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.divide(pc.cast(t["o_orderdate"], pa.int64()), _DAY_US),
+            "cents": _cents(t["o_totalprice"]),
+            "o_orderkey": t["o_orderkey"],
+        })
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderkey"], kind="mergesort")
+        return pd.DataFrame({
+            "day": [int(g["day"].iloc[0])],
+            "open": [int(g["cents"].iloc[0])],
+            "high": [int(g["cents"].max())],
+            "low": [int(g["cents"].min())],
+            "close": [int(g["cents"].iloc[-1])],
+        })
+
+    wide = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day").map_groups(per_day, batch_format="pandas")
+    )
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=["day"], value_vars=["open", "high", "low", "close"],
+                      var_name="metric", value_name="value")
+        out["value"] = out["value"].astype(np.int64)
+        return out
+
+    out = wide.map_batches(melt, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_UNPIVOT_OHLC = """
+WITH c AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+), wide AS (
+  SELECT day,
+         first(cents ORDER BY o_orderkey) AS open,
+         max(cents) AS high, min(cents) AS low,
+         last(cents ORDER BY o_orderkey) AS close
+  FROM c GROUP BY day
+)
+SELECT day, metric, CAST(value AS BIGINT) AS value
+FROM wide UNPIVOT (value FOR metric IN (open, high, low, close))
+"""
+
+
+# -- revenue_share_ppm -----------------------------------------------------------
+
+
+def revenue_share_ppm(sf_dir: str):
+    """Percent-of-total (ratio-to-report): each nation's share of global
+    order revenue in exact integer ppm (share = nation_cents * 1e6 //
+    total_cents). The reporting verb behind every 'share of' dashboard.
+
+    Scale shape: per-customer totals never materialize — one bounded
+    nation-domain groupby after a broadcast custkey→nation lookup, then a
+    driver-side ppm division over 25 rows."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust_refs = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).to_arrow_refs()
+    cust = pa.concat_tables([ray.get(r).combine_chunks() for r in cust_refs])
+    ck = cust.column("c_custkey").to_numpy()
+    o = np.argsort(ck, kind="stable")
+    nat_ref = ray.put((ck[o],
+                       cust.column("c_nationkey").to_numpy().astype(np.int64)[o]))
+
+    def prep(t: pa.Table) -> pa.Table:
+        keys, nats = ray.get(nat_ref)
+        nk = nats[np.searchsorted(keys, t["o_custkey"].to_numpy())]
+        return pa.table({
+            "c_nationkey": pa.array(nk, pa.int64()),
+            "cents": _cents(t["o_totalprice"]),
+        })
+
+    per_nat = (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("c_nationkey").aggregate(Sum("cents", alias_name="rev"))
+        .to_pandas()
+    )
+    total = int(per_nat["rev"].sum())
+    per_nat["revenue_q"] = per_nat["rev"].astype(np.int64)
+    per_nat["share_ppm"] = (
+        per_nat["rev"].to_numpy().astype(np.int64) * 1_000_000 // total
+    )
+    return pa.Table.from_pandas(
+        per_nat[["c_nationkey", "revenue_q", "share_ppm"]],
+        preserve_index=False)
+
+
+SQL_REVENUE_SHARE_PPM = """
+WITH r AS (
+  SELECT c.c_nationkey,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue_q
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT c_nationkey, revenue_q,
+       CAST(revenue_q * 1000000 // (SELECT sum(revenue_q) FROM r) AS BIGINT)
+         AS share_ppm
+FROM r
+"""
+
+
 ENGINEOPS_REGISTRY = {
     "streak_longest_per_user": (streak_longest_per_user, SQL_STREAK_LONGEST_PER_USER),
     "scd2_intervals": (scd2_intervals, SQL_SCD2_INTERVALS),
@@ -1402,4 +1583,7 @@ ENGINEOPS_REGISTRY = {
     "table_checksum": (table_checksum, SQL_TABLE_CHECKSUM),
     "time_weighted_avg": (time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "peak_concurrency": (peak_concurrency, SQL_PEAK_CONCURRENCY),
+    "densified_daily_counts": (densified_daily_counts, SQL_DENSIFIED_DAILY_COUNTS),
+    "unpivot_ohlc": (unpivot_ohlc, SQL_UNPIVOT_OHLC),
+    "revenue_share_ppm": (revenue_share_ppm, SQL_REVENUE_SHARE_PPM),
 }
