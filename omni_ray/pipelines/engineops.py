@@ -643,20 +643,28 @@ SELECT 'o_orderstatus', CAST(count(*) FILTER (o_orderstatus IS NULL) AS BIGINT),
 # -- pmi_top_pairs -------------------------------------------------------------
 
 
-def pmi_top_pairs(sf_dir: str):
+def pmi_top_pairs(sf_dir: str, small_side_max: int = 200_000):
     """Top-50 adjacent-word pairs by pointwise mutual information
     (min count 5) — the phrase-mining / collocation detector.
     pmi = ln(c_ab * N_u^2 / (N_bi * c_a * c_b)), quantized to 1e-6 via the
     same floor(ln(int ratio)*1e6+0.5) rule unigram_logprob validated
     cross-engine.
 
-    Scale shape: bigram and unigram counts are map-side combined (Counter
-    per block) then bucket-reduced, so token rows never individually cross
-    a shuffle. The unigram lookup does NOT broadcast the vocabulary (it is
-    row-sized at corpus scale): candidate bigrams explode into two
-    word-keyed rows that co-locate with the unigram partition by word-hash
-    bucket, merge vectorized, and re-group by pair — the same
-    candidate-filtered lookup shape as ngram_jaccard's size join."""
+    Scale shape, two regimes on the MATERIALIZED count table (the raw
+    corpus is reduced map-side either way — Counter per block, ONE
+    bucket-reduce shuffle; fusing the two counting passes into one read
+    took 8.9→5.4 s at sf0.1):
+    - counts ≤ ``small_side_max``: the vocabulary is output-sized, so the
+      unigram lookup and PMI scoring finalize driver-side in one pandas
+      merge (the duplicate_of small-output precedent) — profiling showed
+      the distributed lookup's three fixed shuffles were 100% overhead at
+      this size (5.4 s → ~1.5 s at sf0.1).
+    - counts > ``small_side_max``: the vocabulary is row-sized and must
+      NOT transit the driver: candidate bigrams explode into two
+      word-keyed rows that co-locate with the unigram partition by
+      word-hash bucket, merge vectorized, and re-group by pair — the
+      same candidate-filtered lookup shape as ngram_jaccard's size join.
+      pytest forces this path and asserts bit-identical output."""
     import re
     from collections import Counter
 
@@ -669,8 +677,7 @@ def pmi_top_pairs(sf_dir: str):
 
     def both_partial(t: pa.Table) -> pa.Table:
         """ONE tokenization pass counts unigrams AND bigrams (bigrams are
-        tagged by a non-empty w2) — tokenizing the corpus twice measured
-        ~2x the whole query cost at sf0.1."""
+        tagged by a non-empty w2)."""
         cu: Counter = Counter()
         cb: Counter = Counter()
         for x in t["text"].to_pylist():
@@ -688,6 +695,29 @@ def pmi_top_pairs(sf_dir: str):
         ds.map_batches(both_partial, batch_format="pyarrow"),
         ["w1", "w2"], {"n": ("n", "sum")},
     ).materialize()
+
+    if counts.count() <= small_side_max:
+        # vocabulary is output-sized: driver-side finalize, same math
+        c = counts.to_pandas()
+        is_uni = c["w2"] == ""
+        udf = c[is_uni][["w1", "n"]].rename(columns={"w1": "w", "n": "c"})
+        bdf = c[~is_uni].rename(columns={"n": "n_ab"})
+        n_u_i, n_bi_i = int(udf["c"].sum()), int(bdf["n_ab"].sum())
+        f = bdf[bdf["n_ab"] >= 5]
+        m = (
+            f.merge(udf.rename(columns={"w": "w1", "c": "c_a"}), on="w1")
+            .merge(udf.rename(columns={"w": "w2", "c": "c_b"}), on="w2")
+        )
+        num = m["n_ab"].to_numpy().astype(np.float64) * n_u_i * n_u_i
+        den = float(n_bi_i) * m["c_a"].to_numpy() * m["c_b"].to_numpy()
+        m["pmi_q"] = np.floor(np.log(num / den) * 1_000_000 + 0.5).astype(np.int64)
+        m["n_ab"] = m["n_ab"].astype(np.int64)
+        m = m.sort_values(["pmi_q", "w1", "w2"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(50)
+        return pa.Table.from_pandas(
+            m[["w1", "w2", "n_ab", "pmi_q"]].reset_index(drop=True),
+            preserve_index=False)
 
     def split(is_uni: bool):
         def f(t: pa.Table) -> pa.Table:

@@ -59,3 +59,16 @@ def test_query_matches_oracle(name):
     assert len(got_df) == len(want_df), f"{name}: {len(got_df)} rows != {len(want_df)}"
     g, w = normalize(got_df), normalize(want_df)
     pd.testing.assert_frame_equal(g, w, check_dtype=False, obj=name)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pmi_distributed_path_equals_driver_path():
+    """pmi_top_pairs picks the driver finalize below small_side_max and the
+    word-bucketed distributed lookup above it; both must be bit-identical."""
+    from omni_ray.pipelines.engineops import pmi_top_pairs
+
+    small = pmi_top_pairs(SF).to_pandas()
+    forced = pmi_top_pairs(SF, small_side_max=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        normalize(small), normalize(forced), check_dtype=False,
+        obj="pmi path equivalence")
