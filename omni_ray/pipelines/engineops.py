@@ -1596,6 +1596,209 @@ FROM r
 """
 
 
+# -- bounce_rate_daily -----------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000  # sessionize's 30-min gap rule (queries.py)
+
+
+def _with_session_ids(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-bucket session assignment, identical to queries.
+    sessionize's rule (new session when the in-user gap EXCEEDS 30 min):
+    sort by (user, ts, event_id); a row opens a session iff it is the
+    user's first row or gap > _GAP_US; global cumsum gives bucket-unique
+    session ids because every user's first row opens one."""
+    g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    prev = g.groupby("user_id", sort=False)["ts_us"].shift(1)
+    new = (prev.isna() | ((g["ts_us"] - prev) > _GAP_US)).to_numpy()
+    g = g.copy()
+    g["sid"] = np.cumsum(new)
+    return g
+
+
+def bounce_rate_daily(sf_dir: str):
+    """Per-day session bounce rate: sessions (30-min gap, per user) with
+    EXACTLY one event over total sessions starting that day, in exact
+    integer ppm — the engagement KPI that needs sessionization, a
+    session-grain aggregate, and a calendar rollup in one query.
+
+    Scale shape: session assignment is the per-user-bucket vectorized
+    shift/cumsum pass; sessions reduce inside the bucket (one row per
+    session), and only (day, n_sessions, n_bounces) partials — a bounded
+    domain — cross the second shuffle."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "_ub": pc.bit_wise_and(t["user_id"], 255),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = _with_session_ids(g)
+        sess = g.groupby("sid", sort=False)["ts_us"].agg(["size", "min"])
+        day = (sess["min"] // _DAY_US).to_numpy()
+        one = (sess["size"] == 1).to_numpy().astype(np.int64)
+        d = pd.DataFrame({"day": day, "n_sessions": 1, "n_bounces": one})
+        return d.groupby("day", as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+        .groupby("day").aggregate(
+            Sum("n_sessions", alias_name="n_sessions"),
+            Sum("n_bounces", alias_name="n_bounces"),
+        ).to_pandas()
+    )
+    daily["n_sessions"] = daily["n_sessions"].astype(np.int64)
+    daily["n_bounces"] = daily["n_bounces"].astype(np.int64)
+    daily["bounce_ppm"] = (
+        daily["n_bounces"].to_numpy() * 1_000_000
+        // daily["n_sessions"].to_numpy()
+    )
+    return pa.Table.from_pandas(daily, preserve_index=False)
+
+
+SQL_BOUNCE_RATE_DAILY = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), d AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) IS NULL
+                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new
+  FROM o
+), s AS (
+  SELECT user_id, ts_us,
+         sum(new) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id) AS sid
+  FROM d
+), g AS (
+  SELECT user_id, sid, count(*) AS n,
+         min(ts_us) // 86400000000 AS day
+  FROM s GROUP BY 1, 2
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_bounces,
+       CAST(count(*) FILTER (n = 1) * 1000000 // count(*) AS BIGINT)
+         AS bounce_ppm
+FROM g GROUP BY day
+"""
+
+
+# -- session_type_lift -----------------------------------------------------------
+
+
+def session_type_lift(sf_dir: str):
+    """Market-basket lift over sessions: for every event-type pair, how
+    much more often they share a 30-min session than independence
+    predicts — lift_ppm = n_ab * S * 1e6 // (n_a * n_b), all integer.
+    The co-occurrence / recommendation primitive applied to behavior.
+
+    Scale shape: session ids per user bucket (vectorized), DISTINCT
+    (session, type) reduces in-bucket, and the pair explode is a tiny
+    self-merge per session (≤ 5 types → ≤ 10 pairs); only bounded
+    (type, type) counts cross the final shuffle."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+            "_ub": pc.bit_wise_and(t["user_id"], 255),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = _with_session_ids(g)
+        st = g[["sid", "event_type"]].drop_duplicates()
+        m = st.merge(st, on="sid")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = (
+            m.groupby(["event_type_x", "event_type_y"], as_index=False)
+            .size().rename(columns={"event_type_x": "t1",
+                                    "event_type_y": "t2", "size": "n_ab"})
+        )
+        na = st.groupby("event_type", as_index=False).size().rename(
+            columns={"event_type": "t1", "size": "n_ab"})
+        na["t2"] = ""
+        tot = pd.DataFrame({"t1": ["\x00total"], "t2": [""],
+                            "n_ab": [st["sid"].nunique()]})
+        return pd.concat([pairs, na[["t1", "t2", "n_ab"]], tot],
+                         ignore_index=True)
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+        .groupby(["t1", "t2"]).aggregate(Sum("n_ab", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(folded[folded["t1"] == "\x00total"]["n"].iloc[0])
+    na = dict(zip(folded[(folded["t2"] == "") & (folded["t1"] != "\x00total")]["t1"],
+                  folded[(folded["t2"] == "") & (folded["t1"] != "\x00total")]["n"]))
+    pairs = folded[folded["t2"] != ""].copy()
+    pairs["n_ab"] = pairs["n"].astype(np.int64)
+    pairs["lift_ppm"] = [
+        int(r.n_ab) * total * 1_000_000 // (int(na[r.t1]) * int(na[r.t2]))
+        for r in pairs.itertuples()
+    ]
+    out = pairs[["t1", "t2", "n_ab", "lift_ppm"]].reset_index(drop=True)
+    out["lift_ppm"] = out["lift_ppm"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_SESSION_TYPE_LIFT = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+), d AS (
+  SELECT user_id, event_id, ts_us, event_type,
+         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) IS NULL
+                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new
+  FROM o
+), s AS (
+  SELECT user_id, event_type,
+         sum(new) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id) AS sid
+  FROM d
+), st AS (
+  SELECT DISTINCT user_id, sid, event_type FROM s
+), na AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS s_total
+  FROM (SELECT DISTINCT user_id, sid FROM st)
+), pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sid = b.sid
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, p.n_ab,
+       CAST(p.n_ab * tot.s_total * 1000000 // (na1.n * na2.n) AS BIGINT)
+         AS lift_ppm
+FROM pairs p
+CROSS JOIN tot
+JOIN na na1 ON na1.event_type = p.t1
+JOIN na na2 ON na2.event_type = p.t2
+"""
+
+
 ENGINEOPS_REGISTRY = {
     "streak_longest_per_user": (streak_longest_per_user, SQL_STREAK_LONGEST_PER_USER),
     "scd2_intervals": (scd2_intervals, SQL_SCD2_INTERVALS),
@@ -1616,4 +1819,6 @@ ENGINEOPS_REGISTRY = {
     "densified_daily_counts": (densified_daily_counts, SQL_DENSIFIED_DAILY_COUNTS),
     "unpivot_ohlc": (unpivot_ohlc, SQL_UNPIVOT_OHLC),
     "revenue_share_ppm": (revenue_share_ppm, SQL_REVENUE_SHARE_PPM),
+    "bounce_rate_daily": (bounce_rate_daily, SQL_BOUNCE_RATE_DAILY),
+    "session_type_lift": (session_type_lift, SQL_SESSION_TYPE_LIFT),
 }
