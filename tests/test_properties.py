@@ -130,3 +130,75 @@ def test_bucketed_agg_equals_builtin_aggregate():
     want_s = want_s.sort_values("s").reset_index(drop=True)
     assert (got_s["s"] == want_s["s"]).all()
     assert (got_s["sx"].astype("int64") == want_s["sx"].astype("int64")).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_decode_ppm_total(payload):
+    """decode_ppm on arbitrary bytes either returns a valid raster or
+    raises ValueError — never crashes with anything else."""
+    import numpy as np
+
+    from omni_ray.stages.multimodal import decode_ppm
+
+    try:
+        img = decode_ppm(payload)
+    except ValueError:
+        return
+    assert isinstance(img, np.ndarray) and img.ndim == 3 and img.shape[2] == 3
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 40), st.integers(1, 30))
+def test_ppm_roundtrip(media_id, w, h):
+    from omni_ray.stages.multimodal import decode_ppm, encode_ppm
+
+    img = decode_ppm(encode_ppm(media_id, w, h))
+    assert img.shape == (h, w, 3)
+    assert img[0, 0, 0] == (media_id * 7) % 256
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 2000))
+def test_wav_roundtrip(media_id, n):
+    import numpy as np
+
+    from omni_ray.stages.multimodal import decode_wav, encode_wav
+
+    samples, rate = decode_wav(encode_wav(media_id, n))
+    assert rate == 8000 and len(samples) == n
+    expect = (((media_id * 13 + np.arange(n, dtype=np.int64) * 31) % 4096)
+              - 2048).astype(np.int16)
+    assert (samples == expect).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 4),              # user
+              st.integers(0, 10**7),          # ts_us
+              st.integers(0, 10**6)),         # event_id
+    min_size=1, max_size=60))
+def test_session_ids_match_bruteforce(rows):
+    """_with_session_ids (vectorized shift/cumsum) must agree with a
+    per-user scalar walk of the 30-min gap rule on arbitrary inputs,
+    including duplicate timestamps."""
+    import pandas as pd
+
+    from omni_ray.pipelines.engineops import _GAP_US, _with_session_ids
+
+    df = pd.DataFrame(rows, columns=["user_id", "ts_us", "event_id"])
+    got = _with_session_ids(df)
+
+    # brute force: walk each user's sorted events, count session opens
+    brute = {}
+    n_sessions = 0
+    order = sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+    prev_user, prev_ts = None, None
+    for u, ts, eid in order:
+        if u != prev_user or ts - prev_ts > _GAP_US:
+            n_sessions += 1
+        brute[(u, ts, eid)] = n_sessions
+        prev_user, prev_ts = u, ts
+
+    for r in got.itertuples():
+        assert brute[(r.user_id, r.ts_us, r.event_id)] == r.sid
