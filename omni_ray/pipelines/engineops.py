@@ -1799,6 +1799,87 @@ JOIN na na2 ON na2.event_type = p.t2
 """
 
 
+# -- engagement_report (composed pipeline) --------------------------------------
+
+
+def engagement_report(sf_dir: str):
+    """Composed end-to-end analytics pipeline (the events-side twin of
+    training_corpus_pipeline): per day — sessions, bounces, bounce ppm,
+    distinct active users, and peak concurrent 30-min presences — built by
+    composing the already-oracled session, count-distinct, and sweep-line
+    engines, verified as ONE driver-hashed result against ONE SQL twin so
+    the composition itself (day alignment, join, integer rules) is what's
+    being checked.
+
+    Scale shape: three independent bounded-output pipelines (each
+    documented at its own operator) merged driver-side on ≤|days| rows."""
+    from .corpusops import daily_active_users
+
+    bounce = bounce_rate_daily(sf_dir).to_pandas()
+    dau = daily_active_users(sf_dir).to_pandas()
+    peak = peak_concurrency(sf_dir).to_pandas()
+    out = (
+        bounce.merge(dau, on="day")
+        .merge(peak, on="day")
+        .sort_values("day").reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_ENGAGEMENT_REPORT = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), d AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) IS NULL
+                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new
+  FROM o
+), s AS (
+  SELECT user_id, ts_us,
+         sum(new) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id) AS sid
+  FROM d
+), g AS (
+  SELECT user_id, sid, count(*) AS n,
+         min(ts_us) // 86400000000 AS day
+  FROM s GROUP BY 1, 2
+), bounce AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_bounces,
+         CAST(count(*) FILTER (n = 1) * 1000000 // count(*) AS BIGINT)
+           AS bounce_ppm
+  FROM g GROUP BY day
+), dau AS (
+  SELECT ts_us // 86400000000 AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM o GROUP BY 1
+), deltas AS (
+  SELECT ts_us AS t, 1 AS delta FROM o
+  UNION ALL
+  SELECT ts_us + 1800000000, -1 FROM o
+), runs AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM deltas
+), pk AS (
+  SELECT t // 86400000000 AS day, CAST(max(run) AS BIGINT) AS peak
+  FROM runs GROUP BY 1
+)
+SELECT b.day, b.n_sessions, b.n_bounces, b.bounce_ppm, dau.n_users, pk.peak
+FROM bounce b
+JOIN dau ON dau.day = b.day
+JOIN pk ON pk.day = b.day
+"""
+
+
 ENGINEOPS_REGISTRY = {
     "streak_longest_per_user": (streak_longest_per_user, SQL_STREAK_LONGEST_PER_USER),
     "scd2_intervals": (scd2_intervals, SQL_SCD2_INTERVALS),
@@ -1821,4 +1902,5 @@ ENGINEOPS_REGISTRY = {
     "revenue_share_ppm": (revenue_share_ppm, SQL_REVENUE_SHARE_PPM),
     "bounce_rate_daily": (bounce_rate_daily, SQL_BOUNCE_RATE_DAILY),
     "session_type_lift": (session_type_lift, SQL_SESSION_TYPE_LIFT),
+    "engagement_report": (engagement_report, SQL_ENGAGEMENT_REPORT),
 }
