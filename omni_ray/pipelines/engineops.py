@@ -562,12 +562,13 @@ def column_profile(sf_dir: str):
 
     def dv_partial(t: pa.Table) -> pa.Table:
         cols = canon(t)
-        names, vals = [], []
+        parts = []
         for name in _PROFILE_COLS:
-            u = pd.unique(pd.Series(cols[name]).dropna())
-            names.extend([name] * len(u))
-            vals.extend(str(x) for x in u)
-        df = pd.DataFrame({"col_name": names, "v": vals})
+            u = pd.Series(
+                pd.unique(pd.Series(cols[name]).dropna())
+            ).astype(str)
+            parts.append(pd.DataFrame({"col_name": name, "v": u}))
+        df = pd.concat(parts, ignore_index=True)
         df["_kb"] = (pd.util.hash_array(df["v"].to_numpy())
                      % 64).astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
