@@ -46,7 +46,7 @@ import ray
 import ray.data
 
 from ..functions.canonical import canonicalize_batch
-from ..state.filters import SeenSet
+from ..state.filters import SeenSet, route_packed_digests
 from ..state.robots import RobotsCache
 from .articles import article_pipeline
 from .frontier import SORT_ASC, SORT_COLS
@@ -92,31 +92,36 @@ def _dedup_and_rank(group: pd.DataFrame, budget_per_host: int | None) -> pd.Data
 
 class _AnnotateStage:
     """Fused per-batch stage: canonicalize + seen-annotate + robots-annotate.
-    Holds shard handles; ≤ n_shards actor round-trips per batch."""
+    Holds shard handles; ≤ n_shards actor round-trips per batch.
 
-    def __init__(self, seen_shards, n_seen, robots_shards, n_robots, user_agent="omni-ray"):
+    ``skip_seen=True`` (set per-wave by the driver when the seen set is
+    provably empty — fresh wave 0, no resume) elides the contains RPCs
+    entirely: every row is unseen by construction."""
+
+    def __init__(self, seen_shards, n_seen, robots_shards, n_robots,
+                 user_agent="omni-ray", skip_seen=False):
         self.seen_shards = seen_shards
         self.n_seen = n_seen
         self.robots_shards = robots_shards
         self.n_robots = n_robots
+        self.skip_seen = skip_seen
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "url_hash" not in batch.column_names:
             batch = canonicalize_batch(batch)
         hashes = batch.column("url_hash").to_pylist()
-        groups: dict[int, list[int]] = {}
-        for idx, h in enumerate(hashes):
-            groups.setdefault(SeenSet.shard_of(h, self.n_seen), []).append(idx)
-        futures = {
-            sid: self.seen_shards[sid].contains.remote(
-                [bytes.fromhex(hashes[i]) for i in idxs]
-            )
-            for sid, idxs in groups.items()
-        }
-        seen = [False] * len(hashes)
-        for sid, idxs in groups.items():
-            for i, s in zip(idxs, ray.get(futures[sid])):
-                seen[i] = s
+        if self.skip_seen:
+            seen = [False] * len(hashes)
+        else:
+            groups = route_packed_digests(hashes, self.n_seen)
+            futures = {
+                sid: self.seen_shards[sid].contains.remote(packed)
+                for sid, (packed, _idx) in groups.items()
+            }
+            seen = [False] * len(hashes)
+            for sid, (_packed, idxs) in groups.items():
+                for i, s in zip(idxs, ray.get(futures[sid])):
+                    seen[int(i)] = s
         allowed = [True] * len(hashes)
         if self.robots_shards is not None:
             hosts = batch.column("host").to_pylist()
@@ -285,11 +290,10 @@ class _SeenAdd:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hashes = batch.column("url_hash").to_pylist()
-        groups: dict[int, list[bytes]] = {}
-        for h in hashes:
-            groups.setdefault(SeenSet.shard_of(h, self.n_shards), []).append(bytes.fromhex(h))
+        groups = route_packed_digests(hashes, self.n_shards)
         ray.get(
-            [self.shards[sid].check_and_add.remote(dig) for sid, dig in groups.items()]
+            [self.shards[sid].check_and_add.remote(packed)
+             for sid, (packed, _idx) in groups.items()]
         )
         return batch
 
@@ -372,11 +376,17 @@ def run_crawl(
             fp = os.path.join(last, "frontier_next.parquet")
             frontier_path = fp if os.path.exists(fp) else os.path.join(last, "frontier_next")
 
-    annotate = _AnnotateStage(
-        seen.shards, seen.n_shards,
-        robots.shards if robots else None,
-        robots.n_shards if robots else 0,
-    )
+    # fresh run ⇒ wave 0's seen set is provably empty: its annotate pass can
+    # skip every contains RPC (the seeds are the first hashes ever offered)
+    seen_known_empty = start_wave == 0
+
+    def _make_annotate(skip_seen: bool) -> "_AnnotateStage":
+        return _AnnotateStage(
+            seen.shards, seen.n_shards,
+            robots.shards if robots else None,
+            robots.n_shards if robots else 0,
+            skip_seen=skip_seen,
+        )
 
     totals: dict[str, int] = {}
 
@@ -597,7 +607,10 @@ def run_crawl(
                 # would make per-group overhead dominate; the rank fn is
                 # vectorized over whole buckets and host groups never span
                 # buckets
-                fr = fr.map_batches(annotate, batch_format="pyarrow", batch_size=2048)
+                fr = fr.map_batches(
+                    _make_annotate(seen_known_empty),
+                    batch_format="pyarrow", batch_size=2048,
+                )
                 ranked = fr.groupby("host_bucket").map_groups(
                     lambda g: _dedup_and_rank(g, budget_per_host), batch_format="pandas"
                 )
@@ -618,6 +631,7 @@ def run_crawl(
                     break
                 sched_ds, pending, deferred_fut = out
                 _tick("wave-split")
+                seen_known_empty = False  # this wave's marking is in flight
 
                 # seen-marking as its OWN narrow pass over the materialized
                 # ranked blocks, chained with the epoch's shard checkpoint —
@@ -642,6 +656,7 @@ def run_crawl(
                 continue
             else:
                 ranked_pdf = ranked.to_pandas()
+                seen_known_empty = False
                 if "host_bucket" in ranked_pdf.columns:
                     ranked_pdf = ranked_pdf.drop(columns=["host_bucket"])
                 assert len(ranked_pdf) <= DRIVER_FRONTIER_MAX

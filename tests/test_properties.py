@@ -202,3 +202,39 @@ def test_session_ids_match_bruteforce(rows):
 
     for r in got.itertuples():
         assert brute[(r.user_id, r.ts_us, r.event_id)] == r.sid
+
+
+# ---- packed digest routing (state/filters.py) -------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.binary(min_size=16, max_size=16), max_size=200),
+    st.integers(min_value=1, max_value=16),
+)
+def test_route_packed_digests_matches_naive(digests, n_shards):
+    """Vectorized router == per-row shard_of + fromhex, order preserved."""
+    from omni_ray.state.filters import SeenSet, route_packed_digests
+
+    hexes = [d.hex() for d in digests]
+    groups = route_packed_digests(hexes, n_shards)
+    rebuilt = [None] * len(hexes)
+    for sid, (packed, idxs) in groups.items():
+        assert len(packed) == 16 * len(idxs)
+        for k, i in enumerate(idxs):
+            d = packed[16 * k : 16 * k + 16]
+            assert SeenSet.shard_of(d.hex(), n_shards) == sid
+            rebuilt[int(i)] = d
+    assert rebuilt == digests
+
+
+def test_seen_shard_accepts_packed_and_list():
+    """SeenShard.check_and_add/contains: packed blob == list-of-bytes API."""
+    from omni_ray.state.filters import SeenShard
+
+    cls = SeenShard.__ray_metadata__.modified_class  # undecorated actor class
+    a, b = cls(0), cls(1)
+    digests = [bytes([i]) * 16 for i in range(50)]
+    packed = b"".join(digests)
+    assert a.check_and_add(digests) == b.check_and_add(packed)
+    assert a.check_and_add(digests[25:]) == b.check_and_add(b"".join(digests[25:]))
+    assert a.contains(digests) == b.contains(packed) == [True] * 50
