@@ -534,9 +534,11 @@ def run_crawl(
             if prev_deferred_fut is not None:
                 prev_deferred_fut.result()
                 prev_deferred_fut = None
+                _tick("join-deferred")
             if mark_ckpt_fut is not None:
                 mark_ckpt_fut.result()
                 mark_ckpt_fut = None
+                _tick("join-mark")
             # surface background job/completion errors promptly
             for f in job_futs + epoch_futs:
                 if f.done():
@@ -559,9 +561,15 @@ def run_crawl(
             counters.append(("*", "frontier_in", frontier_tbl.num_rows))
 
             # ---- frontier split ----------------------------------------------
-            # from_arrow yields ONE block — split so annotate/dedup parallelize
-            fr = ray.data.from_arrow(frontier_tbl)
-            fr = fr.repartition(max(8, min(128, frontier_tbl.num_rows // 2048)))
+            # from_arrow(table) yields ONE block; slice driver-side (zero-copy
+            # views) instead of a repartition stage, which would round-trip
+            # the whole frontier through the object store just to split it
+            n_parts = max(8, min(64, frontier_tbl.num_rows // 2048))
+            step = -(-frontier_tbl.num_rows // n_parts)  # ceil
+            fr = ray.data.from_arrow([
+                frontier_tbl.slice(i, step)
+                for i in range(0, frontier_tbl.num_rows, step)
+            ])
             pre_ranked = (
                 distributed_frontier
                 and budget_per_host is not None
@@ -639,11 +647,17 @@ def run_crawl(
                 # materialize barrier; the NEXT wave's annotate joins this
                 # chain at loop-top before reading the shards
                 def _mark_and_ckpt(sds=sched_ds, ed=epoch_dir):
+                    _m0 = _time.perf_counter()
                     sds.map_batches(
                         _SeenAdd(seen.shards, seen.n_shards),
                         batch_format="pyarrow", batch_size=4096,
                     ).count()
+                    _m1 = _time.perf_counter()
                     seen.checkpoint(os.path.join(ed, "seen_shards"))
+                    if _timing:  # own stopwatch: runs on a pool thread
+                        print(f"[crawl-timing] mark={_m1 - _m0:.2f}s "
+                              f"ckpt={_time.perf_counter() - _m1:.2f}s",
+                              flush=True)
 
                 mark_ckpt_fut = pool.submit(_mark_and_ckpt)
                 pending.append(mark_ckpt_fut)
@@ -763,10 +777,12 @@ def run_crawl(
         jobs.shutdown(wait=True)
         for f in job_futs:
             f.result()
+        _tick("drain-jobs")
         for f in epoch_futs:
             f.result()
         completer.shutdown(wait=True)
         pool.shutdown(wait=True)
+        _tick("drain-completions")
         totals["waves"] = wave - start_wave
         totals["seen_total"] = seen.total_size()
         totals["scheduled"] = totals.get("scheduled", 0)
@@ -799,8 +815,6 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool,
     fetch+extract; the caller joins them before _COMPLETE. Returns
     (scheduled Dataset [unmarked], pending futures) or None when the wave is
     empty."""
-    from ray.data.aggregate import Count
-
     ranked = ranked.map_batches(
         lambda t: t.drop_columns(["host_bucket"]) if "host_bucket" in t.column_names else t,
         batch_format="pyarrow",
@@ -822,11 +836,27 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool,
         lambda t: t.filter(t.column("scheduled")), batch_format="pyarrow"
     )
 
+    import time as _time
+
+    _timing = os.environ.get("OMNI_RAY_TIMING") == "1"
+
     def _write_schedule() -> None:
-        # per-host lineage counters (small aggregate; list.append is atomic,
-        # and the caller joins this future before serializing counters)
-        hc = sched.groupby("host").aggregate(Count(alias_name="n")).to_pandas()
-        for host, cnt in zip(hc["host"], hc["n"]):
+        _w0 = _time.perf_counter()
+        # per-host lineage counters: a NARROW pass — in-block pyarrow
+        # group_by then a tiny driver fold — not a groupby(host) shuffle
+        # (hosts usually land whole in one rank-output block, so the partial
+        # table is ~|hosts| rows; the fold handles any block-split host).
+        # The old all-to-all cost 2.6 s/wave at 32 cpus contending with
+        # extract (measured; list.append is atomic, and the caller joins
+        # this future before serializing counters)
+        parts = sched.map_batches(
+            lambda t: t.group_by("host").aggregate([("host", "count")]).rename_columns(
+                ["host", "n"]
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        hc = parts.groupby("host", sort=False)["n"].sum() if len(parts) else {}
+        for host, cnt in hc.items():
             counters.append((str(host), "scheduled", int(cnt)))
         sched_dir = os.path.join(epoch_dir, "schedule")
         if not len(hc):
@@ -846,11 +876,17 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool,
             return
         # schedule artifact: globally sorted part files; crawl_order = row
         # position in filename order (deterministic)
+        _w1 = _time.perf_counter()
         sched.sort(SORT_COLS, descending=[not a for a in SORT_ASC]).select_columns(
             ["url", "url_hash", "host", "priority", "discovery_ts"]
         ).write_parquet(sched_dir)
+        if _timing:
+            print(f"[crawl-timing] sched-count={_w1 - _w0:.2f}s "
+                  f"sched-sortwrite={_time.perf_counter() - _w1:.2f}s",
+                  flush=True)
 
     def _write_deferred() -> None:
+        _d0 = _time.perf_counter()
         # deferred = allowed but over budget → next frontier snapshot;
         # carries host_rank - budget: a host's deferred rows had ranks
         # budget, budget+1, …, so the shifted values are exactly the ranks a
@@ -866,6 +902,9 @@ def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool,
         if not any(f.endswith(".parquet") for f in os.listdir(fdir)):
             pq.write_table(_frontier_schema().empty_table(),
                            os.path.join(fdir, "empty.parquet"))
+        if _timing:
+            print(f"[crawl-timing] deferred-write={_time.perf_counter() - _d0:.2f}s",
+                  flush=True)
 
     deferred_fut = pool.submit(_write_deferred)
     pending = [pool.submit(_write_schedule), deferred_fut]
