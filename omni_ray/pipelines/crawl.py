@@ -59,7 +59,7 @@ FRONTIER_COLS = ["url", "source", "priority", "depth", "discovery_ts",
 DRIVER_FRONTIER_MAX = 50_000_000
 
 
-def _dedup_and_rank(group: pd.DataFrame, budget_per_host: int | None) -> pd.DataFrame:
+def _dedup_and_rank(group: pd.DataFrame, budget_per_host: int | None) -> pa.Table:
     """Vectorized dedup + politeness rank over a frame holding WHOLE host
     groups (one host never spans two calls — the shuffle key is
     hash(host) % N buckets). Per host: drop already-seen rows, dedup url_hash
@@ -87,7 +87,12 @@ def _dedup_and_rank(group: pd.DataFrame, budget_per_host: int | None) -> pd.Data
         fresh["scheduled"] = allowed
     else:
         fresh["scheduled"] = allowed & (ranks < budget_per_host)
-    return fresh
+    # Arrow return with metadata stripped (see _FetchBucket.__call__): the
+    # types match what Ray's own pandas→Arrow block conversion would infer,
+    # minus the b'pandas' schema metadata that breaks hash(schema)
+    return pa.Table.from_pandas(
+        fresh, preserve_index=False
+    ).replace_schema_metadata(None)
 
 
 class _AnnotateStage:
@@ -223,7 +228,7 @@ class _FetchBucket:
                     and meta.get("n_sub", 0) % n_fine == 0):
                 self.n_sub = int(meta["n_sub"])
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, group: pd.DataFrame) -> pa.Table:
         import pyarrow.compute as pc
 
         bucket = int(group["bucket"].iloc[0])
@@ -256,7 +261,14 @@ class _FetchBucket:
                 self.wave, int(group["bucket"].iloc[0]),
                 len(merged), int(merged["html"].notna().sum())
             ))
-        return merged
+        # return Arrow with schema-level metadata stripped: Ray would convert
+        # this pandas frame with from_pandas anyway (same types), but the
+        # b'pandas' schema metadata it attaches makes hash(schema) RAISE in
+        # pyarrow 16 — every downstream articles-chain task then logs
+        # "Failed to hash the schemas" and Ray loses its unify fast path
+        return pa.Table.from_pandas(
+            merged, preserve_index=False
+        ).replace_schema_metadata(None)
 
 
 def _bucket_batch(batch: pa.Table, n_buckets: int) -> pa.Table:
@@ -702,7 +714,7 @@ def run_crawl(
                     pa.Table.from_pandas(
                         sched_pdf[["url", "url_hash", "host", "priority", "discovery_ts", "crawl_order"]],
                         preserve_index=False,
-                    ),
+                    ).replace_schema_metadata(None),
                     os.path.join(epoch_dir, "schedule.parquet"),
                 )
 
@@ -711,8 +723,14 @@ def run_crawl(
 
                 drop_cols = ["seen", "robots_allowed", "eligible", "scheduled",
                              "host_rank"]
-                sched_ds = ray.data.from_pandas(sched_pdf.drop(
-                    columns=[c for c in drop_cols if c in sched_pdf.columns]))
+                sched_ds = ray.data.from_arrow(
+                    pa.Table.from_pandas(
+                        sched_pdf.drop(
+                            columns=[c for c in drop_cols
+                                     if c in sched_pdf.columns]),
+                        preserve_index=False,
+                    ).replace_schema_metadata(None)
+                )
                 n_sched = len(sched_pdf)
                 frontier_next_path = os.path.join(epoch_dir, "frontier_next.parquet")
 

@@ -8,6 +8,7 @@
 import os
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -366,8 +367,14 @@ def test_fetch_subbucket_pruning_equivalence(pages_dir):
     seeds["bucket"] = seeds["url"].map(lambda u: url_bucket(u, n_fine))
     n_hits = 0
     for _, group in seeds.groupby("bucket"):
-        a = pruned(group.reset_index(drop=True)).sort_values("url")
-        b = plain(group.reset_index(drop=True)).sort_values("url")
+        at = pruned(group.reset_index(drop=True))
+        bt = plain(group.reset_index(drop=True))
+        # fetch returns Arrow with schema metadata stripped so downstream
+        # block schemas stay hashable (pyarrow 16 hash(schema) raises on
+        # schema-level metadata)
+        assert at.schema.metadata is None and hash(at.schema) == hash(at.schema)
+        a = at.to_pandas().sort_values("url")
+        b = bt.to_pandas().sort_values("url")
         pd.testing.assert_frame_equal(
             a.reset_index(drop=True), b.reset_index(drop=True)
         )
@@ -385,3 +392,27 @@ def test_fetch_subbucket_meta_mismatch_falls_back(pages_dir, tmp_path):
     # n_fine = 24 does not divide n_sub = 8*8 = 64 -> filter must stay off
     fb = _FetchBucket(pages, n_files=8, n_fine=24)
     assert fb.n_sub is None
+
+
+def test_dedup_and_rank_schema_is_hashable():
+    """Regression: map_groups(pandas) stage outputs must be Arrow tables with
+    NO schema-level metadata — pyarrow 16's hash(schema) raises on schema
+    metadata, which made every downstream articles-chain task log "Failed to
+    hash the schemas" and defeated Ray's schema-unify fast path."""
+    from omni_ray.pipelines.crawl import _dedup_and_rank
+
+    df = pd.DataFrame({
+        "url": [f"https://h{i % 2}.example.com/p{i}" for i in range(6)],
+        "url_hash": [f"{i:032x}" for i in range(6)],
+        "host": [f"h{i % 2}.example.com" for i in range(6)],
+        "priority": pd.array([5, 4, 3, 2, 1, 0], dtype="int32"),
+        "discovery_ts": pd.to_datetime("2026-01-01"),
+        "seen": [False] * 6,
+        "robots_allowed": [True] * 6,
+    })
+    t = _dedup_and_rank(df, 2)
+    assert isinstance(t, pa.Table)
+    assert t.schema.metadata is None
+    hash(t.schema)  # must not raise
+    got = t.to_pandas()
+    assert int(got["scheduled"].sum()) == 4  # 2 hosts x budget 2
