@@ -68,7 +68,9 @@ def run_bench() -> dict:
     # read + map + shuffle so timings measure compute, not process startup
     from ray.data.aggregate import Count as _Count
 
-    warm = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    from omni_ray.pipelines.queries import _read as _clean_read
+
+    warm = _clean_read(SF_DIR, "lineitem", columns=["l_returnflag", "l_quantity"])
     warm.map_batches(lambda t: t, batch_format="pyarrow").groupby("l_returnflag").aggregate(
         _Count()
     ).count()

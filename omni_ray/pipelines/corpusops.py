@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+
+from .queries import _pd_arrow
 import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
@@ -81,11 +83,11 @@ def fingerprint_pairs(sf_dir: str):
     out = (
         ds.map_batches(grams, batch_format="pyarrow")
         .groupby("fp")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(_pd_arrow(pairs), batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_shared"))
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_FINGERPRINT_PAIRS = r"""
@@ -204,7 +206,7 @@ def unigram_logprob(sf_dir: str):
         ["doc_id"],
         {"n_tokens": ("tf", "sum"), "logprob_q": ("part", "sum")},
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_UNIGRAM_LOGPROB = r"""
@@ -393,7 +395,7 @@ def semi_join_urgent(sf_dir: str):
         urgent, join_type="inner",
         on=("c_custkey",), right_on=("o_custkey",), num_partitions=8,
     ).select_columns(["c_custkey", "c_name", "c_mktsegment", "n_urgent"])
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_SEMI_JOIN_URGENT = """
@@ -457,7 +459,7 @@ def rollup_revenue(sf_dir: str):
         years.map_batches(add_all, batch_format="pyarrow"),
         ray.data.from_arrow(total_tbl),
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_ROLLUP_REVENUE = """
@@ -492,8 +494,8 @@ def mode_per_user(sf_dir: str):
         return g.sort_values(["n_events", "event_type"],
                              ascending=[False, True], kind="mergesort").head(1)
 
-    out = counts.groupby("user_id").map_groups(pick, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = counts.groupby("user_id").map_groups(_pd_arrow(pick), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_MODE_PER_USER = """
@@ -528,7 +530,7 @@ def outlier_events(sf_dir: str):
         })
 
     thr_rows = (
-        ds.groupby("event_type").map_groups(thr, batch_format="pandas").take_all()
+        ds.groupby("event_type").map_groups(_pd_arrow(thr), batch_format="pandas").take_all()
     )
     thr_ref = ray.put({r["event_type"]: int(r["p99c"]) for r in thr_rows})
 
@@ -640,8 +642,8 @@ def funnel_conversion(sf_dir: str):
             "lag_us": np.array([lag], dtype=np.int64),
         })
 
-    out = ds.groupby("user_id").map_groups(funnel, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = ds.groupby("user_id").map_groups(_pd_arrow(funnel), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_FUNNEL_CONVERSION = """
@@ -687,8 +689,8 @@ def event_gaps(sf_dir: str):
             "span_us": np.array([int(d.sum()) if len(d) else 0], dtype=np.int64),
         })
 
-    out = ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = ds.groupby("user_id").map_groups(_pd_arrow(gaps), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_EVENT_GAPS = """
@@ -733,7 +735,7 @@ def daily_active_users(sf_dir: str):
         .select_columns(["day", "user_id"])
     )
     out = pairs.groupby("day").aggregate(Count(alias_name="n_users"))
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_DAILY_ACTIVE_USERS = """

@@ -984,7 +984,7 @@ def read_schedule_artifacts(out_dir: str) -> pa.Table:
         frames.append(f)
     if not frames:
         return pa.table({})
-    return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
+    return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False).replace_schema_metadata(None)
 
 
 def _frontier_schema() -> pa.Schema:
@@ -1027,7 +1027,7 @@ def _finish_epoch_pdf(epoch_dir, seen, deferred_pdf, counters, wave) -> None:
     if deferred_pdf is not None and len(deferred_pdf):
         tbl = pa.Table.from_pandas(
             deferred_pdf[FRONTIER_COLS], preserve_index=False
-        ).cast(schema)
+        ).replace_schema_metadata(None).cast(schema)
     else:
         tbl = schema.empty_table()
     pq.write_table(tbl, os.path.join(epoch_dir, "frontier_next.parquet"))

@@ -41,7 +41,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Count, Sum
 
-from .queries import _read
+from .queries import _read, _pd_arrow
 
 _DAY_US = 86_400_000_000
 _SESSION_US = 1_800_000_000  # 30-minute interval length (mirrored in SQL)
@@ -72,7 +72,7 @@ def streak_longest_per_user(sf_dir: str):
         # block-local distinct: the combiner
         df = out.to_pandas().drop_duplicates()
         df["_ub"] = (df["user_id"].to_numpy() & 255).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def islands(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["user_id", "day"]).sort_values(
@@ -92,9 +92,9 @@ def streak_longest_per_user(sf_dir: str):
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("_ub").map_groups(islands, batch_format="pandas")
+        .groupby("_ub").map_groups(_pd_arrow(islands), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_STREAK_LONGEST_PER_USER = """
@@ -153,9 +153,9 @@ def scd2_intervals(sf_dir: str):
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("_ub").map_groups(compress, batch_format="pandas")
+        .groupby("_ub").map_groups(_pd_arrow(compress), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_SCD2_INTERVALS = """
@@ -232,10 +232,10 @@ def merge_upsert_snapshot(sf_dir: str):
     merged = (
         base.map_batches(prep_base, batch_format="pyarrow")
         .union(log.map_batches(prep_log, batch_format="pyarrow"))
-        .map_batches(keep_last, batch_format="pandas")
-        .groupby("_kb").map_groups(finish, batch_format="pandas")
+        .map_batches(_pd_arrow(keep_last), batch_format="pandas")
+        .groupby("_kb").map_groups(_pd_arrow(finish), batch_format="pandas")
     )
-    return pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(merged.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_MERGE_UPSERT_SNAPSHOT = """
@@ -311,7 +311,7 @@ def above_nation_avg(sf_dir: str):
         df["c_nationkey"] = nats[pos]
         return df
 
-    with_nat = totals.map_batches(add_nation, batch_format="pandas")
+    with_nat = totals.map_batches(_pd_arrow(add_nation), batch_format="pandas")
     per_nation = with_nat.groupby("c_nationkey").aggregate(
         Sum("total_cents", alias_name="nsum"), Count(alias_name="ncnt")
     ).to_pandas()
@@ -331,8 +331,8 @@ def above_nation_avg(sf_dir: str):
             "total_cents": out["total_cents"].to_numpy().astype(np.int64),
         })
 
-    out = with_nat.map_batches(flt, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = with_nat.map_batches(_pd_arrow(flt), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_ABOVE_NATION_AVG = """
@@ -403,9 +403,9 @@ def ntile_day_quartiles(sf_dir: str):
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("day").map_groups(tiles, batch_format="pandas")
+        .groupby("day").map_groups(_pd_arrow(tiles), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_NTILE_DAY_QUARTILES = """
@@ -471,9 +471,9 @@ def interval_coalesce(sf_dir: str):
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("_ub").map_groups(coalesce, batch_format="pandas")
+        .groupby("_ub").map_groups(_pd_arrow(coalesce), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_INTERVAL_COALESCE = """
@@ -571,7 +571,7 @@ def column_profile(sf_dir: str):
         df = pd.concat(parts, ignore_index=True)
         df["_kb"] = (pd.util.hash_array(df["v"].to_numpy())
                      % 64).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def dv_final(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["col_name", "v"]).groupby(
@@ -593,7 +593,7 @@ def column_profile(sf_dir: str):
     )
     nd = (
         ds.map_batches(dv_partial, batch_format="pyarrow")
-        .groupby("_kb").map_groups(dv_final, batch_format="pandas")
+        .groupby("_kb").map_groups(_pd_arrow(dv_final), batch_format="pandas")
         .groupby("col_name").aggregate(Sum("nd", alias_name="n_distinct"))
         .to_pandas()
     )
@@ -609,7 +609,7 @@ def column_profile(sf_dir: str):
     out["n_null"] = out["n_null"].astype(np.int64)
     out["n_distinct"] = out["n_distinct"].astype(np.int64)
     return pa.Table.from_pandas(out.reset_index(drop=True),
-                                preserve_index=False)
+                                preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_COLUMN_PROFILE = """
@@ -718,7 +718,7 @@ def pmi_top_pairs(sf_dir: str, small_side_max: int = 200_000):
                           kind="mergesort").head(50)
         return pa.Table.from_pandas(
             m[["w1", "w2", "n_ab", "pmi_q"]].reset_index(drop=True),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     def split(is_uni: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -785,18 +785,18 @@ def pmi_top_pairs(sf_dir: str, small_side_max: int = 200_000):
         return m[["w1", "w2", "n_ab", "pmi_q"]]
 
     # word-bucketed unigram lookup (side 0 = counts, 1/2 = pair slots)
-    uni_tagged = uni.map_batches(tag_uni, batch_format="pandas")
-    need = cand.map_batches(explode_words, batch_format="pandas")
+    uni_tagged = uni.map_batches(_pd_arrow(tag_uni), batch_format="pandas")
+    need = cand.map_batches(_pd_arrow(explode_words), batch_format="pandas")
     joined = uni_tagged.union(need).groupby("_wb").map_groups(
-        lookup, batch_format="pandas")
-    scored = joined.groupby("_pb").map_groups(score, batch_format="pandas")
+        _pd_arrow(lookup), batch_format="pandas")
+    scored = joined.groupby("_pb").map_groups(_pd_arrow(score), batch_format="pandas")
 
     keys, desc = ["pmi_q", "w1", "w2"], [True, False, False]
     out = (
         scored.map_batches(_block_topk(keys, desc, 50), batch_format="pyarrow")
         .sort(keys, descending=desc).limit(50)
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_PMI_TOP_PAIRS = r"""
@@ -865,9 +865,9 @@ def user_path_signature(sf_dir: str):
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("_ub").map_groups(sig, batch_format="pandas")
+        .groupby("_ub").map_groups(_pd_arrow(sig), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_USER_PATH_SIGNATURE = """
@@ -935,8 +935,8 @@ def zscore_by_type(sf_dir: str):
             "z_q": np.floor(z * 1_000_000 + 0.5).astype(np.int64),
         })
 
-    out = prepped.map_batches(zscore, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = prepped.map_batches(_pd_arrow(zscore), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_ZSCORE_BY_TYPE = """
@@ -991,9 +991,9 @@ def cume_dist_day(sf_dir: str):
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("day").map_groups(cume, batch_format="pandas")
+        .groupby("day").map_groups(_pd_arrow(cume), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_CUME_DIST_DAY = """
@@ -1082,7 +1082,7 @@ def local_supplier_revenue(sf_dir: str):
     per_nat["n_name"] = nv[np.searchsorted(nk, per_nat["s_nat"].to_numpy())]
     per_nat["revenue_q"] = per_nat["revenue_q"].astype(np.int64)
     return pa.Table.from_pandas(per_nat[["n_name", "revenue_q"]],
-                                preserve_index=False)
+                                preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_LOCAL_SUPPLIER_REVENUE = """
@@ -1323,9 +1323,9 @@ def time_weighted_avg(sf_dir: str):
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("_ub").map_groups(twa, batch_format="pandas")
+        .groupby("_ub").map_groups(_pd_arrow(twa), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_TIME_WEIGHTED_AVG = """
@@ -1386,7 +1386,7 @@ def peak_concurrency(sf_dir: str):
 
     parts = (
         ds.map_batches(deltas, batch_format="pyarrow")
-        .groupby("day").map_groups(local_scan, batch_format="pandas")
+        .groupby("day").map_groups(_pd_arrow(local_scan), batch_format="pandas")
         .to_pandas()
         .sort_values("day")
     )
@@ -1449,7 +1449,7 @@ def densified_daily_counts(sf_dir: str):
         [days, types], names=["day", "event_type"]).to_frame(index=False)
     out = dense.merge(sparse, on=["day", "event_type"], how="left")
     out["n"] = out["n"].fillna(0).astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_DENSIFIED_DAILY_COUNTS = """
@@ -1505,7 +1505,7 @@ def unpivot_ohlc(sf_dir: str):
 
     wide = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("day").map_groups(per_day, batch_format="pandas")
+        .groupby("day").map_groups(_pd_arrow(per_day), batch_format="pandas")
     )
 
     def melt(df: pd.DataFrame) -> pd.DataFrame:
@@ -1514,8 +1514,8 @@ def unpivot_ohlc(sf_dir: str):
         out["value"] = out["value"].astype(np.int64)
         return out
 
-    out = wide.map_batches(melt, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = wide.map_batches(_pd_arrow(melt), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_UNPIVOT_OHLC = """
@@ -1579,7 +1579,7 @@ def revenue_share_ppm(sf_dir: str):
     )
     return pa.Table.from_pandas(
         per_nat[["c_nationkey", "revenue_q", "share_ppm"]],
-        preserve_index=False)
+        preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_REVENUE_SHARE_PPM = """
@@ -1648,7 +1648,7 @@ def bounce_rate_daily(sf_dir: str):
 
     daily = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+        .groupby("_ub").map_groups(_pd_arrow(per_bucket), batch_format="pandas")
         .groupby("day").aggregate(
             Sum("n_sessions", alias_name="n_sessions"),
             Sum("n_bounces", alias_name="n_bounces"),
@@ -1660,7 +1660,7 @@ def bounce_rate_daily(sf_dir: str):
         daily["n_bounces"].to_numpy() * 1_000_000
         // daily["n_sessions"].to_numpy()
     )
-    return pa.Table.from_pandas(daily, preserve_index=False)
+    return pa.Table.from_pandas(daily, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_BOUNCE_RATE_DAILY = """
@@ -1740,7 +1740,7 @@ def session_type_lift(sf_dir: str):
 
     folded = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("_ub").map_groups(per_bucket, batch_format="pandas")
+        .groupby("_ub").map_groups(_pd_arrow(per_bucket), batch_format="pandas")
         .groupby(["t1", "t2"]).aggregate(Sum("n_ab", alias_name="n"))
         .to_pandas()
     )
@@ -1755,7 +1755,7 @@ def session_type_lift(sf_dir: str):
     ]
     out = pairs[["t1", "t2", "n_ab", "lift_ppm"]].reset_index(drop=True)
     out["lift_ppm"] = out["lift_ppm"].astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_SESSION_TYPE_LIFT = """
@@ -1826,7 +1826,7 @@ def engagement_report(sf_dir: str):
     )
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_ENGAGEMENT_REPORT = """

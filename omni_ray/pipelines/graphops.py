@@ -41,7 +41,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from .queries import _bucketed_agg, _read
+from .queries import _bucketed_agg, _read, _pd_arrow
 
 # -- pagerank over a deterministic link graph --------------------------------
 
@@ -349,7 +349,7 @@ def transition_counts(sf_dir: str):
         out = df.value_counts().reset_index(name="c")
         return out
 
-    partial = ev.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    partial = ev.groupby("user_id").map_groups(_pd_arrow(pairs), batch_format="pandas")
     out = (
         partial.groupby(["prev_type", "next_type"])
         .aggregate(Sum("c", alias_name="cnt"))
@@ -404,7 +404,7 @@ def degree_histogram(sf_dir: str):
     df = out.to_pandas()
     for c in df.columns:
         df[c] = df[c].astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_DEGREE_HISTOGRAM = f"""
@@ -464,7 +464,7 @@ def khop_reachable(sf_dir: str):
         rows.append((hop, len(new)))
         frontier = new
     df = pd.DataFrame(rows, columns=["hop", "n_new"]).astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_KHOP_REACHABLE = f"""

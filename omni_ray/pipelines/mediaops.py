@@ -30,6 +30,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from .queries import _read
+
 from ..stages.multimodal import AudioChunkStage, FrameSampleStage, ResizePlanStage
 from .mlqueries import _hex_u32_le
 
@@ -38,8 +40,8 @@ _KINDS = ["image", "audio", "video"]
 
 def _media(sf_dir: str) -> ray.data.Dataset:
     """documents → deterministic media table (see module docstring)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ds = _read(
+        sf_dir, "documents", columns=["doc_id", "text", "n_chars"]
     )
 
     def to_media(t: pa.Table) -> pa.Table:
@@ -63,7 +65,7 @@ def _media(sf_dir: str) -> ray.data.Dataset:
 def _collect_i64(ds: ray.data.Dataset, str_cols: tuple[str, ...] = ()) -> pa.Table:
     """Materialize a row-sized result with every non-string column as int64
     (the repo's driver-compare rule: integer values, identical dtypes)."""
-    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False).replace_schema_metadata(None)
     cols = {
         name: (t[name] if name in str_cols else pc.cast(t[name], pa.int64()))
         for name in t.column_names
@@ -178,7 +180,7 @@ def image_channel_stats(sf_dir: str):
     payload bytes never cross a stage boundary; zero shuffle."""
     from ..stages.multimodal import PpmDecodeStage, encode_ppm
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def to_ppm(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy().astype(np.int64)
@@ -230,7 +232,7 @@ def wav_audio_stats(sf_dir: str):
     count and sample bytes all round-trip for real."""
     from ..stages.multimodal import WavDecodeStage, encode_wav
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def to_wav(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy().astype(np.int64)

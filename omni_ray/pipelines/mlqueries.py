@@ -12,6 +12,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from .queries import _read, _pd_arrow
+
 
 def _n_blocks() -> int:
     """Block count for the single-file sandbox tables: ≈ CPU count. Ray's
@@ -25,15 +27,15 @@ def _n_blocks() -> int:
 
 
 def _docs(sf_dir: str):
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    return _read(
+        sf_dir, "documents", columns=["doc_id", "text"],
         override_num_blocks=_n_blocks(),
     )
 
 
 def _emb(sf_dir: str):
-    return ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+    return _read(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"],
         override_num_blocks=_n_blocks(),
     )
 
@@ -545,7 +547,7 @@ def training_corpus_pipeline(sf_dir: str):
 
     surv = (
         ds.map_batches(stage1, batch_format="pyarrow")
-        .groupby("hb").map_groups(dedup_first, batch_format="pandas")
+        .groupby("hb").map_groups(_pd_arrow(dedup_first), batch_format="pandas")
         .materialize()  # survivors: (doc_id, n_tokens) — the reduced entity
     )
 
@@ -581,11 +583,11 @@ def training_corpus_pipeline(sf_dir: str):
             "chunk_id": before // _TCP_SEQ,
         })
 
-    out = spanned.groupby("pbkt").map_groups(scan, batch_format="pandas")
+    out = spanned.groupby("pbkt").map_groups(_pd_arrow(scan), batch_format="pandas")
     df = out.to_pandas()
     for c in df.columns:
         df[c] = df[c].astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_TRAINING_CORPUS_PIPELINE = r"""
@@ -727,7 +729,7 @@ def knn_ivf_q(sf_dir: str):
 def text_stats_q(sf_dir: str):
     from ..functions.textstats import text_stats_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = _read(sf_dir, "documents")
     return ds.map_batches(text_stats_batch, batch_format="pyarrow").drop_columns(["text"])
 
 
@@ -870,8 +872,8 @@ def media_pipeline_stats(sf_dir: str):
 
     from ..stages.multimodal import FrameSampleStage, ImageDecodeStage
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ds = _read(
+        sf_dir, "documents", columns=["doc_id", "text", "n_chars"]
     )
     kinds = ["image", "audio", "video"]
 
@@ -912,7 +914,7 @@ def media_pipeline_stats(sf_dir: str):
     for c in per_kind.columns:
         if c != "kind":
             per_kind[c] = per_kind[c].astype("int64")
-    return pa.Table.from_pandas(per_kind, preserve_index=False)
+    return pa.Table.from_pandas(per_kind, preserve_index=False).replace_schema_metadata(None)
 
 
 def _hex_u32_le(col: str) -> str:
@@ -1148,9 +1150,9 @@ def tfidf_top_terms(sf_dir: str):
         scored.map_batches(score, batch_format="pyarrow")
         .map_batches(add_db, batch_format="pyarrow")
         .groupby("_db")
-        .map_groups(top3_in_bucket, batch_format="pandas")
+        .map_groups(_pd_arrow(top3_in_bucket), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_TFIDF_TOP_TERMS = r"""
@@ -1226,12 +1228,12 @@ def label_centroids(sf_dir: str):
         })
 
     out = agg.map_batches(finish, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 def _emb_labeled(sf_dir: str):
-    return ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"],
+    return _read(
+        sf_dir, "embeddings", columns=["label", "embedding"],
         override_num_blocks=_n_blocks(),
     )
 
@@ -1337,7 +1339,7 @@ def bigram_top_terms(sf_dir: str):
         .sort(keys, descending=desc)
         .limit(25)
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_BIGRAM_TOP_TERMS = r"""
@@ -1369,8 +1371,8 @@ def dedup_keep_best(sf_dir: str):
 
     from ray.data.aggregate import Count, Max
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"],
+    ds = _read(
+        sf_dir, "documents", columns=["doc_id", "text", "n_chars"],
         override_num_blocks=_n_blocks(),
     )
 
@@ -1403,7 +1405,7 @@ def dedup_keep_best(sf_dir: str):
         })
 
     out = agg.map_batches(unpack, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_DEDUP_KEEP_BEST = """
@@ -1431,8 +1433,8 @@ def hash_sample(sf_dir: str):
     key. Zero shuffle; the filter runs inside the column-pruned read."""
     import hashlib
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
+    ds = _read(
+        sf_dir, "documents", columns=["doc_id", "n_chars"],
         override_num_blocks=_n_blocks(),
     )
 
@@ -1467,8 +1469,8 @@ def length_histogram(sf_dir: str):
     per-batch band + bincount partials; the groupby moves only band rows."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["n_chars"],
+    ds = _read(
+        sf_dir, "documents", columns=["n_chars"],
         override_num_blocks=_n_blocks(),
     )
 
@@ -1490,7 +1492,7 @@ def length_histogram(sf_dir: str):
         .aggregate(Sum("n_docs", alias_name="n_docs"),
                    Sum("total_chars", alias_name="total_chars"))
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_LENGTH_HISTOGRAM = """
@@ -1514,8 +1516,8 @@ def mix_sources(sf_dir: str):
 
     from ray.data.aggregate import Count, Sum
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"],
+    ds = _read(
+        sf_dir, "documents", columns=["doc_id", "source"],
         override_num_blocks=_n_blocks(),
     )
 
@@ -1541,7 +1543,7 @@ def mix_sources(sf_dir: str):
         .groupby("source")
         .aggregate(Sum("kept", alias_name="n_kept"), Count(alias_name="n_total"))
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_MIX_SOURCES = """
@@ -1581,8 +1583,8 @@ def cross_source_overlap(sf_dir: str):
 
     tok = re.compile(r"[^a-z0-9]+")
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["text", "source"],
+    ds = _read(
+        sf_dir, "documents", columns=["text", "source"],
         override_num_blocks=_n_blocks(),
     )
 
@@ -1610,11 +1612,11 @@ def cross_source_overlap(sf_dir: str):
     out = (
         ds.map_batches(h, batch_format="pyarrow")
         .groupby("content_hash")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(_pd_arrow(pairs), batch_format="pandas")
         .groupby(["source_a", "source_b"])
         .aggregate(Sum("n_shared", alias_name="n_shared"))
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_CROSS_SOURCE_OVERLAP = """

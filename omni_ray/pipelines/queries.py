@@ -26,10 +26,65 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
-def _read(sf_dir: str, table: str, columns=None, filter=None):
-    return ray.data.read_parquet(
-        f"{sf_dir}/{table}.parquet", columns=columns, filter=filter
-    )
+def _clean_read_schema(path: str):
+    """Metadata-free schema for a parquet file, or None if already clean.
+
+    The driver-generated testdata tables carry b'pandas' schema-level
+    metadata. pyarrow 16's hash(schema) RAISES on schema metadata, so every
+    read task logs "Failed to hash the schemas (for deduplication)" and Ray
+    loses its schema-unify fast path for the whole downstream chain. Handing
+    the scanner the SAME schema minus metadata (one footer read on the
+    driver) makes every block clean at the source — zero-copy, no casts."""
+    import pyarrow.parquet as _pq
+
+    s = _pq.read_schema(path)
+    return s.remove_metadata() if s.metadata else None
+
+
+def _strip_meta_batch(t: pa.Table) -> pa.Table:
+    """Zero-copy schema-metadata strip; fuses with the read stage."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def _read(sf_dir: str, table: str, columns=None, filter=None, **kwargs):
+    path = f"{sf_dir}/{table}.parquet"
+    full = _clean_read_schema(path)
+    if full is not None and "schema" not in kwargs:
+        if columns is None:
+            kwargs["schema"] = full
+        elif filter is None:
+            # Ray hands the user schema unsubsetted to Table.from_batches, so
+            # a projected read needs the projected schema
+            kwargs["schema"] = pa.schema([full.field(c) for c in columns])
+        # columns + filter: the filter may reference non-projected columns,
+        # which cannot bind against a subset schema — fall through to the
+        # fused strip below (a filtered read has no count() metadata fast
+        # path to lose anyway)
+    ds = ray.data.read_parquet(path, columns=columns, filter=filter, **kwargs)
+    if full is not None and "schema" not in kwargs:
+        ds = ds.map_batches(_strip_meta_batch, batch_format="pyarrow")
+    return ds
+
+
+def _pd_arrow(fn):
+    """Wrap a pandas UDF (map_batches/map_groups body) so a DataFrame return
+    becomes a metadata-free Arrow table. Ray's own pandas→Arrow block
+    conversion attaches b'pandas' schema-level metadata; pyarrow 16's
+    hash(schema) RAISES on schema metadata, so every downstream task logs
+    "Failed to hash the schemas (for deduplication)" and Ray loses its
+    schema-unify fast path. Same conversion work either way — just clean."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        out = fn(*a, **k)
+        if isinstance(out, pd.DataFrame):
+            return pa.Table.from_pandas(
+                out, preserve_index=False
+            ).replace_schema_metadata(None)
+        return out
+
+    return wrapped
 
 
 _BAGG_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -71,8 +126,8 @@ def _bucketed_agg(ds, keys: list, spec: dict, n_buckets: int = 256):
         return pd.DataFrame(cols).reset_index()
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("_kb").map_groups(final, batch_format="pandas")
+        ds.map_batches(_pd_arrow(partial), batch_format="pandas")
+        .groupby("_kb").map_groups(_pd_arrow(final), batch_format="pandas")
     )
 
 
@@ -117,7 +172,7 @@ def q1_pricing_summary(sf_dir: str):
         Mean("l_discount", alias_name="avg_disc"),
         Count(alias_name="count_order"),
     )
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
     return _quantize(
         tbl,
         {"sum_qty": 100, "sum_base_price": 100, "sum_disc_price": 10_000,
@@ -190,7 +245,7 @@ def per_category_rollup(sf_dir: str):
         Count(alias_name="n"), Mean("value", alias_name="avg_value")
     )
     return _quantize(
-        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"avg_value": 1_000_000}
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None), {"avg_value": 1_000_000}
     )
 
 
@@ -222,7 +277,7 @@ def per_domain_topk(sf_dir: str):
         .limit(15)
     )
     return _quantize(
-        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"avg_chars": 1_000_000}
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None), {"avg_chars": 1_000_000}
     )
 
 
@@ -245,7 +300,7 @@ def daily_timeseries(sf_dir: str):
     out = ds.map_batches(day, batch_format="pyarrow").groupby("day").aggregate(
         Count(alias_name="n")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_DAILY_TIMESERIES = """
@@ -268,7 +323,7 @@ def daily_type_matrix(sf_dir: str):
     out = ds.map_batches(expand, batch_format="pyarrow").groupby("day").aggregate(
         *[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types]
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_DAILY_TYPE_MATRIX = """
@@ -312,7 +367,7 @@ def facet_bands(sf_dir: str):
     out = ds.map_batches(band, batch_format="pyarrow").groupby("band").aggregate(
         Count(alias_name="n")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_FACET_BANDS = """
@@ -357,7 +412,7 @@ def topk_by_value(sf_dir: str):
         .sort(keys, descending=desc)
         .limit(10)
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_TOPK_BY_VALUE = """
@@ -381,7 +436,7 @@ def filtered_listing(sf_dir: str):
         .limit(100)
         .drop_columns(["o_orderstatus"])
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_FILTERED_LISTING = """
@@ -426,7 +481,7 @@ def nation_revenue(sf_dir: str):
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
     )
     return _quantize(
-        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"revenue": 100}
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None), {"revenue": 100}
     )
 
 
@@ -454,7 +509,7 @@ def nation_revenue_hashjoin(sf_dir: str):
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
     )
     return _quantize(
-        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"revenue": 100}
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None), {"revenue": 100}
     )
 
 
@@ -492,7 +547,7 @@ def entities_export_join(sf_dir: str):
         .aggregate(Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="total_price"))
     )
     return _quantize(
-        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"total_price": 100}
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None), {"total_price": 100}
     )
 
 
@@ -520,7 +575,7 @@ def exact_dedup(sf_dir: str):
     out = ds.map_batches(h, batch_format="pyarrow").groupby("content_hash").aggregate(
         Min("doc_id", alias_name="keeper_id"), Count(alias_name="n_copies")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_EXACT_DEDUP = """
@@ -540,8 +595,8 @@ def last_event_per_user(sf_dir: str):
             columns={"event_id": "last_event_id", "event_type": "last_event_type"}
         )
 
-    out = ds.groupby("user_id").map_groups(latest, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = ds.groupby("user_id").map_groups(_pd_arrow(latest), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_LAST_EVENT_PER_USER = """
@@ -590,7 +645,7 @@ def window_tumbling(sf_dir: str):
         Count(alias_name="n"), Sum("value", alias_name="sum_value")
     )
     return _quantize(
-        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"sum_value": 1_000_000}
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None), {"sum_value": 1_000_000}
     )
 
 
@@ -627,8 +682,8 @@ def sessionize(sf_dir: str):
         out["user_id"] = g["user_id"].iloc[0]
         return out[["user_id", "session_id", "n_events", "start_us", "end_us"]]
 
-    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = ds.groupby("user_id").map_groups(_pd_arrow(sess), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_SESSIONIZE = """
@@ -672,7 +727,7 @@ def keyword_search(sf_dir: str):
         .sort(keys, descending=desc)
         .limit(20)
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_KEYWORD_SEARCH = """
@@ -812,7 +867,7 @@ def multi_field_search(sf_dir: str):
         .set_index("doc_id")["text"]
     )
     top["highlight"] = [_mfs_highlight(texts[d]) for d in top["doc_id"]]
-    return pa.Table.from_pandas(top, preserve_index=False)
+    return pa.Table.from_pandas(top, preserve_index=False).replace_schema_metadata(None)
 
 
 _MFS_TVAR_VALUES = ", ".join(
@@ -906,7 +961,7 @@ def search_analytics(sf_dir: str):
     # a 1e6 scale would leave less margin than float reduction-order error —
     # same rationale as q1's sum scales
     return _quantize(
-        pa.Table.from_pandas(out.to_pandas(), preserve_index=False),
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None),
         {"total_results": 100},
     )
 
@@ -932,7 +987,7 @@ def paginate(ds, page: int, page_size: int, sort_cols, descending):
     )
     sorted_ds = pruned.sort(sort_cols, descending=descending)
     splits = sorted_ds.limit(start + page_size).split_at_indices([start])
-    return pa.Table.from_pandas(splits[1].to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(splits[1].to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 def paginated_listing(sf_dir: str):
@@ -976,7 +1031,7 @@ def sliding_window(sf_dir: str):
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
     )
     return _quantize(
-        pa.Table.from_pandas(out.to_pandas(), preserve_index=False),
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None),
         {"sum_value": 1_000_000},
     )
 
@@ -1014,7 +1069,7 @@ def json_props_stats(sf_dir: str):
         Count(alias_name="n"), Sum("k", alias_name="sum_k"), Mean("k", alias_name="avg_k")
     )
     return _quantize(
-        pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"avg_k": 1_000_000}
+        pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None), {"avg_k": 1_000_000}
     )
 
 
@@ -1105,8 +1160,8 @@ def asof_join_attribution(sf_dir: str):
             out[c] = out[c].fillna(-1).astype("int64")
         return out[list(_ASOF_COLS)]
 
-    out = ds.groupby("user_id").map_groups(attrib, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = ds.groupby("user_id").map_groups(_pd_arrow(attrib), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_ASOF_ATTRIBUTION = """
@@ -1248,7 +1303,7 @@ def range_join_bucketed(sf_dir: str):
         })
 
     out = joined.map_batches(verify, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_RANGE_JOIN_BUCKETED = """
@@ -1304,8 +1359,8 @@ def anti_join_customers(sf_dir: str):
         out = build[~build["key"].isin(probe_keys)][["key", "c_name"]]
         return out.rename(columns={"key": "c_custkey"})
 
-    out = both.groupby("kb").map_groups(keep, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = both.groupby("kb").map_groups(_pd_arrow(keep), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_ANTI_JOIN_CUSTOMERS = """
@@ -1335,8 +1390,8 @@ def segment_quantiles(sf_dir: str):
             "p95_q": np.array([np.floor(p95 * 100 + 0.5)], dtype=np.int64),
         })
 
-    out = ds.groupby("c_mktsegment").map_groups(qtl, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = ds.groupby("c_mktsegment").map_groups(_pd_arrow(qtl), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_SEGMENT_QUANTILES = """
@@ -1379,7 +1434,7 @@ def order_revenue_topk(sf_dir: str):
 
     rev = (
         li.map_batches(disc, batch_format="pyarrow")
-        .groupby("gb").map_groups(sum_in_bucket, batch_format="pandas")
+        .groupby("gb").map_groups(_pd_arrow(sum_in_bucket), batch_format="pandas")
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     j = orders.join(rev, join_type="inner", on=("o_orderkey",),
@@ -1404,7 +1459,7 @@ def order_revenue_topk(sf_dir: str):
     top["c_name"] = [names[k] for k in top["o_custkey"]]
     return pa.Table.from_pandas(
         top[["o_orderkey", "c_name", "revenue_q"]], preserve_index=False
-    )
+    ).replace_schema_metadata(None)
 
 
 SQL_ORDER_REVENUE_TOPK = """
@@ -1448,9 +1503,9 @@ def top3_orders_per_customer(sf_dir: str):
 
     out = (
         ds.map_batches(add_cb, batch_format="pyarrow")
-        .groupby("_cb").map_groups(top3_in_bucket, batch_format="pandas")
+        .groupby("_cb").map_groups(_pd_arrow(top3_in_bucket), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_TOP3_ORDERS_PER_CUSTOMER = """
@@ -1479,8 +1534,8 @@ def running_total_per_user(sf_dir: str):
             "running_q": np.floor(cum * 100 + 0.5).astype(np.int64),
         })
 
-    out = ds.groupby("user_id").map_groups(run, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = ds.groupby("user_id").map_groups(_pd_arrow(run), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_RUNNING_TOTAL_PER_USER = """
@@ -1503,8 +1558,8 @@ def stratified_sample_by_lang(sf_dir: str):
         g = g.sort_values("doc_id", kind="mergesort")
         return g.iloc[::10][["lang", "doc_id", "n_chars"]]
 
-    out = ds.groupby("lang").map_groups(samp, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = ds.groupby("lang").map_groups(_pd_arrow(samp), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_STRATIFIED_SAMPLE = """
@@ -1563,7 +1618,7 @@ def asof_broadcast_index(sf_dir: str):
         })
 
     out = li.map_batches(attach, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_ASOF_BROADCAST_INDEX = """

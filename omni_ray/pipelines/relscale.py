@@ -48,7 +48,7 @@ import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 from ..stages.dedup import _fetch_broadcast
-from .queries import _read
+from .queries import _read, _pd_arrow
 
 # -- double-bloom anti-join ---------------------------------------------------
 
@@ -179,7 +179,7 @@ def bloom_antijoin(sf_dir: str):
         out = g[g["side"] == 0][["key", "p_name"]]
         return out.rename(columns={"key": "p_partkey"})
 
-    survivors = both.groupby("key").map_groups(keep, batch_format="pandas")
+    survivors = both.groupby("key").map_groups(_pd_arrow(keep), batch_format="pandas")
     out = pd.concat(
         [direct.to_pandas(), survivors.to_pandas()], ignore_index=True
     )
@@ -226,7 +226,7 @@ def corr_moments(sf_dir: str):
         df["sx"], df["sy"] = x, y
         df["sxx"], df["syy"], df["sxy"] = x * x, y * y, x * y
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     summed = (
         li.map_batches(partial, batch_format="pyarrow")
@@ -307,7 +307,7 @@ def ttl_dedup(sf_dir: str):
         df["w"] = df["ts_us"] // _TTL_US
         df = df.sort_values(["ts_us", "event_id"], kind="mergesort")
         df = df.drop_duplicates(["user_id", "event_type", "w"], keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     reduced = ev.map_batches(reduce_block, batch_format="pyarrow").materialize()
     firsts = reduced.groupby(["user_id", "event_type", "w"]).aggregate(
@@ -450,7 +450,7 @@ def weighted_sample(sf_dir: str):
         # per-block bottom-K pre-reduction: the global sort never sees more
         # than K rows per block
         df = df.nsmallest(_WS_K, ["priority", "doc_id"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     out = (
         ds.map_batches(prio, batch_format="pyarrow")
@@ -510,7 +510,7 @@ def daily_anomalies(sf_dir: str):
         df["nd"], df["tot"], df["ssq"] = 1, c, c * c
         return pa.Table.from_pandas(
             df.groupby("event_type", as_index=False).sum(), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     m = (
         daily.map_batches(moments, batch_format="pyarrow")
@@ -592,7 +592,7 @@ def event_digest(sf_dir: str):
             "top3_cnt": [int(g["cnt"].sum())],
         })
 
-    out = daily.groupby("day").map_groups(digest, batch_format="pandas").to_pandas()
+    out = daily.groupby("day").map_groups(_pd_arrow(digest), batch_format="pandas").to_pandas()
     for c in ("day", "top3_cnt"):
         out[c] = out[c].astype("int64")
     return out
@@ -631,7 +631,7 @@ def users_every_day(sf_dir: str):
             "day": pc.cast(t.column("ts"), pa.int64()).to_numpy()
                    // 86_400_000_000,
         }).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     p = ev.map_batches(pairs, batch_format="pyarrow").materialize()
     n_days = p.map_batches(
@@ -707,13 +707,13 @@ def full_outer_activity(sf_dir: str):
         return out[out["n"] > 0].reset_index(drop=True)
 
     out = (
-        both.groupby("kb").map_groups(classify, batch_format="pandas")
+        both.groupby("kb").map_groups(_pd_arrow(classify), batch_format="pandas")
         .groupby("cls").aggregate(Sum("n", alias_name="n_keys"))
     )
     df = out.to_pandas()
     df["cls"] = df["cls"].astype(str)
     df["n_keys"] = df["n_keys"].astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_FULL_OUTER_ACTIVITY = """
@@ -773,7 +773,7 @@ def cube_revenue(sf_dir: str):
         ["rf", "ls", "rev_cents", "n_rows"]]
     for c in ("rev_cents", "n_rows"):
         out[c] = out[c].astype("int64")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_CUBE_REVENUE = """
@@ -821,7 +821,7 @@ def key_skew_profile(sf_dir: str):
     df = out.to_pandas()
     for c in df.columns:
         df[c] = df[c].astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_KEY_SKEW_PROFILE = """

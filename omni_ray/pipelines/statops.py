@@ -44,7 +44,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..stages.dedup import _fetch_broadcast
-from .queries import _read
+from .queries import _read, _pd_arrow
 
 _DAY_US = 86_400_000_000
 
@@ -105,7 +105,7 @@ def chunk_documents(sf_dir: str):
         })
 
     out = ds.map_batches(explode, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_CHUNK_DOCUMENTS = r"""
@@ -171,7 +171,7 @@ def pareto_orders(sf_dir: str):
         return t.filter(pa.array(ok))
 
     out = rows.map_batches(keep, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_PARETO_ORDERS = """
@@ -227,7 +227,7 @@ def daily_ohlc(sf_dir: str):
             "high_cents": g["cents"].max().to_numpy(),
             "n_events": g.size().to_numpy().astype(np.int64),
         })
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         o = g.sort_values(["open_ts", "open_id"], kind="mergesort").iloc[0]
@@ -244,9 +244,9 @@ def daily_ohlc(sf_dir: str):
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("day")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(_pd_arrow(combine), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_DAILY_OHLC = """
@@ -313,8 +313,8 @@ def _coorder_edges(sf_dir: str) -> ray.data.Dataset:
 
     return (
         li.map_batches(order_bucket, batch_format="pyarrow")
-        .groupby("b").map_groups(pairs_in_bucket, batch_format="pandas")
-        .groupby("pb").map_groups(dedup_in_bucket, batch_format="pandas")
+        .groupby("b").map_groups(_pd_arrow(pairs_in_bucket), batch_format="pandas")
+        .groupby("pb").map_groups(_pd_arrow(dedup_in_bucket), batch_format="pandas")
         .materialize()
     )
 
@@ -344,7 +344,7 @@ def triangle_count(sf_dir: str):
 
     wedges = (
         edges.map_batches(u_bucket, batch_format="pyarrow")
-        .groupby("b").map_groups(wedges_in_bucket, batch_format="pandas")
+        .groupby("b").map_groups(_pd_arrow(wedges_in_bucket), batch_format="pandas")
         .materialize()
     )
     n_wedges = wedges.count()
@@ -412,7 +412,7 @@ def rolling_dau_7d(sf_dir: str):
 
     pairs = (
         ds.map_batches(day_of, batch_format="pyarrow")
-        .groupby("ub").map_groups(distinct_pairs, batch_format="pandas")
+        .groupby("ub").map_groups(_pd_arrow(distinct_pairs), batch_format="pandas")
         .materialize()  # |users x active-days| rows; reused for the day set
     )
     days_arr = np.sort(
@@ -441,13 +441,13 @@ def rolling_dau_7d(sf_dir: str):
 
     out = (
         pairs.map_batches(expand, batch_format="pyarrow")
-        .groupby("ub").map_groups(distinct_windows, batch_format="pandas")
+        .groupby("ub").map_groups(_pd_arrow(distinct_windows), batch_format="pandas")
         .groupby("wday").aggregate(Count(alias_name="rolling_users"))
     )
     df = out.to_pandas().rename(columns={"wday": "day"})
     for c in ("day", "rolling_users"):
         df[c] = df[c].astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_ROLLING_DAU_7D = """
@@ -611,7 +611,7 @@ def late_events(sf_dir: str):
         return p
 
     out = (
-        rows.groupby("bucket").map_groups(scan, batch_format="pandas")
+        rows.groupby("bucket").map_groups(_pd_arrow(scan), batch_format="pandas")
         .groupby("day")
         .aggregate(Sum("n_events", alias_name="n_events"),
                    Sum("n_late", alias_name="n_late"),
@@ -620,7 +620,7 @@ def late_events(sf_dir: str):
     df = out.to_pandas()
     for c in df.columns:
         df[c] = df[c].astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_LATE_EVENTS = """
@@ -834,7 +834,7 @@ def embedding_norm_bands(sf_dir: str):
     df = out.to_pandas()
     for c in df.columns:
         df[c] = df[c].astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_EMBEDDING_NORM_BANDS = """
@@ -908,9 +908,9 @@ def ema_final_per_user(sf_dir: str):
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("ub").map_groups(scan, batch_format="pandas")
+        .groupby("ub").map_groups(_pd_arrow(scan), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_EMA_FINAL_PER_USER = """
@@ -964,9 +964,9 @@ def moving_sum3_per_user(sf_dir: str):
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("ub").map_groups(roll, batch_format="pandas")
+        .groupby("ub").map_groups(_pd_arrow(roll), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_MOVING_SUM3_PER_USER = """
@@ -1002,7 +1002,7 @@ def exact_distinct_2level(sf_dir: str):
             "event_type": t["event_type"].to_pylist(),
         }).drop_duplicates()
         df["ub"] = df["user_id"].to_numpy() & 255
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
         d = g[["user_id", "event_type"]].drop_duplicates()
@@ -1013,7 +1013,7 @@ def exact_distinct_2level(sf_dir: str):
 
     agg = (
         ds.map_batches(block_distinct, batch_format="pyarrow")
-        .groupby("ub").map_groups(bucket_counts, batch_format="pandas")
+        .groupby("ub").map_groups(_pd_arrow(bucket_counts), batch_format="pandas")
         .aggregate(Sum("n_users", alias_name="n_users"),
                    Sum("n_user_types", alias_name="n_user_types"))
     )

@@ -32,6 +32,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+
+from .queries import _read, _pd_arrow
 import ray.data
 from ray.data.aggregate import Count, Sum
 
@@ -103,8 +105,8 @@ def doc_pack(sf_dir: str):
             "chunk_id": before // PACK_BUDGET,
         })
 
-    out = counted.groupby("bucket").map_groups(scan, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out = counted.groupby("bucket").map_groups(_pd_arrow(scan), batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_DOC_PACK = r"""
@@ -188,7 +190,7 @@ def boilerplate_segments(sf_dir: str):
     rolled["keep_doc"] = (
         2 * rolled["n_repeated"] <= rolled["n_segments"]
     ).astype("int64")
-    return pa.Table.from_pandas(rolled, preserve_index=False)
+    return pa.Table.from_pandas(rolled, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_BOILERPLATE_SEGMENTS = r"""
@@ -287,8 +289,8 @@ def global_percentile(sf_dir: str):
 
     Ties are handled exactly like SQL rank(): equal values share the count
     of strictly-smaller rows."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ds = _read(
+        sf_dir, "documents", columns=["doc_id", "n_chars"]
     )
     hist = (
         ds.groupby("n_chars").aggregate(Count(alias_name="cnt"))
@@ -311,7 +313,7 @@ def global_percentile(sf_dir: str):
         })
 
     out = ds.map_batches(pct, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_GLOBAL_PERCENTILE = r"""
@@ -365,7 +367,7 @@ def hopping_window(sf_dir: str):
         .aggregate(Count(alias_name="n_events"),
                    Sum("cents", alias_name="value_cents"))
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_HOPPING_WINDOW = r"""
@@ -425,9 +427,9 @@ def inverted_index_topk(sf_dir: str):
     out = (
         ds.map_batches(tf_rows, batch_format="pyarrow")
         .groupby("term")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(_pd_arrow(topk), batch_format="pandas")
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_INVERTED_INDEX_TOPK = r"""
@@ -550,7 +552,7 @@ def char_entropy(sf_dir: str):
         })
 
     out = ds.map_batches(ent, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_CHAR_ENTROPY = r"""
@@ -619,7 +621,7 @@ def bpe_first_merges(sf_dir: str):
     agg["pair"] = [chr(97 + c // 26) + chr(97 + c % 26) for c in agg["code"]]
     agg = agg.sort_values(["n", "pair"], ascending=[False, True]).head(20)
     agg["n"] = agg["n"].astype("int64")
-    return pa.Table.from_pandas(agg[["pair", "n"]], preserve_index=False)
+    return pa.Table.from_pandas(agg[["pair", "n"]], preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_BPE_FIRST_MERGES = r"""
@@ -668,7 +670,7 @@ def dataset_split_assign(sf_dir: str):
         })
 
     out = ds.map_batches(assign, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_DATASET_SPLIT_ASSIGN = r"""

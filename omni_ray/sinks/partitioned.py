@@ -75,7 +75,12 @@ def write_partitioned(
         os.makedirs(pdir, exist_ok=True)
         tmp = os.path.join(pdir, ".part.parquet.tmp")
         pq.write_table(
-            pa.Table.from_pandas(g, preserve_index=False), tmp
+            # strip the b'pandas' schema metadata so read-back blocks stay
+            # hashable (pyarrow 16 hash(schema) raises on schema metadata)
+            pa.Table.from_pandas(
+                g, preserve_index=False
+            ).replace_schema_metadata(None),
+            tmp,
         )
         os.replace(tmp, os.path.join(pdir, "part.parquet"))
         with open(os.path.join(pdir, _COMPLETE), "w") as f:
@@ -86,10 +91,12 @@ def write_partitioned(
             "skipped": [False],
         })
 
+    from ..pipelines.queries import _pd_arrow
+
     manifest = (
-        ds.map_batches(drop_done, batch_format="pandas")
+        ds.map_batches(_pd_arrow(drop_done), batch_format="pandas")
         .groupby(partition_col)
-        .map_groups(write_group, batch_format="pandas")
+        .map_groups(_pd_arrow(write_group), batch_format="pandas")
         .to_pandas()
     )
     skipped = pd.DataFrame({
@@ -103,7 +110,7 @@ def write_partitioned(
     })
     full = pd.concat([manifest, skipped], ignore_index=True)
     full = full.sort_values("partition").reset_index(drop=True)
-    return pa.Table.from_pandas(full, preserve_index=False)
+    return pa.Table.from_pandas(full, preserve_index=False).replace_schema_metadata(None)
 
 
 def read_partitioned(out_dir: str, partition_col: str) -> ray.data.Dataset:

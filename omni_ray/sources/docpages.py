@@ -74,7 +74,7 @@ def documents_as_pages(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
+    from ..pipelines.queries import _read
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return ds.map_batches(to_pages, batch_format="pyarrow")

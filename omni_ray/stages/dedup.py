@@ -43,6 +43,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+
+from ..pipelines.queries import _pd_arrow
 import ray.data
 
 logger = logging.getLogger("omni_ray.dedup")
@@ -260,7 +262,7 @@ def _verify_pairs_broadcast(
     )
     out = (
         exploded.groupby("bucket")
-        .map_groups(verify_bucket_fn, batch_format="pandas")
+        .map_groups(_pd_arrow(verify_bucket_fn), batch_format="pandas")
         .take_all()
     )
     return out
@@ -351,7 +353,7 @@ def minhash_dedup_pairs(
         MinHashLSH(n_perm, n_bands, text_col, id_col), batch_format="pyarrow"
     )
     cand = bands.groupby("bucket").map_groups(
-        lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
+        _pd_arrow(lambda g: _bucket_pairs(g, max_bucket)), batch_format="pandas"
     ).materialize()
     n_cand = cand.count()
     empty = pa.table(
@@ -438,7 +440,8 @@ def _minhash_verify_join(
         cand.map_batches(bucketize, batch_format="pyarrow")
         .groupby("pbkt")
         .map_groups(
-            lambda g: g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
+            _pd_arrow(lambda g: g.drop_duplicates(
+                ["doc_a", "doc_b"])[["doc_a", "doc_b"]]),
             batch_format="pandas",
         )
     )
@@ -551,9 +554,9 @@ def ngram_jaccard_pairs(
 
     common = (
         inv.groupby("bucket")
-        .map_groups(posting_pairs, batch_format="pandas")
+        .map_groups(_pd_arrow(posting_pairs), batch_format="pandas")
         .groupby("pair_bucket")
-        .map_groups(sum_pairs, batch_format="pandas")
+        .map_groups(_pd_arrow(sum_pairs), batch_format="pandas")
         .to_pandas()
     )
     if not len(common):
@@ -593,7 +596,7 @@ def ngram_jaccard_pairs(
     return pa.Table.from_pandas(
         keep[["doc_a", "doc_b", "n_common", "n_union"]].astype("int64"),
         preserve_index=False,
-    )
+    ).replace_schema_metadata(None)
 
 
 # ---------------------------------------------------------------------------
@@ -765,7 +768,7 @@ def simhash_dedup_pairs(
     # the (small) verified output on the driver instead of a second shuffle
     verified = (
         exploded.groupby("bucket")
-        .map_groups(verify_in_bucket, batch_format="pandas")
+        .map_groups(_pd_arrow(verify_in_bucket), batch_format="pandas")
         .take_all()
     )
     guard_hits = sorted(r["doc_b"] for r in verified if r["doc_a"] == -1)
@@ -887,7 +890,7 @@ def embedding_neardup_pairs(
         batch_format="pyarrow",
     )
     cand = exploded.groupby("bucket").map_groups(
-        lambda g: _bucket_pairs(g, max_bucket), batch_format="pandas"
+        _pd_arrow(lambda g: _bucket_pairs(g, max_bucket)), batch_format="pandas"
     ).materialize()
     n_cand = cand.count()
     if n_cand > pair_broadcast_max:
@@ -954,7 +957,8 @@ def _embedding_verify_join(
         cand.map_batches(bucketize, batch_format="pyarrow")
         .groupby("pbkt")
         .map_groups(
-            lambda g: g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
+            _pd_arrow(lambda g: g.drop_duplicates(
+                ["doc_a", "doc_b"])[["doc_a", "doc_b"]]),
             batch_format="pandas",
         )
     )
@@ -1033,7 +1037,7 @@ def _embedding_neardup_exact(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
         )
     out = out.drop_duplicates().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 # ---------------------------------------------------------------------------
@@ -1171,7 +1175,7 @@ def duplicate_groups_distributed(
         state = (
             state.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(bucket_step, batch_format="pandas")
+            .map_groups(_pd_arrow(bucket_step), batch_format="pandas")
             .materialize()
         )
         sig = signature(state)
@@ -1195,6 +1199,6 @@ def duplicate_groups_distributed(
     return (
         state.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(bucket_labels, batch_format="pandas")
+        .map_groups(_pd_arrow(bucket_labels), batch_format="pandas")
         .select_columns(["doc_id", "duplicate_of"])
     )
