@@ -745,7 +745,10 @@ FROM events GROUP BY 1
 """
 
 
+from ..sources.orcfiles import SQL_ORC_ROUNDTRIP, orc_roundtrip_stats
+
 CORPUS_REGISTRY = {
+    "orc_roundtrip_stats": (orc_roundtrip_stats, SQL_ORC_ROUNDTRIP),
     "fingerprint_pairs": (fingerprint_pairs, SQL_FINGERPRINT_PAIRS),
     "text_normalize": (text_normalize, SQL_TEXT_NORMALIZE),
     "unigram_logprob": (unigram_logprob, SQL_UNIGRAM_LOGPROB),
