@@ -6,6 +6,7 @@ import shutil
 import tempfile
 
 import pandas as pd
+import pyarrow.parquet as pq
 import pytest
 
 from omni_ray.sources.textfiles import (
@@ -54,3 +55,27 @@ def test_csv_and_jsonl_match_parquet():
         assert sub.count() == len(want)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gzipped_jsonl_roundtrip(tmp_path):
+    """Common-Crawl-style .jsonl.gz ingests transparently (arrow codec
+    detection in the datasource's open path) and matches parquet values."""
+    import gzip
+    import json
+
+    src = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(40)
+    p = str(tmp_path / "docs.jsonl.gz")
+    with gzip.open(p, "wt") as f:
+        for _, r in src.iterrows():
+            f.write(json.dumps({
+                "doc_id": int(r["doc_id"]), "text": str(r["text"]),
+                "lang": str(r["lang"]), "source": str(r["source"]),
+                "n_chars": int(r["n_chars"]),
+            }) + "\n")
+    back = read_documents_jsonl(p).to_pandas().sort_values("doc_id")
+    want = src.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        back.reset_index(drop=True)[sorted(back.columns)],
+        want[sorted(back.columns)], check_dtype=False,
+    )
