@@ -46,20 +46,40 @@ def _strip_meta_batch(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
+_EXPR_KEYWORDS = frozenset(
+    {"and", "or", "not", "is", "in", "null", "true", "false", "cast",
+     "is_in", "invert", "timestamp", "us"}
+)
+
+
+def _filter_refs_within(filt, columns) -> bool:
+    """Conservative check that a scanner filter references ONLY projected
+    columns, so the subset schema can bind it. Tokenizes str(filter) after
+    dropping quoted literals; any unrecognized token counts as a possible
+    column ref, so overcounting only forces the safe strip-stage fallback —
+    it can never pick the subset path wrongly (unless a column name itself
+    collides with an expression keyword, which none of our tables have)."""
+    import re
+
+    s = re.sub(r'"[^"]*"', "", str(filt))
+    toks = set(re.findall(r"[A-Za-z_]\w*", s)) - _EXPR_KEYWORDS
+    return toks <= set(columns)
+
+
 def _read(sf_dir: str, table: str, columns=None, filter=None, **kwargs):
     path = f"{sf_dir}/{table}.parquet"
     full = _clean_read_schema(path)
     if full is not None and "schema" not in kwargs:
         if columns is None:
             kwargs["schema"] = full
-        elif filter is None:
+        elif filter is None or _filter_refs_within(filter, columns):
             # Ray hands the user schema unsubsetted to Table.from_batches, so
             # a projected read needs the projected schema
             kwargs["schema"] = pa.schema([full.field(c) for c in columns])
-        # columns + filter: the filter may reference non-projected columns,
-        # which cannot bind against a subset schema — fall through to the
-        # fused strip below (a filtered read has no count() metadata fast
-        # path to lose anyway)
+        # columns + filter referencing NON-projected columns: the filter
+        # cannot bind against a subset schema — fall through to the fused
+        # strip below (a filtered read has no count() metadata fast path to
+        # lose anyway)
     ds = ray.data.read_parquet(path, columns=columns, filter=filter, **kwargs)
     if full is not None and "schema" not in kwargs:
         ds = ds.map_batches(_strip_meta_batch, batch_format="pyarrow")

@@ -72,3 +72,28 @@ def test_filter_on_non_projected_column_still_works():
     )
     assert _dirty_blocks(ds) == 0
     assert ds.count() > 0
+
+
+def test_filter_refs_within():
+    from omni_ray.pipelines.queries import _filter_refs_within
+    import pandas as pd
+
+    f = (pc.field("o_orderstatus") == "O") & (pc.field("o_totalprice") > 1.5)
+    assert _filter_refs_within(f, ["o_orderstatus", "o_totalprice", "x"])
+    assert not _filter_refs_within(f, ["o_orderstatus"])  # refs outside
+    # literal string matching a column name must not fool the check
+    f2 = pc.field("lang") == "o_orderkey"
+    assert not _filter_refs_within(f2, ["o_orderkey"])
+    ts = pc.field("ts") >= pa.scalar(pd.Timestamp("2026-01-01"))
+    assert _filter_refs_within(ts, ["ts"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_filter_on_projected_columns_uses_subset_schema():
+    ds = _read(
+        "/root/testdata/sf0.001", "orders",
+        columns=["o_orderkey", "o_orderstatus"],
+        filter=(pc.field("o_orderstatus") == "F"),
+    )
+    assert _dirty_blocks(ds) == 0
+    assert ds.count() > 0
