@@ -1,0 +1,87 @@
+"""Full oracle sweep: every oracle-backed queries() entry vs its DuckDB SQL,
+mirroring the driver's sorted-column value compare. Derives the query list
+from __ray_entry__ so no registry can be missed.
+
+Usage (owns its Ray session; run from the repo root):
+    python tools/oracle_sweep.py                  # all queries at sf0.01
+    python tools/oracle_sweep.py q1,exact_dedup   # a subset
+    SWEEP_SF=/root/testdata/sf0.1 python tools/oracle_sweep.py
+Writes per-query pass/fail + timings to /tmp/sweep_sf01.json.
+"""
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+os.chdir("/root/repo")
+
+import duckdb
+import pandas as pd
+import ray
+
+ray.init(address="local", num_cpus=32, include_dashboard=False)
+
+import __ray_entry__ as entry
+
+QUERIES = entry.queries()
+ORACLES = entry.oracle_sql()
+ALL = {k: (QUERIES[k], ORACLES[k]) for k in QUERIES if k in ORACLES}
+if len(sys.argv) > 1:
+    only = set(sys.argv[1].split(","))
+    ALL = {k: v for k, v in ALL.items() if k in only}
+
+SF = os.environ.get("SWEEP_SF", "/root/testdata/sf0.01")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def oracle(sql):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def normalize(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif not pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(str)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+results = {}
+for name in sorted(ALL):
+    fn, sql = ALL[name]
+    t0 = time.time()
+    try:
+        got = fn(SF)
+        got_df = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        want_df = oracle(sql)
+        assert sorted(got_df.columns) == sorted(want_df.columns), (
+            f"columns {sorted(got_df.columns)} != {sorted(want_df.columns)}")
+        assert len(got_df) == len(want_df), f"{len(got_df)} rows != {len(want_df)}"
+        pd.testing.assert_frame_equal(
+            normalize(got_df), normalize(want_df), check_dtype=False, obj=name)
+        results[name] = {"ok": True, "rows": len(got_df),
+                         "sec": round(time.time() - t0, 2)}
+        print(f"PASS {name} rows={len(got_df)} {results[name]['sec']}s", flush=True)
+    except Exception as e:
+        results[name] = {"ok": False, "err": str(e)[:500],
+                         "sec": round(time.time() - t0, 2)}
+        print(f"FAIL {name}: {e}", flush=True)
+        traceback.print_exc()
+
+n_ok = sum(1 for r in results.values() if r["ok"])
+print(f"\n{n_ok}/{len(results)} passed", flush=True)
+with open("/tmp/sweep_sf01.json", "w") as f:
+    json.dump(results, f, indent=1)
+ray.shutdown()
