@@ -49,7 +49,12 @@ class ORCDatasource(FileBasedDatasource):
 
 
 def read_orc(paths, **kwargs) -> ray.data.Dataset:
-    """``ray.data.read_parquet``-shaped entry point for ORC files/dirs."""
+    """``ray.data.read_parquet``-shaped entry point for ORC files/dirs.
+
+    Filters to ``*.orc`` by default (FileBasedDatasource does NOT filter
+    unless told to): a killed writer's ``.orc.tmp`` leftovers must stay
+    invisible — the reader-side half of the sink's atomicity contract."""
+    kwargs.setdefault("file_extensions", ORCDatasource._FILE_EXTENSIONS)
     return ray.data.read_datasource(ORCDatasource(paths, **kwargs))
 
 

@@ -58,3 +58,16 @@ def test_orc_blocks_are_clean_and_stripe_streamed(tmp_path):
     )
     assert dirty == 0
     assert ds.count() == 10_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orc_reader_ignores_tmp_leftovers(tmp_path):
+    """A killed writer's .orc.tmp file must be invisible to read_orc — the
+    reader-side half of the sink's tmp+rename atomicity contract."""
+    d = str(tmp_path / "orc")
+    os.makedirs(d)
+    orc.write_table(pa.table({"x": [1, 2]}), os.path.join(d, "shard-0000.orc"))
+    orc.write_table(pa.table({"x": [99]}),
+                    os.path.join(d, ".shard-0001.orc.tmp"))
+    got = sorted(read_orc(d).to_pandas()["x"].tolist())
+    assert got == [1, 2]
