@@ -352,6 +352,113 @@ def kmeans_assign(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def _quantize_batch(t: pa.Table):
+    """(vec_ids, quantized int64 matrix) for one embeddings batch."""
+    col = t["embedding"].combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    d = len(flat) // max(n, 1)
+    q = np.floor(flat.reshape(n, d).astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    return t["vec_id"].to_numpy(zero_copy_only=False), q
+
+
+def kmeans_lloyd(sf_dir: str):
+    """FULL Lloyd's k-means over the embeddings table — the iterative
+    training loop kmeans_assign is one step of: 3 assignment passes with 2
+    re-centerings between them, every arithmetic step integer-exact so the
+    DuckDB oracle replays the identical trajectory.
+
+    Exactness rules (BOTH engines): components quantized half-up at 1e6 to
+    int64; distances are exact integer squared-L2 with argmin tie-break on
+    lowest centroid id; a new centroid component is floor(sum/n + 0.5) of
+    its members' quantized values (IEEE double division of exact-integer
+    operands — identical in numpy and DuckDB); an emptied cluster keeps its
+    previous centroid. Output is the per-cluster summary of the final
+    assignment (cluster, n_members, inertia_q).
+
+    Scale shape: each iteration is ONE zero-shuffle map_batches pass whose
+    batches emit the per-cluster M-step COMBINER rows (cluster, count,
+    64 component sums packed as a list) — ≤K rows per batch; the driver
+    folds K×n_batches tiny rows and re-broadcasts K centroids via ray.put.
+    The embeddings Dataset is materialized once and reused across passes.
+    Per-cluster inertia folds in Python ints (no int64 overflow at any sf)."""
+    from .mlqueries import _emb
+
+    ds = _emb(sf_dir).materialize()
+    cent_rows = ds.sort("vec_id").limit(_KMEANS_K).take_all()
+    cent_q = np.stack([
+        np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6 + 0.5)
+        for r in cent_rows
+    ]).astype(np.int64)
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+
+    def estep_partials(t: pa.Table, ref) -> pa.Table:
+        """Assign each row to its nearest centroid; emit per-cluster
+        combiner rows: count, component sums, inertia contribution."""
+        ids, cq = _fetch_centroids(ref)
+        _vecs, q = _quantize_batch(t)
+        if len(q) == 0:
+            return pa.table({
+                "cluster": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "inertia_q": pa.array([], pa.int64()),
+                "sums": pa.array([], pa.list_(pa.int64())),
+            })
+        diff = q[:, None, :] - cq[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)
+        best = dist.argmin(axis=1)
+        rows = {"cluster": [], "n": [], "inertia_q": [], "sums": []}
+        for k in np.unique(best):
+            mask = best == k
+            rows["cluster"].append(int(ids[k]))
+            rows["n"].append(int(mask.sum()))
+            rows["inertia_q"].append(int(dist[mask, k].sum()))
+            rows["sums"].append(q[mask].sum(axis=0).tolist())
+        return pa.table({
+            "cluster": pa.array(rows["cluster"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "inertia_q": pa.array(rows["inertia_q"], pa.int64()),
+            "sums": pa.array(rows["sums"], pa.list_(pa.int64())),
+        })
+
+    def run_pass(cq: np.ndarray) -> pd.DataFrame:
+        ref = ray.put((cent_ids, cq))
+        return ds.map_batches(
+            lambda t, r=ref: estep_partials(t, r), batch_format="pyarrow"
+        ).to_pandas()
+
+    for _ in range(2):  # two re-centerings
+        parts = run_pass(cent_q)
+        new_q = cent_q.copy()
+        for pos, cid in enumerate(cent_ids):
+            sub = parts[parts["cluster"] == cid]
+            if not len(sub):
+                continue  # emptied cluster keeps its previous centroid
+            n = int(sub["n"].sum())
+            sums = np.sum(np.stack(sub["sums"].to_numpy()), axis=0)
+            new_q[pos] = np.floor(sums / n + 0.5).astype(np.int64)
+        cent_q = new_q
+
+    final = run_pass(cent_q)  # third (final) assignment
+    acc: dict[int, list[int]] = {}
+    for _i, row in final.iterrows():
+        a = acc.setdefault(int(row["cluster"]), [0, 0])
+        a[0] += int(row["n"])
+        a[1] += int(row["inertia_q"])  # Python ints: no int64 overflow
+    clusters = sorted(acc)
+    return pa.table({
+        "cluster": pa.array(clusters, pa.int64()),
+        "n_members": pa.array([acc[c][0] for c in clusters], pa.int64()),
+        "inertia_q": pa.array([acc[c][1] for c in clusters], pa.int64()),
+    })
+
+
+def _fetch_centroids(ref):
+    """Per-worker cached ray.get (the broadcast is tiny, but the cache keeps
+    the pattern uniform with the repo's other broadcast lookups)."""
+    return ray.get(ref)
+
+
 SQL_KMEANS_ASSIGN = r"""
 WITH q AS (
   SELECT vec_id,
@@ -369,6 +476,61 @@ WITH q AS (
 SELECT vec_id, cid AS cluster, dist_q FROM dists
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, cid) = 1
 """
+
+SQL_KMEANS_LLOYD = r"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e
+  FROM embeddings
+), dims AS (
+  SELECT unnest(range(1, (SELECT len(e) FROM q LIMIT 1) + 1)) AS i
+), c0 AS (
+  SELECT vec_id AS cid, e AS ce FROM q ORDER BY vec_id LIMIT 8
+), a1 AS (
+  SELECT q.vec_id, q.e, c.cid,
+         CAST(list_sum(list_transform(range(1, len(q.e) + 1),
+              i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS BIGINT) AS dist_q
+  FROM q CROSS JOIN c0 c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist_q, c.cid) = 1
+), s1 AS (
+  SELECT a.cid, d.i, SUM(a.e[d.i]) AS s, COUNT(*) AS n
+  FROM a1 a CROSS JOIN dims d
+  GROUP BY a.cid, d.i
+), c1 AS (
+  SELECT c0.cid, COALESCE(nc.ce, c0.ce) AS ce
+  FROM c0 LEFT JOIN (
+    SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY i) AS ce
+    FROM s1 GROUP BY cid
+  ) nc USING (cid)
+), a2 AS (
+  SELECT q.vec_id, q.e, c.cid,
+         CAST(list_sum(list_transform(range(1, len(q.e) + 1),
+              i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS BIGINT) AS dist_q
+  FROM q CROSS JOIN c1 c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist_q, c.cid) = 1
+), s2 AS (
+  SELECT a.cid, d.i, SUM(a.e[d.i]) AS s, COUNT(*) AS n
+  FROM a2 a CROSS JOIN dims d
+  GROUP BY a.cid, d.i
+), c2 AS (
+  SELECT c1.cid, COALESCE(nc.ce, c1.ce) AS ce
+  FROM c1 LEFT JOIN (
+    SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY i) AS ce
+    FROM s2 GROUP BY cid
+  ) nc USING (cid)
+), a3 AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(range(1, len(q.e) + 1),
+              i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS BIGINT) AS dist_q
+  FROM q CROSS JOIN c2 c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY dist_q, c.cid) = 1
+)
+SELECT cid AS cluster, COUNT(*) AS n_members,
+       CAST(SUM(dist_q) AS BIGINT) AS inertia_q
+FROM a3 GROUP BY cid
+"""
+
 
 
 # -- relational: semi join (EXISTS) ------------------------------------------
@@ -754,6 +916,7 @@ CORPUS_REGISTRY = {
     "unigram_logprob": (unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "vocab_coverage": (vocab_coverage, SQL_VOCAB_COVERAGE),
     "kmeans_assign": (kmeans_assign, SQL_KMEANS_ASSIGN),
+    "kmeans_lloyd": (kmeans_lloyd, SQL_KMEANS_LLOYD),
     "semi_join_urgent": (semi_join_urgent, SQL_SEMI_JOIN_URGENT),
     "rollup_revenue": (rollup_revenue, SQL_ROLLUP_REVENUE),
     "mode_per_user": (mode_per_user, SQL_MODE_PER_USER),

@@ -72,3 +72,19 @@ def test_pmi_distributed_path_equals_driver_path():
     pd.testing.assert_frame_equal(
         normalize(small), normalize(forced), check_dtype=False,
         obj="pmi path equivalence")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_lloyd_invariants():
+    """Full Lloyd's loop: every vector assigned exactly once in the final
+    pass, inertia must not increase vs the one-step assignment (two
+    re-centerings can only improve or hold the integer objective), and the
+    per-cluster summary covers only the K seeded centroid ids."""
+    from omni_ray.pipelines.corpusops import kmeans_assign, kmeans_lloyd
+
+    sf = "/root/testdata/sf0.001"
+    out = kmeans_lloyd(sf).to_pandas()
+    one = kmeans_assign(sf).to_pandas()
+    assert out["n_members"].sum() == len(one)  # every vector, exactly once
+    assert set(out["cluster"]).issubset(set(range(8)))
+    assert int(out["inertia_q"].sum()) <= int(one["dist_q"].sum())
