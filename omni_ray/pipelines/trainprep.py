@@ -693,7 +693,63 @@ FROM h
 """
 
 
+def mixture_sample_chars(sf_dir: str):
+    """Deterministic data-mixing sampler: per SOURCE, keep the greedy
+    md5-ordered prefix of documents whose cumulative char count stays within
+    25% of that source's total chars — the "sample an N-token mix with fixed
+    per-source shares" step of training-corpus assembly, with a character
+    budget standing in for tokens.
+
+    Determinism rules (BOTH engines): selection order within a source is
+    (md5(doc_id), doc_id); the budget is integer ``total*250000 // 1000000``
+    (truncating division of positives — identical in Python and DuckDB);
+    a document is kept iff its INCLUSIVE cumulative n_chars ≤ budget.
+
+    Scale shape: sources are a bounded domain, so ONE groupby(source) shuffle
+    of the pruned (doc_id, source, n_chars) projection; the budget is
+    computed INSIDE each group from its own total (no pre-aggregate, no
+    broadcast), and the greedy scan is one vectorized cumsum. At a
+    row-sized key domain this would switch to the bucketed-combiner form."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        pri = g["doc_id"].map(lambda d: hashlib.md5(str(d).encode()).hexdigest())
+        g = g.assign(_pri=pri).sort_values(["_pri", "doc_id"], kind="mergesort")
+        budget = int(g["n_chars"].sum()) * 250_000 // 1_000_000
+        cum = g["n_chars"].cumsum()
+        out = g.loc[cum <= budget, ["doc_id", "source", "n_chars"]]
+        return out.reset_index(drop=True)
+
+    out = ds.groupby("source").map_groups(_pd_arrow(pick), batch_format="pandas")
+    return pa.Table.from_pandas(
+        out.to_pandas(), preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+SQL_MIXTURE_SAMPLE_CHARS = r"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS pri
+  FROM documents
+), b AS (
+  SELECT source, SUM(n_chars) * 250000 // 1000000 AS budget
+  FROM d GROUP BY source
+), c AS (
+  SELECT d.*,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY pri, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT c.doc_id, c.source, c.n_chars
+FROM c JOIN b USING (source)
+WHERE c.cum <= b.budget
+"""
+
+
 TRAINPREP_REGISTRY = {
+    "mixture_sample_chars": (mixture_sample_chars, SQL_MIXTURE_SAMPLE_CHARS),
     "dataset_split_assign": (dataset_split_assign, SQL_DATASET_SPLIT_ASSIGN),
     "bpe_first_merges": (bpe_first_merges, SQL_BPE_FIRST_MERGES),
     "doc_pack": (doc_pack, SQL_DOC_PACK),
