@@ -1300,6 +1300,47 @@ FROM documents
 """
 
 
+def pii_redact(sf_dir: str):
+    """Byte-exact PII redaction OUTPUT (pii_scan pins the counts; this pins
+    the redacted text itself): emails then phones replaced with fixed tags,
+    the masked text witnessed by its md5 so the oracle certifies every byte.
+    Same zero-shuffle RE2 stream as pii_scan; the only Python loop is the
+    md5 over the already-masked strings (hashing is not vectorizable in
+    pyarrow; same pattern as text_normalize)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        red = pc.replace_substring_regex(
+            pc.replace_substring_regex(txt, _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE, "[PHONE]",
+        )
+        hashes = [hashlib.md5(x.encode()).hexdigest() for x in red.to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "red_hash": pa.array(hashes, pa.string()),
+            "redacted_len": pc.cast(pc.utf8_length(red), pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_PII_REDACT = r"""
+WITH r AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(coalesce(text, ''),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS red
+  FROM documents
+)
+SELECT doc_id, md5(red) AS red_hash, length(red) AS redacted_len FROM r
+"""
+
+
 # -- corpus bigram counts (map-side combine → one small groupby) -------------
 
 
@@ -1653,6 +1694,7 @@ ML_REGISTRY = {
     "tfidf_top_terms": (tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "label_centroids": (label_centroids, SQL_LABEL_CENTROIDS),
     "pii_scan": (pii_scan, SQL_PII_SCAN),
+    "pii_redact": (pii_redact, SQL_PII_REDACT),
     "bigram_top_terms": (bigram_top_terms, SQL_BIGRAM_TOP_TERMS),
     "dedup_keep_best": (dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "hash_sample": (hash_sample, SQL_HASH_SAMPLE),
