@@ -909,6 +909,114 @@ FROM events GROUP BY 1
 
 from ..sources.orcfiles import SQL_ORC_ROUNDTRIP, orc_roundtrip_stats
 
+
+
+def source_overlap_matrix(sf_dir: str):
+    """Cross-source contamination matrix: for every SOURCE pair, the Jaccard
+    similarity (integer ppm) of their sampled 5-gram fingerprint sets — the
+    "how much does subcorpus A leak into subcorpus B" statistic that decides
+    whether two sources can sit on opposite sides of a train/eval split.
+
+    Reuses fingerprint_pairs' mod-16 md5 sampling (fingerprints starting
+    with '0'), but aggregates at the (source, fp) grain: block-local dedup
+    is the combiner, one groupby(fp) emits the source pairs sharing each
+    fingerprint (bounded: ≤ C(20,2) pair keys), per-source totals are a
+    bounded-domain aggregate, and jaccard_ppm = inter*10^6 // (a+b-inter)
+    is truncating integer division on BOTH engines."""
+
+    def grams(t: pa.Table) -> pa.Table:
+        srcs, fps = [], []
+        for src, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            w = _WORD.findall((x or "").lower())
+            sel = {
+                h
+                for i in range(len(w) - 4)
+                for h in (hashlib.md5(" ".join(w[i : i + 5]).encode()).hexdigest(),)
+                if h.startswith("0")
+            }
+            srcs.extend([src] * len(sel))
+            fps.extend(sorted(sel))
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "fp": pa.array(fps, pa.string()),
+        })
+
+    def dedup_block(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "fp": t["fp"].to_pylist()}).drop_duplicates()
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = np.sort(g["source"].drop_duplicates().to_numpy())
+        if len(srcs) < 2:
+            return pd.DataFrame({"s_a": pd.Series([], dtype="object"),
+                                 "s_b": pd.Series([], dtype="object")})
+        a, b = np.triu_indices(len(srcs), k=1)
+        return pd.DataFrame({"s_a": srcs[a], "s_b": srcs[b]})
+
+    sel = (
+        _docs_with_source(sf_dir).map_batches(grams, batch_format="pyarrow")
+        .map_batches(dedup_block, batch_format="pyarrow")
+        # exact (source, fp) distinct: fp-bucketed dedup (row-sized domain)
+        .groupby("fp").map_groups(
+            _pd_arrow(lambda g: g.drop_duplicates(["source", "fp"])),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    inter = (
+        sel.groupby("fp").map_groups(_pd_arrow(pairs), batch_format="pandas")
+        .groupby(["s_a", "s_b"]).aggregate(Count(alias_name="inter"))
+        .to_pandas()
+    )
+    totals = (
+        sel.groupby("source").aggregate(Count(alias_name="n"))
+        .to_pandas().set_index("source")["n"].to_dict()
+    )
+    out = inter.assign(
+        jaccard_ppm=[
+            int(r.inter) * 1_000_000
+            // (int(totals[r.s_a]) + int(totals[r.s_b]) - int(r.inter))
+            for r in inter.itertuples()
+        ]
+    )[["s_a", "s_b", "inter", "jaccard_ppm"]]
+    return pa.Table.from_pandas(
+        out, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+def _docs_with_source(sf_dir: str):
+    from .queries import _read
+
+    return _read(sf_dir, "documents", columns=["source", "text"])
+
+
+SQL_SOURCE_OVERLAP_MATRIX = r"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS w
+  FROM documents
+), grams AS (
+  SELECT source,
+         unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                               i -> md5(array_to_string(w[i:i+4], ' ')))) AS fp
+  FROM toks
+), sel AS (
+  SELECT DISTINCT source, fp FROM grams WHERE fp LIKE '0%'
+), tot AS (
+  SELECT source, count(*) AS n FROM sel GROUP BY source
+), inter AS (
+  SELECT a.source AS s_a, b.source AS s_b, count(*) AS inter
+  FROM sel a JOIN sel b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.s_a, i.s_b, i.inter,
+       i.inter * 1000000 // (ta.n + tb.n - i.inter) AS jaccard_ppm
+FROM inter i JOIN tot ta ON ta.source = i.s_a JOIN tot tb ON tb.source = i.s_b
+"""
+
+
 CORPUS_REGISTRY = {
     "orc_roundtrip_stats": (orc_roundtrip_stats, SQL_ORC_ROUNDTRIP),
     "fingerprint_pairs": (fingerprint_pairs, SQL_FINGERPRINT_PAIRS),
@@ -920,6 +1028,7 @@ CORPUS_REGISTRY = {
     "semi_join_urgent": (semi_join_urgent, SQL_SEMI_JOIN_URGENT),
     "rollup_revenue": (rollup_revenue, SQL_ROLLUP_REVENUE),
     "mode_per_user": (mode_per_user, SQL_MODE_PER_USER),
+    "source_overlap_matrix": (source_overlap_matrix, SQL_SOURCE_OVERLAP_MATRIX),
     "outlier_events": (outlier_events, SQL_OUTLIER_EVENTS),
     "dup_ngram_stats": (dup_ngram_stats, SQL_DUP_NGRAM_STATS),
     "funnel_conversion": (funnel_conversion, SQL_FUNNEL_CONVERSION),
