@@ -194,6 +194,10 @@ def run_bench() -> dict:
           lambda: CORPUS_REGISTRY["unigram_logprob"][0](SF_DIR).num_rows)
     timed("kmeans_assign",
           lambda: CORPUS_REGISTRY["kmeans_assign"][0](SF_DIR).count())
+    timed("kmeans_lloyd",
+          lambda: CORPUS_REGISTRY["kmeans_lloyd"][0](SF_DIR).num_rows)
+    timed("source_overlap_matrix",
+          lambda: CORPUS_REGISTRY["source_overlap_matrix"][0](SF_DIR).num_rows)
 
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
 
