@@ -229,8 +229,8 @@ def snapshot_diff(sf_dir: str):
 
     def status(t: pa.Table) -> pa.Table:
         present = t.column("present").to_numpy()
-        hmin = np.asarray(t.column("hmin").to_pylist())
-        hmax = np.asarray(t.column("hmax").to_pylist())
+        hmin = t.column("hmin").to_numpy(zero_copy_only=False)
+        hmax = t.column("hmax").to_numpy(zero_copy_only=False)
         st = np.where(present == 1, "removed",
                       np.where(present == 2, "added", "changed"))
         keep = (present != 3) | (hmin != hmax)

@@ -12,6 +12,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ..arrowcols import col_np
 from .queries import _read, _pd_arrow
 
 
@@ -324,7 +325,7 @@ def embedding_neardup_q(sf_dir: str):
     offset = 10 ** len(str(_max_vec_id(f"{sf_dir}/embeddings.parquet")))
 
     def copies(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = col_np(t.column("vec_id"), np.int64)
         sub = t.filter(pa.array(ids % 10 == 0))
         return pa.table({
             "vec_id": pc.add(sub.column("vec_id"), offset),
@@ -538,7 +539,7 @@ def training_corpus_pipeline(sf_dir: str):
         })
         tb = tb.filter(pc.equal(tb["keep"], 1)).drop_columns(["keep"])
         hb = pd.util.hash_array(
-            np.asarray(tb.column("h").to_pylist(), dtype=object)) % 256
+            tb.column("h").to_numpy(zero_copy_only=False)) % 256
         return tb.append_column("hb", pa.array(hb.astype(np.int64)))
 
     def dedup_first(g: pd.DataFrame) -> pd.DataFrame:
@@ -641,7 +642,7 @@ def decontaminate(sf_dir: str):
         # shingle EXTRACTION runs distributed; only the per-batch-distinct
         # shingle strings stream back (bounded by the eval set's vocabulary,
         # never the corpus texts — the driver materializes shingles, not docs)
-        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        ids = col_np(t.column("doc_id"), np.int64)
         sub = t.filter(pa.array(ids % 10 == 0))
         sh: set = set()
         for x in sub.column("text").to_pylist():

@@ -1109,7 +1109,7 @@ def systematic_sample(sf_dir: str):
     def every_20th(t: pa.Table) -> pa.Table:
         import numpy as np
 
-        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         return t.filter(pa.array(ids % 20 == 0))
 
     return ds.map_batches(every_20th, batch_format="pyarrow")

@@ -44,6 +44,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..arrowcols import col_np, vec_mat
 from ..pipelines.queries import _pd_arrow
 import ray.data
 
@@ -404,8 +405,8 @@ def minhash_dedup_pairs(
 
     if strict and verified_tbl.num_rows:
         s_star = _lsh_certify_threshold(n_bands, n_perm // n_bands)
-        jac = (np.asarray(verified_tbl.column("n_common").to_pylist(), dtype=np.float64)
-               / np.asarray(verified_tbl.column("n_union").to_pylist(), dtype=np.float64))
+        jac = (col_np(verified_tbl.column("n_common"), np.float64)
+               / col_np(verified_tbl.column("n_union"), np.float64))
         n_band_pairs = int((jac < s_star).sum())
         if n_band_pairs:
             raise RuntimeError(
@@ -431,8 +432,8 @@ def _minhash_verify_join(
 
     def bucketize(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t.column("doc_a"), -1))
-        a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)
-        b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)
+        a = col_np(t.column("doc_a"), np.int64)
+        b = col_np(t.column("doc_b"), np.int64)
         bkt = ((a * np.int64(2654435761) + b) % 256).astype(np.int32)
         return t.append_column("pbkt", pa.array(bkt, pa.int32()))
 
@@ -675,7 +676,7 @@ class SimHashExplode:
         self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        ids = col_np(batch.column(self.id_col), np.int64)
         texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
         hs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
         n = len(ids)
@@ -811,8 +812,8 @@ class _HyperplaneExplode:
         self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
-        mat = np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64)
+        ids = col_np(batch.column(self.id_col), np.int64)
+        mat = vec_mat(batch.column(self.vec_col))
         n = len(ids)
         powers = (1 << np.arange(self.n_bits, dtype=np.int64))
         t_ids, sigs, d_ids = [], [], []
@@ -948,8 +949,8 @@ def _embedding_verify_join(
 
     def bucketize(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t.column("doc_a"), -1))
-        a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)
-        b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)
+        a = col_np(t.column("doc_a"), np.int64)
+        b = col_np(t.column("doc_b"), np.int64)
         bkt = ((a * np.int64(2654435761) + b) % 256).astype(np.int32)
         return t.append_column("pbkt", pa.array(bkt, pa.int32()))
 
@@ -964,7 +965,7 @@ def _embedding_verify_join(
     )
 
     def pack(t: pa.Table) -> pa.Table:
-        mat = np.stack(t.column(vec_col).to_pylist()).astype(np.float64)
+        mat = vec_mat(t.column(vec_col))
         return pa.table({
             id_col: t.column(id_col),
             vec_col: pa.array([row.tobytes() for row in mat], pa.binary()),
@@ -985,8 +986,8 @@ def _embedding_verify_join(
         ))
         cos = (va * vb).sum(axis=1)
         keep = cos >= threshold
-        a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)[keep]
-        b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)[keep]
+        a = col_np(t.column("doc_a"), np.int64)[keep]
+        b = col_np(t.column("doc_b"), np.int64)[keep]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"doc_a": pa.array(lo, pa.int64()),
                          "doc_b": pa.array(hi, pa.int64())})
@@ -1017,8 +1018,8 @@ def _embedding_neardup_exact(
             self.ids, self.matn = ray.get(mat_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = np.asarray(batch.column(id_col).to_pylist())
-            bmat = _normalize_rows(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            bids = col_np(batch.column(id_col))
+            bmat = _normalize_rows(vec_mat(batch.column(vec_col)))
             sims = bmat @ self.matn.T
             ai, bj = np.nonzero(sims >= threshold)
             doc_a, doc_b = [], []
@@ -1103,8 +1104,8 @@ def duplicate_groups_distributed(
     N_CC_BUCKETS = 256
 
     def seed(t: pa.Table) -> pa.Table:
-        a = np.asarray(t.column("doc_a").to_pylist(), dtype=np.int64)
-        b = np.asarray(t.column("doc_b").to_pylist(), dtype=np.int64)
+        a = col_np(t.column("doc_a"), np.int64)
+        b = col_np(t.column("doc_b"), np.int64)
         node = np.concatenate([a, b])
         member = np.concatenate([b, a])
         return pa.table({"node": pa.array(node, pa.int64()),
@@ -1113,7 +1114,7 @@ def duplicate_groups_distributed(
     state = pairs.map_batches(seed, batch_format="pyarrow")
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        node = np.asarray(t.column("node").to_pylist(), dtype=np.int64)
+        node = col_np(t.column("node"), np.int64)
         return t.append_column(
             "bucket", pa.array((node % N_CC_BUCKETS).astype(np.int32), pa.int32())
         )
@@ -1148,8 +1149,8 @@ def duplicate_groups_distributed(
         # past 2^53). Per-block partials are exact python ints via take_all
         # of one tiny row per block.
         def block_sig(t: pa.Table) -> pa.Table:
-            node = np.asarray(t.column("node").to_pylist(), dtype=np.uint64)
-            member = np.asarray(t.column("member").to_pylist(), dtype=np.uint64)
+            node = col_np(t.column("node"), np.uint64)
+            member = col_np(t.column("member"), np.uint64)
             with np.errstate(over="ignore"):
                 mixed = node * np.uint64(0x9E3779B97F4A7C15) ^ (
                     member * np.uint64(0xC2B2AE3D27D4EB4F)
