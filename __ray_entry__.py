@@ -65,12 +65,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.mlqueries import ML_REGISTRY, ML_ROWS_ONLY
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
+    from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
 
     out: dict[str, Callable[[str], Any]] = {
         name: fn for name, (fn, _sql) in REGISTRY.items()
     }
+    out.update({name: fn for name, (fn, _sql) in SPANDEDUP_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in ML_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in CORPUS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in TRAINPREP_REGISTRY.items()})
@@ -93,10 +95,12 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.mlqueries import ML_REGISTRY
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
+    from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
 
     out = {name: sql for name, (_fn, sql) in REGISTRY.items()}
+    out.update({name: sql for name, (_fn, sql) in SPANDEDUP_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in ML_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in CORPUS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in TRAINPREP_REGISTRY.items()})

@@ -181,6 +181,13 @@ def run_bench() -> dict:
     timed("training_corpus_pipeline",
           lambda: ML_REGISTRY["training_corpus_pipeline"][0](SF_DIR).num_rows)
     timed("duplicate_of", lambda: ML_REGISTRY["duplicate_of"][0](SF_DIR).count())
+
+    from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
+
+    timed("dup_span_removal",
+          lambda: SPANDEDUP_REGISTRY["dup_span_removal"][0](SF_DIR).count())
+    timed("semdedup_prune",
+          lambda: SPANDEDUP_REGISTRY["semdedup_prune"][0](SF_DIR).count())
     timed("tfidf_top_terms", lambda: ML_REGISTRY["tfidf_top_terms"][0](SF_DIR).num_rows)
     timed("pii_scan", lambda: ML_REGISTRY["pii_scan"][0](SF_DIR).count())
     timed("bigram_top_terms", lambda: ML_REGISTRY["bigram_top_terms"][0](SF_DIR).num_rows)

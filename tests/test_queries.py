@@ -13,12 +13,13 @@ from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
 from omni_ray.pipelines.mlqueries import ML_REGISTRY
 from omni_ray.pipelines.queries import REGISTRY
 from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
+from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
 from omni_ray.pipelines.statops import STATOPS_REGISTRY
 from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
 
 ALL = {**REGISTRY, **ML_REGISTRY, **CORPUS_REGISTRY, **TRAINPREP_REGISTRY,
        **GRAPH_REGISTRY, **RELSCALE_REGISTRY, **STATOPS_REGISTRY,
-       **MEDIAOPS_REGISTRY, **ENGINEOPS_REGISTRY}
+       **MEDIAOPS_REGISTRY, **ENGINEOPS_REGISTRY, **SPANDEDUP_REGISTRY}
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
