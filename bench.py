@@ -188,6 +188,11 @@ def run_bench() -> dict:
           lambda: SPANDEDUP_REGISTRY["dup_span_removal"][0](SF_DIR).count())
     timed("semdedup_prune",
           lambda: SPANDEDUP_REGISTRY["semdedup_prune"][0](SF_DIR).count())
+
+    from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
+
+    timed("shuffle_shard_assign",
+          lambda: TRAINPREP_REGISTRY["shuffle_shard_assign"][0](SF_DIR).count())
     timed("tfidf_top_terms", lambda: ML_REGISTRY["tfidf_top_terms"][0](SF_DIR).num_rows)
     timed("pii_scan", lambda: ML_REGISTRY["pii_scan"][0](SF_DIR).count())
     timed("bigram_top_terms", lambda: ML_REGISTRY["bigram_top_terms"][0](SF_DIR).num_rows)

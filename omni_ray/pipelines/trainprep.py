@@ -748,7 +748,85 @@ WHERE c.cum <= b.budget
 """
 
 
+# -- deterministic global shuffle + shard assignment ------------------------
+
+_SHUF_SHARDS = 16
+
+
+def shuffle_shard_assign(sf_dir: str):
+    """The pre-training global shuffle as a deterministic, resumable
+    assignment: every document gets a position in the md5-shuffled global
+    order and a round-robin training shard. Global order is
+    (md5(doc_id) asc, doc_id asc); shard_id = pos % 16, pos_in_shard =
+    pos // 16.
+
+    Shape: the md5 key's FIRST BYTE is a 256-ary ordered bucket (a prefix
+    of the sort key, so bucket-major order == global key order). One pass
+    counts rows per bucket (256-row aggregate to the driver, exclusive
+    cumsum broadcast); the groupby-by-bucket pass ranks locally and adds
+    the bucket's base offset. No global sort barrier — the only all-to-all
+    is the 256-bucket groupby, the same scan pattern as doc_pack; at 100 TB
+    the bucket id widens to 2 bytes and nothing else changes."""
+    import hashlib
+
+    ds = _docs(sf_dir)
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ks = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "skey": pa.array(ks, pa.string()),
+            "bucket": pa.array([int(k[:2], 16) for k in ks], pa.int64()),
+        })
+
+    keyed = ds.map_batches(key, batch_format="pyarrow").materialize()
+
+    counts = {int(r["bucket"]): int(r["count()"])
+              for r in keyed.groupby("bucket").count().take_all()}
+    base = {}
+    acc = 0
+    for b in range(256):
+        base[b] = acc
+        acc += counts.get(b, 0)
+    base_ref = ray.put(base)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        off = _fetch_broadcast(base_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["skey", "doc_id"], kind="mergesort")
+        pos = off + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "pos": pos,
+            "shard_id": pos % _SHUF_SHARDS,
+            "pos_in_shard": pos // _SHUF_SHARDS,
+        })
+
+    return (
+        keyed.groupby("bucket")
+        .map_groups(_pd_arrow(rank), batch_format="pandas")
+        .select_columns(["doc_id", "pos", "shard_id", "pos_in_shard"])
+    )
+
+
+SQL_SHUFFLE_SHARD_ASSIGN = f"""
+WITH k AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey FROM documents
+), r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY skey, doc_id) - 1 AS pos
+  FROM k
+)
+SELECT doc_id,
+       CAST(pos AS BIGINT) AS pos,
+       CAST(pos % {_SHUF_SHARDS} AS BIGINT) AS shard_id,
+       CAST(pos // {_SHUF_SHARDS} AS BIGINT) AS pos_in_shard
+FROM r
+"""
+
+
 TRAINPREP_REGISTRY = {
+    "shuffle_shard_assign": (shuffle_shard_assign, SQL_SHUFFLE_SHARD_ASSIGN),
     "mixture_sample_chars": (mixture_sample_chars, SQL_MIXTURE_SAMPLE_CHARS),
     "dataset_split_assign": (dataset_split_assign, SQL_DATASET_SPLIT_ASSIGN),
     "bpe_first_merges": (bpe_first_merges, SQL_BPE_FIRST_MERGES),
