@@ -76,6 +76,20 @@ def test_pmi_distributed_path_equals_driver_path():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_triangle_broadcast_path_equals_join_path(monkeypatch):
+    """triangle_count closes wedges against a broadcast sorted edge-key
+    array below _TRI_EDGE_BCAST_MAX and via a distributed wedge⋈edge hash
+    join above it; both paths must produce the identical census."""
+    import omni_ray.pipelines.statops as statops
+
+    bcast = statops.triangle_count(SF).to_pydict()
+    monkeypatch.setattr(statops, "_TRI_EDGE_BCAST_MAX", 0)
+    joined = statops.triangle_count(SF).to_pydict()
+    assert bcast == joined
+    assert bcast["n_triangles"][0] > 0  # non-degenerate census
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_kmeans_lloyd_invariants():
     """Full Lloyd's loop: every vector assigned exactly once in the final
     pass, inertia must not increase vs the one-step assignment (two
