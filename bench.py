@@ -225,6 +225,12 @@ def run_bench() -> dict:
           lambda: TRAINPREP_REGISTRY["inverted_index_topk"][0](SF_DIR).num_rows)
     timed("char_entropy",
           lambda: TRAINPREP_REGISTRY["char_entropy"][0](SF_DIR).num_rows)
+    timed("hll_user_days",
+          lambda: TRAINPREP_REGISTRY["hll_user_days"][0](SF_DIR).num_rows)
+    timed("truncation_loss",
+          lambda: TRAINPREP_REGISTRY["truncation_loss"][0](SF_DIR).num_rows)
+    timed("sq8_quant_stats",
+          lambda: CORPUS_REGISTRY["sq8_quant_stats"][0](SF_DIR).num_rows)
 
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
 

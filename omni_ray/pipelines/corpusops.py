@@ -1017,7 +1017,135 @@ FROM inter i JOIN tot ta ON ta.source = i.s_a JOIN tot tb ON tb.source = i.s_b
 """
 
 
+# -- sq8_quant_stats ----------------------------------------------------------
+
+
+def _emb_matrix(t: pa.Table) -> np.ndarray:
+    """(n, d) int64 matrix of floor(x * 2^20) quantized components. The
+    2^20 multiplier is a power of two, so float32→double→multiply→floor is
+    EXACT (zero rounding anywhere) and DuckDB reproduces it bit-for-bit."""
+    col = t["embedding"].combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    d = len(flat) // n
+    return np.floor(flat.reshape(n, d).astype(np.float64) * 1048576.0).astype(np.int64)
+
+
+def sq8_quant_stats(sf_dir: str):
+    """int8 scalar quantization (SQ8) audit of the embedding table — the
+    vector-store compression step: per dimension, the corpus min/max, the
+    derived uint8 step, and the exact reconstruction-error profile a
+    midpoint dequantizer would incur. Everything happens in the floor(x *
+    2^20) integer domain (exact for float32 inputs), so codes, dequantized
+    values and errors are pure integer arithmetic on both engines — no IEEE
+    summation-order risk.
+
+    Two passes, zero row shuffles: (1) per-block per-dim min/max partials
+    into a bounded (d-row) groupby, scales derived on the driver and
+    broadcast via ray.put; (2) per-block error partials against the
+    broadcast scales into a second bounded groupby-sum. The classic
+    two-pass broadcast shape — at 100 TB each pass streams once and only
+    64-row partials ever move."""
+    from .mlqueries import _emb
+
+    ds = _emb(sf_dir)
+
+    def minmax_partials(t: pa.Table) -> pa.Table:
+        q = _emb_matrix(t)
+        if q.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        return pa.table({
+            "dim": pa.array(np.arange(1, q.shape[1] + 1), pa.int64()),
+            "mn": pa.array(q.min(axis=0), pa.int64()),
+            "mx": pa.array(q.max(axis=0), pa.int64()),
+        })
+
+    mm = (
+        ds.map_batches(minmax_partials, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(ray.data.aggregate.Min("mn", alias_name="mn"),
+                   Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    dims = mm["dim"].to_numpy()
+    mn = mm["mn"].to_numpy()
+    mx = mm["mx"].to_numpy()
+    scale = np.maximum(1, (mx - mn + 254) // 255)  # ceil((mx-mn)/255), >= 1
+    sc_ref = ray.put((mn, scale))
+
+    def err_partials(t: pa.Table) -> pa.Table:
+        mn_b, sc_b = ray.get(sc_ref)
+        q = _emb_matrix(t)
+        if q.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "max_err_q": pa.array([], pa.int64()),
+                             "sum_err_q": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        code = (q - mn_b) // sc_b                  # uint8 codes, 0..255
+        deq = mn_b + code * sc_b + sc_b // 2       # midpoint dequantizer
+        err = np.abs(q - deq)
+        return pa.table({
+            "dim": pa.array(np.arange(1, q.shape[1] + 1), pa.int64()),
+            "max_err_q": pa.array(err.max(axis=0), pa.int64()),
+            "sum_err_q": pa.array(err.sum(axis=0), pa.int64()),
+            "n": pa.array(np.full(q.shape[1], q.shape[0]), pa.int64()),
+        })
+
+    errs = (
+        ds.map_batches(err_partials, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Max("max_err_q", alias_name="max_err_q"),
+                   Sum("sum_err_q", alias_name="sum_err_q"),
+                   Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    out = pd.DataFrame({
+        "dim": dims, "min_q": mn, "max_q": mx, "scale_q": scale,
+        "max_err_q": errs["max_err_q"].to_numpy(),
+        "sum_err_q": errs["sum_err_q"].to_numpy(),
+        "n": errs["n"].to_numpy(),
+    })
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+
+SQL_SQ8_QUANT_STATS = r"""
+WITH u AS (
+  SELECT CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT)
+           AS xq,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+), sc AS (
+  SELECT dim, min(xq) AS mn, max(xq) AS mx,
+         greatest(1, (max(xq) - min(xq) + 254) // 255) AS scale_q
+  FROM u GROUP BY dim
+), e AS (
+  SELECT u.dim,
+         abs(xq - (mn + ((xq - mn) // scale_q) * scale_q + scale_q // 2))
+           AS err
+  FROM u JOIN sc USING (dim)
+)
+SELECT CAST(sc.dim AS BIGINT) AS dim,
+       CAST(mn AS BIGINT) AS min_q, CAST(mx AS BIGINT) AS max_q,
+       CAST(scale_q AS BIGINT) AS scale_q,
+       CAST(max(err) AS BIGINT) AS max_err_q,
+       CAST(sum(err) AS BIGINT) AS sum_err_q,
+       CAST(count(*) AS BIGINT) AS n
+FROM e JOIN sc USING (dim)
+GROUP BY sc.dim, mn, mx, scale_q
+ORDER BY dim
+"""
+
+
 CORPUS_REGISTRY = {
+    "sq8_quant_stats": (sq8_quant_stats, SQL_SQ8_QUANT_STATS),
     "orc_roundtrip_stats": (orc_roundtrip_stats, SQL_ORC_ROUNDTRIP),
     "fingerprint_pairs": (fingerprint_pairs, SQL_FINGERPRINT_PAIRS),
     "text_normalize": (text_normalize, SQL_TEXT_NORMALIZE),

@@ -825,7 +825,192 @@ FROM r
 """
 
 
+# -- hll_user_days ------------------------------------------------------------
+
+_HLL_P = 8                      # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_RANK_BITS = 52             # rank window: bits 4..55 of the 64-bit hash
+_HLL_RANK_MAX = _HLL_RANK_BITS + 1
+# alpha_256 = 0.7213 / (1 + 1.079/256) as an exact rational, so the floor
+# division below is bit-identical in Python ints and DuckDB HUGEINT
+_HLL_ALPHA_NUM = 7213 * 256000
+_HLL_ALPHA_DEN = 10000 * 257079
+
+
+def hll_user_days(sf_dir: str):
+    """HyperLogLog cardinality of distinct active (user, day) pairs — the
+    DAU-sum sketch, the mergeable counterpart to kmv_distinct_users: state
+    is a fixed 256-byte register array regardless of cardinality, and two
+    partitions' sketches merge by elementwise max, which is what makes it
+    the 100-TB shape (per-block partial registers, one bounded groupby-max,
+    never a distinct shuffle).
+
+    Everything is integer-exact so the DuckDB oracle reproduces the sketch
+    AND the estimate bit-for-bit: the hash is the big-endian uint64 of
+    md5(str(user_id*1000000+day))[:8] (the repo's established md5→UBIGINT
+    SQL bridge), bucket = top 8 bits, rank = leading zeros of the next 52
+    bits + 1 (capped 53), and the harmonic-mean estimate is evaluated
+    as one HUGEINT floor division with the denominator sum(2^-M[j]) scaled
+    by 2^53 into an integer. No float enters either engine. The raw
+    estimator is reported without the small-range linear-counting branch
+    (ln() would break integer parity); accuracy is asserted in pytest where
+    the raw regime holds."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial_registers(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        day = t["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        key = t["user_id"].to_numpy() * 1_000_000 + day
+        regs = np.zeros(_HLL_M, dtype=np.int64)
+        for k in np.unique(key):
+            h = int.from_bytes(
+                hashlib.md5(str(int(k)).encode()).digest()[:8], "big")
+            w = (h >> 4) & ((1 << _HLL_RANK_BITS) - 1)
+            rank = _HLL_RANK_MAX - w.bit_length()  # w==0 -> 53
+            b = h >> (64 - _HLL_P)
+            if rank > regs[b]:
+                regs[b] = rank
+        nz = np.nonzero(regs)[0]
+        return pa.table({
+            "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+            "r": pa.array(regs[nz], pa.int64()),
+        })
+
+    folded = (
+        ds.map_batches(partial_registers, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(ray.data.aggregate.Max("r", alias_name="r"))
+        .to_pandas()
+    )
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    regs[folded["bucket"].to_numpy()] = folded["r"].to_numpy()
+    denom = int(
+        sum(1 << (_HLL_RANK_MAX - int(r)) for r in regs))  # zeros add 2^53
+    est = (_HLL_ALPHA_NUM * _HLL_M * _HLL_M
+           * (1 << _HLL_RANK_MAX)) // (_HLL_ALPHA_DEN * denom)
+    import hashlib
+
+    reg_md5 = hashlib.md5(
+        ",".join(str(int(r)) for r in regs).encode()).hexdigest()
+    return pa.table({
+        "est_user_days": pa.array([est], pa.int64()),
+        "m": pa.array([_HLL_M], pa.int64()),
+        "zero_registers": pa.array([int(np.count_nonzero(regs == 0))], pa.int64()),
+        "register_sum": pa.array([int(regs.sum())], pa.int64()),
+        "registers_md5": pa.array([reg_md5], pa.string()),
+    })
+
+
+SQL_HLL_USER_DAYS = r"""
+WITH keys AS (
+  SELECT DISTINCT user_id * 1000000 + epoch_us(ts) // 86400000000 AS k
+  FROM events
+), h AS (
+  SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM keys
+), ranked AS (
+  SELECT CAST(h >> 56 AS BIGINT) AS bucket,
+         (h >> 4) & 4503599627370495::UBIGINT AS w
+  FROM h
+), rk AS (
+  SELECT bucket,
+         coalesce(min(CASE WHEN ((w >> (52 - i)) & 1) = 1 THEN i END), 53)
+           AS rank
+  FROM ranked CROSS JOIN (SELECT unnest(generate_series(1, 52)) AS i)
+  GROUP BY bucket, w
+), regs_nz AS (
+  SELECT bucket, max(rank) AS r FROM rk GROUP BY bucket
+), regs AS (
+  SELECT g.bucket, coalesce(regs_nz.r, 0) AS r
+  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) g
+  LEFT JOIN regs_nz USING (bucket)
+), denom AS (
+  SELECT sum(CASE WHEN r = 0 THEN 9007199254740992::HUGEINT
+                  ELSE CAST(1::UBIGINT << (53 - r) AS HUGEINT) END) AS d
+  FROM regs
+)
+SELECT CAST((7213::HUGEINT * 256000 * 256 * 256 * 9007199254740992)
+            // ((10000::HUGEINT * 257079) * (SELECT d FROM denom))
+       AS BIGINT) AS est_user_days,
+       CAST(256 AS BIGINT) AS m,
+       (SELECT CAST(count(*) AS BIGINT) FROM regs WHERE r = 0)
+         AS zero_registers,
+       (SELECT CAST(sum(r) AS BIGINT) FROM regs) AS register_sum,
+       (SELECT md5(string_agg(CAST(r AS VARCHAR), ',' ORDER BY bucket))
+        FROM regs) AS registers_md5
+"""
+
+
+# -- truncation_loss ----------------------------------------------------------
+
+_TRUNC_CTX = (16, 32, 64, 128)
+
+
+def truncation_loss(sf_dir: str):
+    """Context-length truncation audit: for each candidate training context
+    length L, how many documents exceed L whitespace tokens and what share
+    of the corpus' tokens a hard truncation at L would discard (integer
+    ppm). The decision table behind picking a context length / choosing
+    packing over truncation (doc_pack is the packing counterpart).
+
+    Shape: one stateless map computes per-block partial sums for all |L|
+    bands (4 rows per block, computed from one token-count vector with
+    numpy minimum — the corpus is read once, not once per band), then a
+    bounded groupby-sum over the 4-row band domain. Zero joins, zero
+    row-domain shuffles."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        n = np.array([len((x or "").split()) for x in
+                      t.column("text").to_pylist()], dtype=np.int64)
+        rows = {"ctx_len": [], "n_docs_over": [], "tokens_total": [],
+                "tokens_lost": []}
+        for L in _TRUNC_CTX:
+            rows["ctx_len"].append(L)
+            rows["n_docs_over"].append(int((n > L).sum()))
+            rows["tokens_total"].append(int(n.sum()))
+            rows["tokens_lost"].append(int((n - np.minimum(n, L)).sum()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("ctx_len")
+        .aggregate(Sum("n_docs_over", alias_name="n_docs_over"),
+                   Sum("tokens_total", alias_name="tokens_total"),
+                   Sum("tokens_lost", alias_name="tokens_lost"))
+        .to_pandas()
+    )
+    agg["loss_ppm"] = (agg["tokens_lost"] * 1_000_000
+                       // agg["tokens_total"]).astype("int64")
+    for c in agg.columns:
+        agg[c] = agg[c].astype("int64")
+    agg = agg.sort_values("ctx_len").reset_index(drop=True)
+    return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+
+SQL_TRUNCATION_LOSS = r"""
+WITH toks AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+), bands AS (SELECT unnest([16, 32, 64, 128]) AS ctx_len)
+SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+       CAST(sum(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_over,
+       CAST(sum(n) AS BIGINT) AS tokens_total,
+       CAST(sum(greatest(n - ctx_len, 0)) AS BIGINT) AS tokens_lost,
+       CAST(sum(greatest(n - ctx_len, 0)) * 1000000 // sum(n) AS BIGINT)
+         AS loss_ppm
+FROM toks CROSS JOIN bands
+GROUP BY ctx_len
+ORDER BY ctx_len
+"""
+
+
 TRAINPREP_REGISTRY = {
+    "hll_user_days": (hll_user_days, SQL_HLL_USER_DAYS),
+    "truncation_loss": (truncation_loss, SQL_TRUNCATION_LOSS),
     "shuffle_shard_assign": (shuffle_shard_assign, SQL_SHUFFLE_SHARD_ASSIGN),
     "mixture_sample_chars": (mixture_sample_chars, SQL_MIXTURE_SAMPLE_CHARS),
     "dataset_split_assign": (dataset_split_assign, SQL_DATASET_SPLIT_ASSIGN),

@@ -90,6 +90,21 @@ def test_triangle_broadcast_path_equals_join_path(monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_hll_accuracy_vs_exact():
+    """The HLL raw estimator must land near the true distinct (user, day)
+    count. At sf0.001 fill (n/m ≈ 1.5) the uncorrected estimator is in its
+    biased low-load regime, so the bound is loose; the oracle test already
+    pins the registers and estimate bit-for-bit."""
+    from omni_ray.pipelines.trainprep import hll_user_days
+
+    est = hll_user_days(SF).to_pydict()["est_user_days"][0]
+    exact = int(oracle(
+        "SELECT count(DISTINCT user_id * 1000000 + "
+        "epoch_us(ts) // 86400000000) AS n FROM events").iloc[0, 0])
+    assert abs(est - exact) / exact < 0.30, (est, exact)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_kmeans_lloyd_invariants():
     """Full Lloyd's loop: every vector assigned exactly once in the final
     pass, inertia must not increase vs the one-step assignment (two
