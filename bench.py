@@ -231,6 +231,8 @@ def run_bench() -> dict:
           lambda: TRAINPREP_REGISTRY["truncation_loss"][0](SF_DIR).num_rows)
     timed("sq8_quant_stats",
           lambda: CORPUS_REGISTRY["sq8_quant_stats"][0](SF_DIR).num_rows)
+    timed("dedup_savings",
+          lambda: CORPUS_REGISTRY["dedup_savings"][0](SF_DIR).num_rows)
 
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
 

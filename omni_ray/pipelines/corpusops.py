@@ -1144,8 +1144,98 @@ ORDER BY dim
 """
 
 
+# -- dedup_savings ------------------------------------------------------------
+
+
+def dedup_savings(sf_dir: str):
+    """What prefix-canopy dedup buys, per source: document and byte
+    counts, how many of each are redundant copies, and the byte-savings
+    rate in integer ppm — the report every dedup run ends with. The key is
+    md5 of the first 8 whitespace tokens (the prefix-canopy hash used on
+    boilerplate-heavy crawls, where full-content md5 misses trailing-chrome
+    variants); global keeper = lowest doc_id per hash, so cross-source
+    duplicates charge the non-keeper source.
+
+    One shuffle: rows reduce to (hash, doc_id, source, n_chars), bucket on
+    a hash prefix (row-sized key domain -> bucketed map_groups per the
+    repo rule, not groupby(hash).aggregate), the keeper and per-source
+    partial sums are computed vectorized inside each bucket, and a final
+    bounded groupby folds the per-(bucket, source) partials."""
+    from .queries import _read
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        hs = [hashlib.md5(" ".join((x or "").split()[:8]).encode()).hexdigest()
+              for x in texts]
+        return pa.table({
+            "ch": pa.array(hs, pa.string()),
+            "hb": pa.array([int(h[:2], 16) for h in hs], pa.int64()),
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "n_chars": t["n_chars"],
+        })
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = g.groupby("ch")["doc_id"].transform("min")
+        red = (g["doc_id"].to_numpy() != keeper.to_numpy())
+        df = pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "n_docs": np.ones(len(g), dtype=np.int64),
+            "n_redundant": red.astype(np.int64),
+            "bytes_total": g["n_chars"].to_numpy(),
+            "bytes_redundant": np.where(red, g["n_chars"].to_numpy(), 0),
+        })
+        return df.groupby("source", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("hb").map_groups(_pd_arrow(bucket_partials), batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_redundant", alias_name="n_redundant"),
+                   Sum("bytes_total", alias_name="bytes_total"),
+                   Sum("bytes_redundant", alias_name="bytes_redundant"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    agg["savings_ppm"] = (agg["bytes_redundant"] * 1_000_000
+                          // agg["bytes_total"]).astype("int64")
+    for c in agg.columns:
+        if c != "source":
+            agg[c] = agg[c].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+
+SQL_DEDUP_SAVINGS = """
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         md5(array_to_string(
+           list_slice(string_split_regex(trim(text), '\s+'), 1, 8), ' '))
+           AS ch
+  FROM documents
+), k AS (
+  SELECT ch, min(doc_id) AS keeper FROM h GROUP BY ch
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redundant,
+       CAST(sum(n_chars) AS BIGINT) AS bytes_total,
+       CAST(sum(CASE WHEN doc_id <> keeper THEN n_chars ELSE 0 END) AS BIGINT)
+         AS bytes_redundant,
+       CAST(sum(CASE WHEN doc_id <> keeper THEN n_chars ELSE 0 END) * 1000000
+            // sum(n_chars) AS BIGINT) AS savings_ppm
+FROM h JOIN k USING (ch)
+GROUP BY source ORDER BY source
+"""
+
+
 CORPUS_REGISTRY = {
     "sq8_quant_stats": (sq8_quant_stats, SQL_SQ8_QUANT_STATS),
+    "dedup_savings": (dedup_savings, SQL_DEDUP_SAVINGS),
     "orc_roundtrip_stats": (orc_roundtrip_stats, SQL_ORC_ROUNDTRIP),
     "fingerprint_pairs": (fingerprint_pairs, SQL_FINGERPRINT_PAIRS),
     "text_normalize": (text_normalize, SQL_TEXT_NORMALIZE),
