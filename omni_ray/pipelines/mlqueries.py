@@ -1066,6 +1066,85 @@ ORDER BY wave, crawl_order
 """
 
 
+def crawl_host_report(sf_dir: str):
+    """Per-host frontier accounting over the crawl_schedule_core seed
+    universe: distinct URLs after frontier dedup, the politeness budget,
+    how many waves the host needs (ceil(n/budget)), and the last wave's
+    fill rate in ppm — the capacity-planning readout a crawl operator
+    checks before launching (skewed hosts show up as outsized n_waves).
+
+    Distributed shape: seeds derive map-side from the documents id column
+    (same deterministic universe as crawl_schedule_core, including the
+    planted duplicate rows), URL dedup is a bucketed distinct on a url-hash
+    prefix (row-sized key domain), then one bounded groupby over the 7-host
+    domain; the wave arithmetic runs on the 7-row result. A pytest pins
+    n_waves per host against the REAL crawl loop's schedule artifact
+    (max(wave)+1 from crawl_schedule_core)."""
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Count
+
+    n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    budget = max(16, n_docs // 30)
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def seed_urls(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        dup = ids[ids % 3 == 0]
+        both = np.concatenate([ids, dup])
+        return pa.table({
+            "host": pa.array([f"h{i % 7}.example.org" for i in both],
+                             pa.string()),
+            "doc_id": pa.array(both, pa.int64()),
+            "ub": pa.array(both & 255, pa.int64()),
+        })
+
+    def distinct_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["host", "doc_id"]].drop_duplicates("doc_id").reset_index(drop=True)
+
+    per_host = (
+        ds.map_batches(seed_urls, batch_format="pyarrow")
+        .groupby("ub").map_groups(_pd_arrow(distinct_in_bucket),
+                                  batch_format="pandas")
+        .groupby("host").aggregate(Count(alias_name="n_urls"))
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    n = per_host["n_urls"].to_numpy().astype(np.int64)
+    waves = (n + budget - 1) // budget
+    last = n - (waves - 1) * budget
+    out = pd.DataFrame({
+        "host": per_host["host"],
+        "n_urls": n,
+        "budget": np.full(len(n), budget, dtype=np.int64),
+        "n_waves": waves,
+        "last_wave_urls": last,
+        "last_wave_fill_ppm": last * 1_000_000 // budget,
+    })
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+
+SQL_CRAWL_HOST_REPORT = """
+WITH b AS (
+  SELECT greatest(16, count(*) // 30) AS budget FROM documents
+), u AS (
+  SELECT DISTINCT 'h' || (doc_id % 7) || '.example.org' AS host, doc_id
+  FROM documents
+), g AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM u GROUP BY host
+)
+SELECT host, n_urls,
+       CAST(budget AS BIGINT) AS budget,
+       CAST((n_urls + budget - 1) // budget AS BIGINT) AS n_waves,
+       CAST(n_urls - ((n_urls + budget - 1) // budget - 1) * budget
+         AS BIGINT) AS last_wave_urls,
+       CAST((n_urls - ((n_urls + budget - 1) // budget - 1) * budget)
+            * 1000000 // budget AS BIGINT) AS last_wave_fill_ppm
+FROM g CROSS JOIN b
+ORDER BY host
+"""
+
+
 # -- TF-IDF top terms (inverted-index / document-frequency shape) -----------
 
 
@@ -1692,6 +1771,7 @@ ML_REGISTRY = {
     "decontaminate": (decontaminate, SQL_DECONTAMINATE),
     "articles41_core": (articles41_core, SQL_ARTICLES41_CORE),
     "crawl_schedule_core": (crawl_schedule_core, SQL_CRAWL_SCHEDULE_CORE),
+    "crawl_host_report": (crawl_host_report, SQL_CRAWL_HOST_REPORT),
     "tfidf_top_terms": (tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "label_centroids": (label_centroids, SQL_LABEL_CENTROIDS),
     "pii_scan": (pii_scan, SQL_PII_SCAN),

@@ -90,6 +90,22 @@ def test_triangle_broadcast_path_equals_join_path(monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_crawl_host_report_matches_real_schedule():
+    """crawl_host_report predicts per-host wave counts arithmetically from
+    the frontier-deduped seed universe; the REAL crawl loop
+    (crawl_schedule_core) must agree: max(wave)+1 per host == n_waves."""
+    from omni_ray.pipelines.mlqueries import (crawl_host_report,
+                                              crawl_schedule_core)
+
+    report = crawl_host_report(SF).to_pandas().set_index("host")
+    sched = crawl_schedule_core(SF).to_pandas()
+    real = sched.groupby("host")["wave"].max() + 1
+    for host, waves in real.items():
+        assert report.loc[host, "n_waves"] == waves, host
+    assert (report["n_urls"] >= report["budget"] * (report["n_waves"] - 1)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hll_accuracy_vs_exact():
     """The HLL raw estimator must land near the true distinct (user, day)
     count. At sf0.001 fill (n/m ≈ 1.5) the uncorrected estimator is in its
