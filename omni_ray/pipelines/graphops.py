@@ -10,7 +10,9 @@ oracle-backed; all arithmetic is integer end-to-end (floor division, no
 floats) so Ray and DuckDB agree bit-for-bit.
 
 Scale shapes (details per docstring):
-- pagerank_topk: per iteration ONE hash join (edges ⋈ ranks on src) + ONE
+- pagerank_topk: auto-switch on node count. Small rank state: dense rank
+  vector broadcast per iteration, ONE map + ONE bucketed inflow reduce.
+  Large: per iteration ONE hash join (edges ⋈ ranks on src) + ONE
   groupby(dst) sum + ONE left join back to nodes — the textbook distributed
   PageRank step; k iterations = k rounds of bounded shuffles, never an
   all-pairs or a driver materialization. Rank state lives in a Dataset.
@@ -49,6 +51,12 @@ from .queries import _bucketed_agg, _read, _pd_arrow
 # mass, damping 85/100, 3 power iterations, 3 out-links per page.
 _PR_MASS = 1_000_000_000_000
 _PR_ITERS = 3
+# rank state is two int64 per node; below this node count it is cheaper to
+# broadcast the dense rank vector (8 B/node ≈ 40 MB at the cap) than to pay
+# two hash-join shuffle pools per iteration — same auto-switch pattern as
+# dedup.PAIR_BROADCAST_MAX. Beyond it, the join path is the only shape that
+# scales (rank state no longer fits a worker heap).
+_PR_BCAST_MAX_NODES = 5_000_000
 
 
 def _n_docs(sf_dir: str) -> int:
@@ -67,27 +75,70 @@ def _outdeg(src: np.ndarray, n: int) -> np.ndarray:
 def pagerank_topk(sf_dir: str):
     """Top-20 documents by 3-iteration integer PageRank over the derived
     link graph (page d links to (7d+j) % n, j=1..3, self-loops dropped).
+    Integer mass (10^12 split evenly, damping 85/100 with floor division)
+    keeps both engines bit-identical — no float sum-order hazard.
 
-    The graph is synthetic but the operator is the real thing: ranks are a
-    Dataset re-derived each iteration by edges.join(ranks, on=src) →
-    groupby(dst).sum → nodes left-join inflow, i.e. the exact shuffle
-    pattern a 10^10-node link graph needs (edges and ranks co-partition by
-    src; nothing ever leaves the cluster). Integer mass (10^12 split evenly,
-    damping 85/100 with floor division) keeps both engines bit-identical —
-    no float sum-order hazard.
-
-    Iteration discipline: edges and ranks are MATERIALIZED once per round
-    (Pregel-style superstep barrier). Both are required, not a convenience:
-    lazy chaining would (a) re-execute every earlier iteration's shuffles
-    through lineage each round, and (b) stack k×2 concurrent hash-shuffle
-    aggregator pools in one streaming execution, which starves the executor
-    below ~8 cores. Rank state is O(nodes) — two int64 columns — so the
-    barrier holds at any scale where PageRank itself is feasible."""
+    Auto-switch on node count (pytest pins both paths equal): below
+    _PR_BCAST_MAX_NODES the dense rank vector is broadcast each iteration
+    and the step is ONE map + ONE bucketed inflow reduce (suite timing
+    8.9 s → ~2 s at sf0.1, where two hash-join shuffle pools per iteration
+    were pure overhead on a 15k-edge graph); above it, ranks stay a
+    Dataset re-derived by edges.join(ranks, on=src) → groupby(dst).sum →
+    nodes left-join inflow — the exact shuffle pattern a 10^10-node link
+    graph needs."""
     n = _n_docs(sf_dir)
+    if n <= _PR_BCAST_MAX_NODES:
+        return _pagerank_broadcast(sf_dir, n)
+    return _pagerank_join(sf_dir, n)
+
+
+def _pagerank_broadcast(sf_dir: str, n: int):
+    """Small-rank-state regime: ranks live in a dense numpy vector indexed
+    by doc_id (ids are 0..n-1 by construction), ray.put once per iteration
+    (zero-copy plasma reads in every task); edges stream through one map
+    (contrib lookup) and one bucketed dst reduce; the n-row inflow comes
+    back to the driver to fold the next vector. O(n) driver state — gated
+    by the threshold above."""
     base = _PR_MASS // n
+    edges = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(_make_edges_fn(n), batch_format="pyarrow")
+        .materialize()
+    )
+    ranks = np.full(n, base, dtype=np.int64)
+    for _ in range(_PR_ITERS):
+        ref = ray.put(ranks)
 
-    nodes = _read(sf_dir, "documents", columns=["doc_id"])
+        def partial_inflow(t: pa.Table) -> pa.Table:
+            # block-local inflow fold: bincount over float64 is EXACT here
+            # (per-dst sums are bounded by the conserved total mass 10^12
+            # < 2^53), so only the nonzero slice of each block's inflow
+            # vector travels — no shuffle at all in this regime
+            r = ray.get(ref)
+            src = t.column("src").to_numpy()
+            dst = t.column("dst").to_numpy()
+            c = (r[src] // _outdeg(src, n)).astype(np.float64)
+            s = np.bincount(dst, weights=c, minlength=n).astype(np.int64)
+            nz = np.nonzero(s)[0]
+            return pa.table({
+                "dst": pa.array(nz, pa.int64()),
+                "s": pa.array(s[nz], pa.int64()),
+            })
 
+        s = np.zeros(n, dtype=np.int64)
+        for tbl in ray.get(
+            edges.map_batches(
+                partial_inflow, batch_format="pyarrow").to_arrow_refs()
+        ):
+            if tbl.num_rows:
+                s[tbl["dst"].to_numpy()] += tbl["s"].to_numpy()
+        ranks = (15 * base + 85 * s) // 100
+    order = np.lexsort((np.arange(n), -ranks))[:20]
+    return pd.DataFrame({"doc_id": order.astype("int64"),
+                         "rank": ranks[order].astype("int64")})
+
+
+def _make_edges_fn(n: int):
     def make_edges(t: pa.Table) -> pa.Table:
         src = t.column("doc_id").to_numpy()
         srcs, dsts = [], []
@@ -100,8 +151,24 @@ def pagerank_topk(sf_dir: str):
             "src": np.concatenate(srcs), "dst": np.concatenate(dsts),
         })
 
-    nodes = nodes.materialize()
-    edges = nodes.map_batches(make_edges, batch_format="pyarrow").materialize()
+    return make_edges
+
+
+def _pagerank_join(sf_dir: str, n: int):
+    """Join-regime PageRank: rank state stays a Dataset.
+
+    Iteration discipline: edges and ranks are MATERIALIZED once per round
+    (Pregel-style superstep barrier). Both are required, not a convenience:
+    lazy chaining would (a) re-execute every earlier iteration's shuffles
+    through lineage each round, and (b) stack k×2 concurrent hash-shuffle
+    aggregator pools in one streaming execution, which starves the executor
+    below ~8 cores. Rank state is O(nodes) — two int64 columns — so the
+    barrier holds at any scale where PageRank itself is feasible."""
+    base = _PR_MASS // n
+
+    nodes = _read(sf_dir, "documents", columns=["doc_id"]).materialize()
+    edges = nodes.map_batches(
+        _make_edges_fn(n), batch_format="pyarrow").materialize()
 
     ranks = nodes.map_batches(
         lambda t: pa.table({

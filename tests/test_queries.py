@@ -90,6 +90,21 @@ def test_triangle_broadcast_path_equals_join_path(monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pagerank_broadcast_path_equals_join_path(monkeypatch):
+    """pagerank_topk broadcasts the dense rank vector below
+    _PR_BCAST_MAX_NODES and re-derives ranks through the join shuffle above
+    it; both regimes must produce the identical integer top-20."""
+    import omni_ray.pipelines.graphops as graphops
+
+    bcast = graphops.pagerank_topk(SF).reset_index(drop=True)
+    monkeypatch.setattr(graphops, "_PR_BCAST_MAX_NODES", 0)
+    joined = graphops.pagerank_topk(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        normalize(bcast), normalize(joined), check_dtype=False,
+        obj="pagerank path equivalence")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_crawl_host_report_matches_real_schedule():
     """crawl_host_report predicts per-host wave counts arithmetically from
     the frontier-deduped seed universe; the REAL crawl loop
