@@ -948,33 +948,35 @@ def source_overlap_matrix(sf_dir: str):
             df, preserve_index=False
         ).replace_schema_metadata(None)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_and_marks(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE pass over the fp group does all three jobs the old three
+        # executions did: the in-group distinct, the source-pair emission,
+        # and a ("", source) marker row per distinct source so per-source
+        # fingerprint totals fall out of the SAME bounded groupby downstream
         srcs = np.sort(g["source"].drop_duplicates().to_numpy())
         if len(srcs) < 2:
-            return pd.DataFrame({"s_a": pd.Series([], dtype="object"),
-                                 "s_b": pd.Series([], dtype="object")})
-        a, b = np.triu_indices(len(srcs), k=1)
-        return pd.DataFrame({"s_a": srcs[a], "s_b": srcs[b]})
+            pa_, pb_ = np.array([], dtype=object), np.array([], dtype=object)
+        else:
+            a, b = np.triu_indices(len(srcs), k=1)
+            pa_, pb_ = srcs[a], srcs[b]
+        return pd.DataFrame({
+            "s_a": np.concatenate([pa_, np.full(len(srcs), "", dtype=object)]),
+            "s_b": np.concatenate([pb_, srcs]),
+        })
 
-    sel = (
+    counted = (
         _docs_with_source(sf_dir).map_batches(grams, batch_format="pyarrow")
         .map_batches(dedup_block, batch_format="pyarrow")
-        # exact (source, fp) distinct: fp-bucketed dedup (row-sized domain)
-        .groupby("fp").map_groups(
-            _pd_arrow(lambda g: g.drop_duplicates(["source", "fp"])),
-            batch_format="pandas",
-        )
-        .materialize()
-    )
-    inter = (
-        sel.groupby("fp").map_groups(_pd_arrow(pairs), batch_format="pandas")
+        # one fp shuffle total (row-sized domain -> map_groups)
+        .groupby("fp").map_groups(_pd_arrow(pairs_and_marks),
+                                  batch_format="pandas")
         .groupby(["s_a", "s_b"]).aggregate(Count(alias_name="inter"))
         .to_pandas()
     )
-    totals = (
-        sel.groupby("source").aggregate(Count(alias_name="n"))
-        .to_pandas().set_index("source")["n"].to_dict()
-    )
+    marks = counted[counted["s_a"] == ""]
+    totals = dict(zip(marks["s_b"], marks["inter"]))
+    inter = (counted[counted["s_a"] != ""]
+             .sort_values(["s_a", "s_b"]).reset_index(drop=True))
     out = inter.assign(
         jaccard_ppm=[
             int(r.inter) * 1_000_000
