@@ -27,6 +27,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
 from .mlqueries import _docs, _n_blocks
+from ..stages.dedup import _fetch_broadcast
 
 _WORD = re.compile(r"[a-z]+")
 
@@ -150,14 +151,17 @@ SELECT doc_id, length(norm) AS norm_len, md5(norm) AS norm_hash FROM n
 # -- unigram LM scoring (corpus log-probability per document) ----------------
 
 
-def unigram_logprob(sf_dir: str):
+def unigram_logprob(sf_dir: str, small_side_max: int = 200_000):
     """Per-document unigram log-probability — the KenLM-style perplexity
     filter's SQL-expressible core. Two passes over term rows materialized
     once: (1) corpus term frequencies (the LM) via one groupby over
-    map-side-combined (doc, term, tf) rows; (2) each doc's score via a hash
-    join on term + a per-doc Sum. The LM side is unbounded vocabulary, so a
-    join, not a broadcast. log p quantized half-up at 1e6 (same ln-on-double
-    rule the green tfidf oracle uses); scores are exact int64 from there."""
+    map-side-combined (doc, term, tf) rows; (2) each doc's score. The
+    scoring side auto-switches like pmi_top_pairs: an output-sized LM
+    (≤ small_side_max distinct terms) is broadcast and looked up map-side
+    (the suite's 5.7 s was mostly the join pools); a row-sized LM flows
+    through the term hash join + per-doc Sum. log p quantized half-up at
+    1e6 (same ln-on-double rule the green tfidf oracle uses); scores are
+    exact int64 from there. A pytest pins both paths identical."""
     from collections import Counter
 
     ds = _docs(sf_dir)
@@ -187,22 +191,49 @@ def unigram_logprob(sf_dir: str):
         q = np.floor(np.log(c / float(total)) * 1_000_000 + 0.5).astype(np.int64)
         return pa.table({"term": t["term"], "logp_q": pa.array(q, pa.int64())})
 
-    scored = tf.join(
-        freq.map_batches(logp, batch_format="pyarrow"),
-        join_type="inner", on=("term",), num_partitions=8,
-    )
+    lp = freq.map_batches(logp, batch_format="pyarrow")
+    # same adaptive rule as pmi_top_pairs: an output-sized vocabulary (the
+    # LM itself, term->logp) is broadcast and looked up map-side; a
+    # row-sized vocabulary must flow through the hash join
+    if freq.count() <= small_side_max:
+        lm: dict = {}
+        # iter_batches, not to_arrow_refs: the bucketed combiner can emit
+        # EMPTY pandas-backed blocks, which to_arrow_refs hands back
+        # unconverted (no columns -> KeyError); iter_batches coerces
+        for tbl in lp.iter_batches(batch_format="pyarrow"):
+            lm.update(zip(tbl["term"].to_pylist(),
+                          tbl["logp_q"].to_pylist()))
+        lm_ref = ray.put(lm)
 
-    def mul(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def score_local(t: pa.Table) -> pa.Table:
+            m = _fetch_broadcast(lm_ref)
+            lpv = np.fromiter(
+                (m[x] for x in t["term"].to_pylist()), dtype=np.int64,
+                count=t.num_rows)
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "tf": t["tf"],
+                "part": pa.array(t["tf"].to_numpy() * lpv, pa.int64()),
+            })
 
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "tf": t["tf"],
-            "part": pc.multiply(t["tf"], t["logp_q"]),
-        })
+        parts = tf.map_batches(score_local, batch_format="pyarrow")
+    else:
+        scored = tf.join(lp, join_type="inner", on=("term",),
+                         num_partitions=8)
+
+        def mul(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "tf": t["tf"],
+                "part": pc.multiply(t["tf"], t["logp_q"]),
+            })
+
+        parts = scored.map_batches(mul, batch_format="pyarrow")
 
     out = _bucketed_agg(
-        scored.map_batches(mul, batch_format="pyarrow"),
+        parts,
         ["doc_id"],
         {"n_tokens": ("tf", "sum"), "logprob_q": ("part", "sum")},
     )

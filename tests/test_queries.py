@@ -90,6 +90,19 @@ def test_triangle_broadcast_path_equals_join_path(monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_unigram_logprob_broadcast_equals_join():
+    """unigram_logprob broadcasts the LM below small_side_max and hash-joins
+    above it; both paths must score every document identically."""
+    from omni_ray.pipelines.corpusops import unigram_logprob
+
+    small = unigram_logprob(SF).to_pandas()
+    forced = unigram_logprob(SF, small_side_max=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        normalize(small), normalize(forced), check_dtype=False,
+        obj="unigram_logprob path equivalence")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pagerank_broadcast_path_equals_join_path(monkeypatch):
     """pagerank_topk broadcasts the dense rank vector below
     _PR_BCAST_MAX_NODES and re-derives ranks through the join shuffle above
