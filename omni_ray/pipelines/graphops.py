@@ -126,12 +126,16 @@ def _pagerank_broadcast(sf_dir: str, n: int):
             })
 
         s = np.zeros(n, dtype=np.int64)
-        for tbl in ray.get(
-            edges.map_batches(
-                partial_inflow, batch_format="pyarrow").to_arrow_refs()
-        ):
+        # iter_batches, not to_arrow_refs: empty upstream blocks can surface
+        # as empty PANDAS blocks that to_arrow_refs returns unconverted.
+        # np.add.at, not fancy-index +=: iter_batches coalesces several
+        # tasks' partials into one batch, so a dst can repeat WITHIN a
+        # batch and += silently keeps only the last occurrence
+        for tbl in edges.map_batches(
+            partial_inflow, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
             if tbl.num_rows:
-                s[tbl["dst"].to_numpy()] += tbl["s"].to_numpy()
+                np.add.at(s, tbl["dst"].to_numpy(), tbl["s"].to_numpy())
         ranks = (15 * base + 85 * s) // 100
     order = np.lexsort((np.arange(n), -ranks))[:20]
     return pd.DataFrame({"doc_id": order.astype("int64"),

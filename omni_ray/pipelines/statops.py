@@ -335,10 +335,13 @@ def _close_wedges_broadcast(edges: ray.data.Dataset) -> tuple[int, int]:
     them against the keys with a vectorized searchsorted. Only per-bucket
     (n_wedges, n_triangles) partials leave the workers — the wedge set
     (40× the edge count on this graph) is never materialized or shuffled."""
+    # iter_batches, not to_arrow_refs: empty shuffle partitions upstream can
+    # surface as empty PANDAS blocks that to_arrow_refs returns unconverted
     keys = np.sort(np.concatenate([
         (tbl["u"].to_numpy(zero_copy_only=False) * _KEY_BASE
          + tbl["v"].to_numpy(zero_copy_only=False))
-        for tbl in ray.get(edges.select_columns(["u", "v"]).to_arrow_refs())
+        for tbl in edges.select_columns(["u", "v"]).iter_batches(
+            batch_format="pyarrow")
         if tbl.num_rows
     ] or [np.array([], dtype=np.int64)]))
     ref = ray.put(keys)
