@@ -275,6 +275,20 @@ def run_bench() -> dict:
     timed("pmi_top_pairs",
           lambda: ENGINEOPS_REGISTRY["pmi_top_pairs"][0](SF_DIR).num_rows)
 
+    from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
+
+    # web-scale batch 6: per-language LM banding (two row-domain bucketed
+    # aggregates) and RRF fusion (two pruned retrieval arms) are the
+    # representative costs; the rest of the batch is bounded-groupby cheap
+    timed("ccnet_ppl_buckets",
+          lambda: WEBSCALE_REGISTRY["ccnet_ppl_buckets"][0](SF_DIR).num_rows)
+    timed("rrf_fusion",
+          lambda: WEBSCALE_REGISTRY["rrf_fusion"][0](SF_DIR).num_rows)
+    timed("hll_users_by_type",
+          lambda: WEBSCALE_REGISTRY["hll_users_by_type"][0](SF_DIR).num_rows)
+    timed("recrawl_schedule",
+          lambda: WEBSCALE_REGISTRY["recrawl_schedule"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
