@@ -687,6 +687,102 @@ HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
 """
 
 
+# -- bloom_fp_audit -----------------------------------------------------------
+
+_BLOOM_M = 4096   # bits
+_BLOOM_K = 3      # hash positions per key (md5 hex slices of 8 nibbles)
+
+
+def _bloom_positions(key: int) -> tuple:
+    h = hashlib.md5(str(int(key)).encode()).hexdigest()
+    return tuple(int(h[8 * i: 8 * i + 8], 16) % _BLOOM_M
+                 for i in range(_BLOOM_K))
+
+
+def bloom_fp_audit(sf_dir: str):
+    """Bloom-filter membership with bit-exact false-positive accounting —
+    the query-surface twin of the crawl loop's bloom-fronted URL-seen
+    shards (state/filters.py:37, where the bloom absorbs probes and an
+    exact digest set confirms positives). The seen set is the deterministic
+    doc_id %% 2 == 0 half of the corpus; every doc_id is then probed and
+    reports (truly_seen, bloom_hit, false_positive), so the operator
+    measures the filter's actual FP behaviour rather than assuming the
+    textbook rate.
+
+    Shape: the filter is BUILT as a mergeable sketch — each block emits the
+    bit positions its seen keys set (≤ 3 rows per key, deduped in-block),
+    one bounded groupby-distinct over the 4096-position domain folds them,
+    and the resulting bit array is broadcast (512 bytes); the probe pass is
+    a stateless map. At 10^10 URLs the real filter is the sharded actor
+    tier; this operator is the audit you run OVER it, and the build/probe
+    split is the same per-block-partial → bounded-fold → broadcast pattern
+    as hll_users_by_type. Hash bridge: md5 hex slices of 8 nibbles mod m,
+    reproduced verbatim in the SQL oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def seen_bits(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        pos = set()
+        for d in ids[ids % 2 == 0]:
+            pos.update(_bloom_positions(int(d)))
+        return pa.table({"p": pa.array(sorted(pos), pa.int64())})
+
+    bits_rows = (
+        ds.map_batches(seen_bits, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(ray.data.aggregate.Count(alias_name="_n"))
+        .to_pandas()
+    )
+    bits = np.zeros(_BLOOM_M, dtype=bool)
+    bits[bits_rows["p"].to_numpy()] = True
+    bits_ref = ray.put(bits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        b = _fetch_broadcast(bits_ref)
+        ids = t["doc_id"].to_numpy()
+        hit = np.empty(len(ids), dtype=np.int64)
+        for i, d in enumerate(ids):
+            hit[i] = int(all(b[p] for p in _bloom_positions(int(d))))
+        seen = (ids % 2 == 0).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "truly_seen": pa.array(seen, pa.int64()),
+            "bloom_hit": pa.array(hit, pa.int64()),
+            "false_positive": pa.array(hit & (1 - seen), pa.int64()),
+        })
+
+    out = ds.map_batches(probe, batch_format="pyarrow")
+    return pa.Table.from_pandas(
+        out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
+
+
+SQL_BLOOM_FP_AUDIT = f"""
+WITH pos AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % {_BLOOM_M} AS BIGINT) AS p0,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT
+              % {_BLOOM_M} AS BIGINT) AS p1,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))::UBIGINT
+              % {_BLOOM_M} AS BIGINT) AS p2
+  FROM documents
+), bits AS (
+  SELECT DISTINCT p FROM (
+    SELECT unnest([p0, p1, p2]) AS p FROM pos WHERE doc_id % 2 = 0)
+)
+SELECT pos.doc_id,
+       CAST(pos.doc_id % 2 = 0 AS BIGINT) AS truly_seen,
+       CAST(b0.p IS NOT NULL AND b1.p IS NOT NULL AND b2.p IS NOT NULL
+            AS BIGINT) AS bloom_hit,
+       CAST(b0.p IS NOT NULL AND b1.p IS NOT NULL AND b2.p IS NOT NULL
+            AND pos.doc_id % 2 <> 0 AS BIGINT) AS false_positive
+FROM pos
+LEFT JOIN bits b0 ON b0.p = pos.p0
+LEFT JOIN bits b1 ON b1.p = pos.p1
+LEFT JOIN bits b2 ON b2.p = pos.p2
+"""
+
+
 WEBSCALE_REGISTRY = {
     "ccnet_ppl_buckets": (ccnet_ppl_buckets, SQL_CCNET_PPL_BUCKETS),
     "domain_quality_gate": (domain_quality_gate, SQL_DOMAIN_QUALITY_GATE),
@@ -695,4 +791,5 @@ WEBSCALE_REGISTRY = {
     "hll_users_by_type": (hll_users_by_type, SQL_HLL_USERS_BY_TYPE),
     "purchase_no_error_days": (purchase_no_error_days,
                                SQL_PURCHASE_NO_ERROR_DAYS),
+    "bloom_fp_audit": (bloom_fp_audit, SQL_BLOOM_FP_AUDIT),
 }
