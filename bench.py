@@ -288,6 +288,8 @@ def run_bench() -> dict:
           lambda: WEBSCALE_REGISTRY["hll_users_by_type"][0](SF_DIR).num_rows)
     timed("recrawl_schedule",
           lambda: WEBSCALE_REGISTRY["recrawl_schedule"][0](SF_DIR).num_rows)
+    timed("bm25_topk",
+          lambda: WEBSCALE_REGISTRY["bm25_topk"][0](SF_DIR).num_rows)
 
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)

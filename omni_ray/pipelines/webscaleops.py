@@ -783,6 +783,195 @@ LEFT JOIN bits b2 ON b2.p = pos.p2
 """
 
 
+# -- bm25_topk ----------------------------------------------------------------
+
+BM25_TERMS = ("sort", "hash", "join")
+BM25_TOP = 20
+# k1 = 1.2 and b = 0.75 as exact rationals: the tf normalization
+# tf / (tf + k1*(1-b+b*dl/avgdl)) clears to the integer fraction
+# (20*T*tf) / (20*T*tf + 6*T + 18*dl*N) with T = corpus tokens, N = docs —
+# derived by multiplying through by 20*T (k1=6/5, 1-b=1/4, b=3/4)
+
+
+def bm25_topk(sf_dir: str):
+    """Real BM25 ranking (Robertson/Lucene form) for a fixed query — the
+    relevance model behind the reference's Elasticsearch search path
+    (src/search/advanced_search.py multi_match), which keyword_search /
+    multi_field_search approximate with raw term counts. idf uses the
+    Lucene ln(1 + (N-df+0.5)/(df+0.5)) form quantized at 1e6 (the repo's
+    established ln-on-double rule); the length normalization is an EXACT
+    integer fraction (see constants above), so per-(doc,term) partial
+    scores are idf_q*num//den with every operand a non-negative integer.
+
+    Shape: one map pass emits (doc_id, term, tf, dl) rows for QUERY terms
+    only (the query is a broadcast constant — no vocabulary is ever
+    built); df is a bounded groupby over ≤|query| rows; N and T come from
+    one global aggregate; scoring is a stateless map over the term rows
+    with the 5-number stats broadcast; the final top-k sorts only the
+    score>0 subset. Zero row-domain shuffles, no LM, no join."""
+    ds = _docs(sf_dir)
+
+    def term_rows(t: pa.Table) -> pa.Table:
+        doc_ids, terms, tfs, dls = [], [], [], []
+        n_docs, n_toks = 0, 0
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = _WORD.findall((x or "").lower())
+            n_docs += 1
+            n_toks += len(ws)
+            c = Counter(w for w in ws if w in BM25_TERMS)
+            for w, tf in c.items():
+                doc_ids.append(d)
+                terms.append(w)
+                tfs.append(tf)
+                dls.append(len(ws))
+        # stats rows ride along with term='' so ONE pass feeds both the
+        # df/N/T aggregate and the scoring map (dl carries block tokens)
+        doc_ids.append(-1)
+        terms.append("")
+        tfs.append(n_docs)
+        dls.append(n_toks)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "dl": pa.array(dls, pa.int64()),
+        })
+
+    rows = ds.map_batches(term_rows, batch_format="pyarrow").materialize()
+    stats = (
+        rows.groupby("term")
+        .aggregate(Sum("tf", alias_name="s_tf"), Sum("dl", alias_name="s_dl"),
+                   ray.data.aggregate.Count(alias_name="df"))
+        .to_pandas()
+    )
+    srow = stats[stats["term"] == ""]
+    n_total = int(srow["s_tf"].iloc[0])     # N: docs
+    t_total = int(srow["s_dl"].iloc[0])     # T: corpus tokens
+    idf_q = {}
+    for _, r in stats[stats["term"] != ""].iterrows():
+        df = int(r["df"])
+        idf_q[r["term"]] = int(np.floor(
+            np.log(1.0 + (n_total - df + 0.5) / (df + 0.5)) * 1_000_000
+            + 0.5))
+    bc = ray.put((idf_q, n_total, t_total))
+
+    def score(t: pa.Table) -> pa.Table:
+        m, n_d, t_t = _fetch_broadcast(bc)
+        keep = np.array([w != "" for w in t["term"].to_pylist()])
+        tf = t["tf"].to_numpy()[keep]
+        dl = t["dl"].to_numpy()[keep]
+        ids = t["doc_id"].to_numpy()[keep]
+        iq = np.fromiter((m[w] for w, k in zip(t["term"].to_pylist(), keep)
+                          if k), dtype=np.int64, count=int(keep.sum()))
+        num = 20 * t_t * tf
+        den = num + 6 * t_t + 18 * dl * n_d
+        part = iq * num // den
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    parts = rows.map_batches(score, batch_format="pyarrow")
+    doc_scores = _bucketed_agg(parts, ["doc_id"], {"score_q": ("part", "sum")})
+    top = (
+        doc_scores
+        .sort(["score_q", "doc_id"], descending=[True, False])
+        .limit(BM25_TOP)
+        .to_pandas()
+    )
+    top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    for c in top.columns:
+        top[c] = top[c].astype("int64")
+    return pa.Table.from_pandas(
+        top, preserve_index=False).replace_schema_metadata(None)
+
+
+SQL_BM25_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS ws
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(ws) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS t_total FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+  WHERE term IN ('sort', 'hash', 'join')
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), idf AS (
+  SELECT term,
+         CAST(floor(ln(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5))
+                    * 1000000 + 0.5) AS BIGINT) AS idf_q
+  FROM df CROSS JOIN stats
+), scored AS (
+  SELECT tf.doc_id,
+         sum(idf.idf_q * (20 * stats.t_total * tf.tf)
+             // (20 * stats.t_total * tf.tf + 6 * stats.t_total
+                 + 18 * dl.dl * stats.n_docs)) AS score_q
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(score_q AS BIGINT) AS score_q,
+       CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT)
+         AS rnk
+FROM scored ORDER BY score_q DESC, doc_id LIMIT {BM25_TOP}
+"""
+
+
+# -- langid_confusion ---------------------------------------------------------
+
+
+def langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: the corpus's labelled ``lang`` column
+    against the lang_id heuristic's prediction (the exact stopword rule the
+    green lang_id oracle pins), counted per (actual, predicted) cell — the
+    eval artifact you keep next to any classifier stage. One map + one
+    bounded groupby (|langs| × 2 cells)."""
+    from ..functions.textstats import detect_language_common_words
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        preds = [detect_language_common_words(x or "")
+                 for x in t.column("text").to_pylist()]
+        return pa.table({
+            "lang": t.column("lang"),
+            "predicted": pa.array(preds, pa.string()),
+            "one": pa.array(np.ones(len(preds), np.int64), pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby(["lang", "predicted"])
+        .aggregate(Sum("one", alias_name="n_docs"))
+        .to_pandas()
+    )
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    return pa.Table.from_pandas(
+        agg, preserve_index=False).replace_schema_metadata(None)
+
+
+SQL_LANGID_CONFUSION = r"""
+SELECT lang,
+       CASE WHEN length(list_distinct(list_intersect(
+                list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            w -> length(w) >= 2),
+                ['the','and','of','to','a','in','is','you','that','it']))) > 5
+            THEN 'en' ELSE 'unknown' END AS predicted,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 WEBSCALE_REGISTRY = {
     "ccnet_ppl_buckets": (ccnet_ppl_buckets, SQL_CCNET_PPL_BUCKETS),
     "domain_quality_gate": (domain_quality_gate, SQL_DOMAIN_QUALITY_GATE),
@@ -792,4 +981,6 @@ WEBSCALE_REGISTRY = {
     "purchase_no_error_days": (purchase_no_error_days,
                                SQL_PURCHASE_NO_ERROR_DAYS),
     "bloom_fp_audit": (bloom_fp_audit, SQL_BLOOM_FP_AUDIT),
+    "bm25_topk": (bm25_topk, SQL_BM25_TOPK),
+    "langid_confusion": (langid_confusion, SQL_LANGID_CONFUSION),
 }
