@@ -291,6 +291,16 @@ def run_bench() -> dict:
     timed("bm25_topk",
           lambda: WEBSCALE_REGISTRY["bm25_topk"][0](SF_DIR).num_rows)
 
+    # batch 9: anchor aggregation (one bucketed dst shuffle over 3n edge
+    # rows) and split leakage (fp-domain bucketed indicator fold) are the
+    # representative costs; HITS is 12 broadcast half-folds over 3n edges
+    timed("anchor_text_agg",
+          lambda: WEBSCALE_REGISTRY["anchor_text_agg"][0](SF_DIR).num_rows)
+    timed("split_leakage",
+          lambda: WEBSCALE_REGISTRY["split_leakage"][0](SF_DIR).num_rows)
+    timed("hits_topk",
+          lambda: len(WEBSCALE_REGISTRY["hits_topk"][0](SF_DIR)))
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

@@ -45,6 +45,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Sum
@@ -972,7 +973,583 @@ GROUP BY 1, 2
 """
 
 
+# =============================================================================
+# batch 9: web-graph text operators — anchor-text aggregation, train/eval
+# split-leakage audit, canopy cluster-size histogram, and HITS hubs/
+# authorities. The link graph is the repo's standard derived graph (page d
+# links to (7d+j) % n, j=1..3, self-loops dropped — graphops._make_edges_fn),
+# so every oracle can re-derive it in SQL. All integer-exact: HITS renormalizes
+# with floor divisions whose numerators are non-negative, the leakage audit
+# counts indicator products, and the histogram is pure counting.
+# =============================================================================
+
+
+def anchor_text_agg(sf_dir: str):
+    """Per-target anchor-text aggregation — the web-graph signal extraction
+    every production index runs (anchor text describes the TARGET page
+    better than its own content: the classic ranking feature). Each edge
+    (src → dst) carries the first-4-word anchor of the SOURCE document;
+    per dst we emit in-link count, distinct-anchor count, and the
+    lexicographically-first anchor.
+
+    Scale shape: ZERO joins — the anchor comes from the same row the edge
+    is derived from, so one map emits (dst, anchor) rows; a block-local
+    (dst, anchor) combiner pre-reduces before the single bucketed shuffle
+    on dst (row-sized domain → bucketed map_groups per the repo rule, not
+    groupby().aggregate); distinct-anchor counting happens inside the
+    bucket where all rows for a dst are co-located. At 10^10 edges this is
+    the exact one-shuffle anchor-aggregation shape (cf. common web-graph
+    builds); skewed dsts (everyone links to the homepage) cost one big
+    bucket, mitigated by the 256-way spread and the combiner."""
+    from .graphops import _n_docs
+
+    n = _n_docs(sf_dir)
+    ds = _docs(sf_dir)
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        anchors = np.array(
+            [" ".join(_WORD.findall((x or "").lower())[:4])
+             for x in t.column("text").to_pylist()],
+            dtype=object,
+        )
+        dsts, ancs = [], []
+        for j in (1, 2, 3):
+            dst = (7 * ids + j) % n
+            keep = dst != ids
+            dsts.append(dst[keep])
+            ancs.append(anchors[keep])
+        return pa.table({
+            "dst": pa.array(np.concatenate(dsts), pa.int64()),
+            "anchor": pa.array(np.concatenate(ancs), pa.string()),
+        })
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = (df.groupby(["dst", "anchor"], sort=False)
+             .size().rename("n").reset_index())
+        p["_kb"] = (p["dst"].to_numpy() % 256).astype(np.int64)
+        return p
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["dst", "anchor"], sort=False)["n"]
+             .sum().reset_index())
+        out = (m.groupby("dst", sort=False)
+               .agg(n_inlinks=("n", "sum"), n_anchors=("anchor", "size"),
+                    top_anchor=("anchor", "min"))
+               .reset_index())
+        out["dst"] = out["dst"].astype("int64")
+        out["n_inlinks"] = out["n_inlinks"].astype("int64")
+        out["n_anchors"] = out["n_anchors"].astype("int64")
+        return out
+
+    out = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .map_batches(_pd_arrow(partial), batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(_pd_arrow(final), batch_format="pandas")
+    )
+    return pa.Table.from_pandas(
+        out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
+
+
+SQL_ANCHOR_TEXT_AGG = r"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS w
+  FROM documents
+), anch AS (
+  SELECT doc_id, array_to_string(w[1:4], ' ') AS anchor FROM toks
+), e AS (
+  SELECT (7 * a.doc_id + j.j) % nn.n AS dst, a.anchor
+  FROM anch a CROSS JOIN nn CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j
+  WHERE (7 * a.doc_id + j.j) % nn.n != a.doc_id
+)
+SELECT CAST(dst AS BIGINT) AS dst,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors,
+       min(anchor) AS top_anchor
+FROM e GROUP BY 1
+"""
+
+
+# -- split_leakage -------------------------------------------------------------
+
+
+def split_leakage(sf_dir: str):
+    """Train/val/test contamination audit: how many sampled document
+    fingerprints appear in MORE than one split — the number a training-data
+    release must report (eval answers leaking into train). Composes two
+    green rules verbatim: dataset_split_assign's content-hash split
+    (md5(text) mod 100 → 90/5/5) and fingerprint_pairs' mod-p sampled
+    5-gram fingerprints (md5 LIKE '0%', a stable 1/16 sample needing no
+    corpus pass).
+
+    Scale shape: one map emits per-doc DEDUPED (fp, split-indicator) rows;
+    a block-local combiner ORs indicators per fp BEFORE the single bucketed
+    shuffle on fp (row-sized domain); each bucket ORs again and folds its
+    pairwise-overlap partial sums to FOUR counters, so only 256×4 tiny rows
+    ever reach the driver. Never a distinct shuffle, never a self-join —
+    compare the O(pairs) join the SQL oracle spells out."""
+    ds = _docs(sf_dir)
+
+    def emit(t: pa.Table) -> pa.Table:
+        fps, tr, va, te = [], [], [], []
+        for x in t.column("text").to_pylist():
+            raw = x or ""
+            b = int(hashlib.md5(raw.encode()).hexdigest()[:8], 16) % 100
+            s = 0 if b < 90 else (1 if b < 95 else 2)
+            w = _WORD.findall(raw.lower())
+            sel = {
+                h
+                for i in range(len(w) - 4)
+                for h in (hashlib.md5(
+                    " ".join(w[i:i + 5]).encode()).hexdigest(),)
+                if h.startswith("0")
+            }
+            fps.extend(sorted(sel))
+            k = len(sel)
+            tr.extend([1 if s == 0 else 0] * k)
+            va.extend([1 if s == 1 else 0] * k)
+            te.extend([1 if s == 2 else 0] * k)
+        return pa.table({
+            "fp": pa.array(fps, pa.string()),
+            "t": pa.array(tr, pa.int64()),
+            "v": pa.array(va, pa.int64()),
+            "e": pa.array(te, pa.int64()),
+        })
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.groupby("fp", sort=False)[["t", "v", "e"]].max().reset_index()
+        p["_kb"] = (pd.util.hash_array(p["fp"].to_numpy())
+                    % 256).astype(np.int64)
+        return p
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("fp", sort=False)[["t", "v", "e"]].max()
+        t, v, e = m["t"].to_numpy(), m["v"].to_numpy(), m["e"].to_numpy()
+        return pd.DataFrame({
+            "pair": ["train_val", "train_test", "val_test", "multi_split"],
+            "n": np.array([
+                int((t & v).sum()), int((t & e).sum()), int((v & e).sum()),
+                int((t + v + e >= 2).sum()),
+            ], dtype=np.int64),
+        })
+
+    parts = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .map_batches(_pd_arrow(partial), batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(_pd_arrow(fold), batch_format="pandas")
+        .to_pandas()  # ≤ 256 buckets × 4 rows
+    )
+    agg = parts.groupby("pair", sort=True)["n"].sum().reindex(
+        ["multi_split", "train_test", "train_val", "val_test"],
+        fill_value=0).reset_index()
+    agg = agg.rename(columns={"n": "n_shared_fps"})
+    agg["n_shared_fps"] = agg["n_shared_fps"].astype("int64")
+    return pa.Table.from_pandas(
+        agg, preserve_index=False).replace_schema_metadata(None)
+
+
+SQL_SPLIT_LEAKAGE = r"""
+WITH toks AS (
+  SELECT doc_id, coalesce(text, '') AS raw,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS w
+  FROM documents
+), split AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(raw), 1, 8))::BIGINT % 100 AS b
+  FROM toks
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                               i -> md5(array_to_string(w[i:i+4], ' ')))) AS fp
+  FROM toks
+), sel AS (
+  SELECT DISTINCT g.fp,
+         CASE WHEN s.b < 90 THEN 0 WHEN s.b < 95 THEN 1 ELSE 2 END AS sp
+  FROM grams g JOIN split s USING (doc_id) WHERE g.fp LIKE '0%'
+), ind AS (
+  SELECT fp,
+         max(CASE WHEN sp = 0 THEN 1 ELSE 0 END) AS t,
+         max(CASE WHEN sp = 1 THEN 1 ELSE 0 END) AS v,
+         max(CASE WHEN sp = 2 THEN 1 ELSE 0 END) AS e
+  FROM sel GROUP BY 1
+)
+SELECT pair, CAST(n_shared_fps AS BIGINT) AS n_shared_fps FROM (
+  SELECT 'train_val' AS pair, coalesce(sum(t * v), 0) AS n_shared_fps
+  FROM ind
+  UNION ALL
+  SELECT 'train_test', coalesce(sum(t * e), 0) FROM ind
+  UNION ALL
+  SELECT 'val_test', coalesce(sum(v * e), 0) FROM ind
+  UNION ALL
+  SELECT 'multi_split',
+         coalesce(sum(CASE WHEN t + v + e >= 2 THEN 1 ELSE 0 END), 0)
+  FROM ind
+) ORDER BY pair
+"""
+
+
+# -- canopy_cluster_hist -------------------------------------------------------
+
+
+def canopy_cluster_hist(sf_dir: str):
+    """Dedup-cluster size histogram over prefix canopies (md5 of the first
+    8 lowercase words): for each cluster size s, how many clusters and how
+    many documents sit in clusters of that size — the standard corpus-dedup
+    report ("X% of docs live in clusters ≥ k") that sizes the payoff before
+    running the expensive near-dup pass.
+
+    Scale shape: key domain is row-sized → block-local count combiner, one
+    bucketed shuffle on the canopy key, per-bucket histogram partials
+    (size → n_clusters), then one bounded groupby over the tiny size
+    domain. Two shuffles total, the second over ≤ |distinct sizes| rows."""
+    ds = _docs(sf_dir)
+
+    def keys(t: pa.Table) -> pa.Table:
+        ks = [
+            hashlib.md5(
+                " ".join(_WORD.findall((x or "").lower())[:8]).encode()
+            ).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table({"k": pa.array(ks, pa.string())})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.groupby("k", sort=False).size().rename("n").reset_index()
+        p["_kb"] = (pd.util.hash_array(p["k"].to_numpy())
+                    % 256).astype(np.int64)
+        return p
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("k", sort=False)["n"].sum()
+        h = sizes.value_counts()
+        return pd.DataFrame({
+            "cluster_size": h.index.to_numpy().astype("int64"),
+            "n_clusters": h.to_numpy().astype("int64"),
+        })
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .map_batches(_pd_arrow(partial), batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(_pd_arrow(hist), batch_format="pandas")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+        .to_pandas()
+    )
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    out["n_docs"] = (out["cluster_size"] * out["n_clusters"]).astype("int64")
+    return pa.Table.from_pandas(
+        out, preserve_index=False).replace_schema_metadata(None)
+
+
+SQL_CANOPY_CLUSTER_HIST = r"""
+WITH k AS (
+  SELECT md5(array_to_string(
+           regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')[1:8],
+           ' ')) AS k
+  FROM documents
+), sizes AS (
+  SELECT k, count(*) AS s FROM k GROUP BY 1
+)
+SELECT CAST(s AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(s * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY s
+"""
+
+
+# -- blocklist_hits ------------------------------------------------------------
+
+# stand-in blocklist over the synthetic corpus vocabulary: one frequent term,
+# one rare term, one absent term — so the audit exercises all three regimes
+# (a real deployment swaps in its safety wordlist; the operator shape is
+# identical). Tokenized membership, not substring match, so 'dup' never
+# fires inside 'dupx' and both engines share RE2-free exact semantics.
+_BLOCKLIST = ("slow", "dup", "crash")
+
+
+def blocklist_hits(sf_dir: str):
+    """Per-source content-policy audit — the safety-filtering stage every
+    training-data pipeline runs before assembly: for each source, how many
+    documents contain at least one blocklisted token, total hits, and the
+    flagged rate in integer ppm. One map (token membership over the
+    zero-copy batch) + one bounded groupby over the source domain; nothing
+    row-sized ever shuffles, so the audit costs one corpus read at any
+    scale."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    bl = frozenset(_BLOCKLIST)
+
+    def f(t: pa.Table) -> pa.Table:
+        hits = np.fromiter(
+            (sum(1 for w in _WORD.findall((x or "").lower()) if w in bl)
+             for x in t.column("text").to_pylist()),
+            dtype=np.int64, count=len(t),
+        )
+        return pa.table({
+            "source": t.column("source"),
+            "one": pa.array(np.ones(len(t), np.int64), pa.int64()),
+            "flagged": pa.array((hits > 0).astype(np.int64), pa.int64()),
+            "hits": pa.array(hits, pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("one", alias_name="n_docs"),
+                   Sum("flagged", alias_name="n_flagged"),
+                   Sum("hits", alias_name="n_hits"))
+        .to_pandas()
+    )
+    for c in ("n_docs", "n_flagged", "n_hits"):
+        agg[c] = agg[c].astype("int64")
+    agg["flagged_ppm"] = (agg["n_flagged"] * 1_000_000
+                          // agg["n_docs"]).astype("int64")
+    return pa.Table.from_pandas(
+        agg, preserve_index=False).replace_schema_metadata(None)
+
+
+SQL_BLOCKLIST_HITS = r"""
+WITH d AS (
+  SELECT source,
+         list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'),
+                     w -> w IN ('slow', 'dup', 'crash')) AS bl
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN len(bl) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(len(bl)) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN len(bl) > 0 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS flagged_ppm
+FROM d GROUP BY 1
+"""
+
+
+# -- hits_topk ------------------------------------------------------------------
+
+
+_HITS_ITERS = 3
+_HITS_SCALE = 1_000_000
+
+
+def _hits_edges_fn(n: int):
+    """HITS link graph: page d links to (d·(d mod 1000003) + j) % n for
+    j = 1..3, self-loops dropped. Deliberately NOT pagerank's affine rule —
+    7d+j is a bijection per j, so every in-degree is exactly 3 and HITS
+    collapses to the uniform fixpoint; the quadratic rule gives the varied
+    in-degree distribution hubs-and-authorities needs. The inner mod
+    1000003 bounds the product at n·10^6 so int64 never overflows at any
+    frontier size either engine can reach."""
+    def make_edges(t: pa.Table) -> pa.Table:
+        src = t.column("doc_id").to_numpy()
+        base = src * (src % 1_000_003)
+        srcs, dsts = [], []
+        for j in (1, 2, 3):
+            dst = (base + j) % n
+            keep = dst != src
+            srcs.append(src[keep])
+            dsts.append(dst[keep])
+        return pa.table({
+            "src": np.concatenate(srcs), "dst": np.concatenate(dsts),
+        })
+
+    return make_edges
+
+
+def hits_topk(sf_dir: str):
+    """Top-20 authorities by integer HITS (Kleinberg) over the derived link
+    graph (see _hits_edges_fn) — the hub/authority complement to
+    pagerank_topk. Each iteration: authority(v) = Σ h(u) over in-edges,
+    hub(u) = Σ a(v) over out-edges, each renormalized to max = 10^6 by
+    floor division (numerators are non-negative, so DuckDB ``//``
+    truncation == Python floor and both engines stay bit-identical;
+    per-node inflow ≤ indeg × 10^6 ≪ 2^53 so the float64 bincount fold is
+    exact).
+
+    Scale shape mirrors pagerank's auto-switch: below _PR_BCAST_MAX_NODES
+    the dense score vector is broadcast per half-iteration (ray.put once,
+    zero-copy plasma reads; edges stream through ONE map + driver fold of
+    nonzero partials); above it the half-step is edges.join(scores) →
+    bucketed dst/src sum — the _pagerank_join superstep shape, pinned equal
+    by pytest at test scale."""
+    from .graphops import _PR_BCAST_MAX_NODES, _n_docs
+
+    n = _n_docs(sf_dir)
+    if n <= _PR_BCAST_MAX_NODES:
+        return _hits_broadcast(sf_dir, n)
+    return _hits_join(sf_dir, n)
+
+
+def _hits_fold(edges, vec: np.ndarray, n: int, by_dst: bool) -> np.ndarray:
+    """One HITS half-step in the broadcast regime: sum vec[src] at dst
+    (by_dst=True) or vec[dst] at src. Only nonzero partial slices travel."""
+    ref = ray.put(vec)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        contrib = v[src] if by_dst else v[dst]
+        key = dst if by_dst else src
+        s = np.bincount(key, weights=contrib.astype(np.float64),
+                        minlength=n).astype(np.int64)
+        nz = np.nonzero(s)[0]
+        return pa.table({
+            "i": pa.array(nz, pa.int64()),
+            "s": pa.array(s[nz], pa.int64()),
+        })
+
+    out = np.zeros(n, dtype=np.int64)
+    for tbl in edges.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        if tbl.num_rows:
+            np.add.at(out, tbl["i"].to_numpy(), tbl["s"].to_numpy())
+    return out
+
+
+def _hits_broadcast(sf_dir: str, n: int):
+    edges = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(_hits_edges_fn(n), batch_format="pyarrow")
+        .materialize()
+    )
+    h = np.full(n, _HITS_SCALE, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(_HITS_ITERS):
+        a_raw = _hits_fold(edges, h, n, by_dst=True)
+        a = a_raw * _HITS_SCALE // max(int(a_raw.max()), 1)
+        h_raw = _hits_fold(edges, a, n, by_dst=False)
+        h = h_raw * _HITS_SCALE // max(int(h_raw.max()), 1)
+    order = np.lexsort((np.arange(n), -a))[:20]
+    return pd.DataFrame({
+        "doc_id": order.astype("int64"),
+        "authority": a[order].astype("int64"),
+        "hub": h[order].astype("int64"),
+    })
+
+
+def _hits_join(sf_dir: str, n: int):
+    """Join-regime HITS: score state stays a Dataset; each half-step is
+    edges ⋈ scores → bucketed sum → renormalize against the half-step max
+    (one bounded aggregate). Materialized per superstep for the same
+    barrier reasons as _pagerank_join."""
+    nodes = _read(sf_dir, "documents", columns=["doc_id"]).materialize()
+    edges = nodes.map_batches(
+        _hits_edges_fn(n), batch_format="pyarrow").materialize()
+
+    def _vec_ds(const: int):
+        return nodes.map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id"),
+                "score": np.full(len(t), const, dtype=np.int64),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def halfstep(scores, join_on: str, emit_key: str):
+        joined = edges.join(
+            scores, "inner", num_partitions=8,
+            on=(join_on,), right_on=("doc_id",),
+        )
+        summed = _bucketed_agg(
+            joined.map_batches(
+                lambda t: pa.table({
+                    "i": t.column(emit_key),
+                    "contrib": t.column("score"),
+                }),
+                batch_format="pyarrow",
+            ),
+            ["i"], {"s": ("contrib", "sum")},
+        ).materialize()
+        mx = max(int((summed.max("s")) or 0), 1)
+        out = nodes.join(
+            summed, "left_outer", num_partitions=8,
+            on=("doc_id",), right_on=("i",),
+        ).map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id"),
+                "score": pc.fill_null(
+                    pc.cast(t.column("s"), pa.int64()), 0
+                ).to_numpy() * _HITS_SCALE // mx,
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+        return out
+
+    h = _vec_ds(_HITS_SCALE)
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = halfstep(h, join_on="src", emit_key="dst")
+        h = halfstep(a, join_on="dst", emit_key="src")
+    a_pd = a.to_pandas().rename(columns={"score": "authority"})
+    h_pd = h.to_pandas().rename(columns={"score": "hub"})
+    out = a_pd.merge(h_pd, on="doc_id")  # n rows, driver-side final join
+    out = out.sort_values(["authority", "doc_id"],
+                          ascending=[False, True]).head(20)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _hits_sql() -> str:
+    parts = [
+        "WITH nodes AS (SELECT doc_id FROM documents),",
+        "nn AS (SELECT count(*) AS n FROM documents),",
+        "edges AS (SELECT doc_id AS src,"
+        " (doc_id * (doc_id % 1000003) + j.j) % nn.n AS dst",
+        "  FROM nodes CROSS JOIN nn CROSS JOIN"
+        " (SELECT unnest([1,2,3]) AS j) j",
+        "  WHERE (doc_id * (doc_id % 1000003) + j.j) % nn.n != doc_id),",
+        f"h0 AS (SELECT doc_id, CAST({_HITS_SCALE} AS BIGINT) AS s"
+        " FROM nodes),",
+    ]
+    for i in range(_HITS_ITERS):
+        parts.append(
+            f"a{i+1}r AS (SELECT e.dst AS doc_id, sum(h{i}.s) AS s"
+            f" FROM edges e JOIN h{i} ON e.src = h{i}.doc_id GROUP BY 1),"
+        )
+        parts.append(
+            f"a{i+1} AS (SELECT nodes.doc_id,"
+            f" CAST(coalesce(r.s, 0) * {_HITS_SCALE}"
+            f" // greatest((SELECT max(s) FROM a{i+1}r), 1) AS BIGINT) AS s"
+            f" FROM nodes LEFT JOIN a{i+1}r r ON nodes.doc_id = r.doc_id),"
+        )
+        parts.append(
+            f"h{i+1}r AS (SELECT e.src AS doc_id, sum(a{i+1}.s) AS s"
+            f" FROM edges e JOIN a{i+1} ON e.dst = a{i+1}.doc_id GROUP BY 1),"
+        )
+        tail = "," if i + 1 < _HITS_ITERS else ""
+        parts.append(
+            f"h{i+1} AS (SELECT nodes.doc_id,"
+            f" CAST(coalesce(r.s, 0) * {_HITS_SCALE}"
+            f" // greatest((SELECT max(s) FROM h{i+1}r), 1) AS BIGINT) AS s"
+            f" FROM nodes LEFT JOIN h{i+1}r r ON nodes.doc_id = r.doc_id)"
+            f"{tail}"
+        )
+    parts.append(
+        f"SELECT a{_HITS_ITERS}.doc_id AS doc_id,"
+        f" a{_HITS_ITERS}.s AS authority, h{_HITS_ITERS}.s AS hub"
+        f" FROM a{_HITS_ITERS} JOIN h{_HITS_ITERS} USING (doc_id)"
+        " ORDER BY authority DESC, doc_id LIMIT 20"
+    )
+    return "\n".join(parts)
+
+
+SQL_HITS_TOPK = _hits_sql()
+
+
 WEBSCALE_REGISTRY = {
+    "anchor_text_agg": (anchor_text_agg, SQL_ANCHOR_TEXT_AGG),
+    "split_leakage": (split_leakage, SQL_SPLIT_LEAKAGE),
+    "canopy_cluster_hist": (canopy_cluster_hist, SQL_CANOPY_CLUSTER_HIST),
+    "blocklist_hits": (blocklist_hits, SQL_BLOCKLIST_HITS),
+    "hits_topk": (hits_topk, SQL_HITS_TOPK),
     "ccnet_ppl_buckets": (ccnet_ppl_buckets, SQL_CCNET_PPL_BUCKETS),
     "domain_quality_gate": (domain_quality_gate, SQL_DOMAIN_QUALITY_GATE),
     "recrawl_schedule": (recrawl_schedule, SQL_RECRAWL_SCHEDULE),

@@ -120,6 +120,22 @@ def test_pagerank_broadcast_path_equals_join_path(monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_hits_broadcast_path_equals_join_path(monkeypatch):
+    """hits_topk mirrors pagerank's regime auto-switch: the dense-vector
+    broadcast fold below _PR_BCAST_MAX_NODES and the edges⋈scores superstep
+    join above it must produce the identical integer top-20."""
+    import omni_ray.pipelines.graphops as graphops
+    import omni_ray.pipelines.webscaleops as webscaleops
+
+    bcast = webscaleops.hits_topk(SF).reset_index(drop=True)
+    monkeypatch.setattr(graphops, "_PR_BCAST_MAX_NODES", 0)
+    joined = webscaleops.hits_topk(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        normalize(bcast), normalize(joined), check_dtype=False,
+        obj="hits path equivalence")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_crawl_host_report_matches_real_schedule():
     """crawl_host_report predicts per-host wave counts arithmetically from
     the frontier-deduped seed universe; the REAL crawl loop
