@@ -301,6 +301,14 @@ def run_bench() -> dict:
     timed("hits_topk",
           lambda: len(WEBSCALE_REGISTRY["hits_topk"][0](SF_DIR)))
 
+    # batch 10: the funnel report (two bounded aggs + one combiner-pruned
+    # content-hash shuffle) and the planted-dup audit (a full strict
+    # minhash run over a 1.04x corpus) are the representative costs
+    timed("token_yield_report",
+          lambda: WEBSCALE_REGISTRY["token_yield_report"][0](SF_DIR).num_rows)
+    timed("minhash_recall_planted",
+          lambda: WEBSCALE_REGISTRY["minhash_recall_planted"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
