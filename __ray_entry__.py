@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
+    from omni_ray.pipelines.webqa import WEBQA_REGISTRY
     from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
     out: dict[str, Callable[[str], Any]] = {
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in MEDIAOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in ENGINEOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in WEBSCALE_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in WEBQA_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -100,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
+    from omni_ray.pipelines.webqa import WEBQA_REGISTRY
     from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
     out = {name: sql for name, (_fn, sql) in REGISTRY.items()}
@@ -113,4 +116,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in MEDIAOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in ENGINEOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in WEBSCALE_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in WEBQA_REGISTRY.items()})
     return out

@@ -309,6 +309,15 @@ def run_bench() -> dict:
     timed("minhash_recall_planted",
           lambda: WEBSCALE_REGISTRY["minhash_recall_planted"][0](SF_DIR).num_rows)
 
+    # batch 11: the mixture-divergence fold (one bucketed term shuffle with
+    # in-bucket corpus-count recovery) and the canonicalizer audit (a
+    # urlsplit-heavy map + one canonical-key shuffle) are the new costs
+    from omni_ray.pipelines.webqa import WEBQA_REGISTRY
+    timed("js_divergence_sources",
+          lambda: WEBQA_REGISTRY["js_divergence_sources"][0](SF_DIR).num_rows)
+    timed("url_canonical_collisions",
+          lambda: WEBQA_REGISTRY["url_canonical_collisions"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
