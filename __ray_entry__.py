@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
+    from omni_ray.pipelines.curation import CURATION_REGISTRY
     from omni_ray.pipelines.webqa import WEBQA_REGISTRY
     from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in ENGINEOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in WEBSCALE_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in WEBQA_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in CURATION_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -102,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
+    from omni_ray.pipelines.curation import CURATION_REGISTRY
     from omni_ray.pipelines.webqa import WEBQA_REGISTRY
     from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
@@ -117,4 +120,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in ENGINEOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in WEBSCALE_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in WEBQA_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in CURATION_REGISTRY.items()})
     return out

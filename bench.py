@@ -318,6 +318,15 @@ def run_bench() -> dict:
     timed("url_canonical_collisions",
           lambda: WEBQA_REGISTRY["url_canonical_collisions"][0](SF_DIR).num_rows)
 
+    # batch 12: redirect resolution (7 pointer-doubling supersteps, each one
+    # bucketed shuffle of the tagged 2n-row state) and DSIR importance
+    # weighting (bounded bucket-count fold + zero-shuffle scoring pass)
+    from omni_ray.pipelines.curation import CURATION_REGISTRY
+    timed("redirect_resolve",
+          lambda: CURATION_REGISTRY["redirect_resolve"][0](SF_DIR).num_rows)
+    timed("dsir_weights",
+          lambda: CURATION_REGISTRY["dsir_weights"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

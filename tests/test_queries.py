@@ -16,13 +16,14 @@ from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
 from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
 from omni_ray.pipelines.statops import STATOPS_REGISTRY
 from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
+from omni_ray.pipelines.curation import CURATION_REGISTRY
 from omni_ray.pipelines.webqa import WEBQA_REGISTRY
 from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
 ALL = {**REGISTRY, **ML_REGISTRY, **CORPUS_REGISTRY, **TRAINPREP_REGISTRY,
        **GRAPH_REGISTRY, **RELSCALE_REGISTRY, **STATOPS_REGISTRY,
        **MEDIAOPS_REGISTRY, **ENGINEOPS_REGISTRY, **SPANDEDUP_REGISTRY,
-       **WEBSCALE_REGISTRY, **WEBQA_REGISTRY}
+       **WEBSCALE_REGISTRY, **WEBQA_REGISTRY, **CURATION_REGISTRY}
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
