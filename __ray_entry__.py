@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
     from omni_ray.pipelines.curation import CURATION_REGISTRY
+    from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
     from omni_ray.pipelines.webqa import WEBQA_REGISTRY
     from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in WEBSCALE_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in WEBQA_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in CURATION_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in MIXGRAPH_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -105,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
     from omni_ray.pipelines.curation import CURATION_REGISTRY
+    from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
     from omni_ray.pipelines.webqa import WEBQA_REGISTRY
     from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
@@ -121,4 +124,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in WEBSCALE_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in WEBQA_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in CURATION_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in MIXGRAPH_REGISTRY.items()})
     return out

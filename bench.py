@@ -327,6 +327,19 @@ def run_bench() -> dict:
     timed("dsir_weights",
           lambda: CURATION_REGISTRY["dsir_weights"][0](SF_DIR).num_rows)
 
+    # batch 13: the WCC census (hash-to-min propagation over a data-derived
+    # sparse edge forest, O(log n) bucketed rounds) and the corpus-common
+    # shingle ratio (one shingle-keyed shuffle + one bucketed doc-id sum)
+    # are the representative costs; label_propagation_2r rides the
+    # broadcast regime at this scale
+    from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
+    timed("wcc_sizes",
+          lambda: MIXGRAPH_REGISTRY["wcc_sizes"][0](SF_DIR).num_rows)
+    timed("common_shingle_ratio",
+          lambda: MIXGRAPH_REGISTRY["common_shingle_ratio"][0](SF_DIR).num_rows)
+    timed("label_propagation_2r",
+          lambda: MIXGRAPH_REGISTRY["label_propagation_2r"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

@@ -17,13 +17,15 @@ from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
 from omni_ray.pipelines.statops import STATOPS_REGISTRY
 from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
 from omni_ray.pipelines.curation import CURATION_REGISTRY
+from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
 from omni_ray.pipelines.webqa import WEBQA_REGISTRY
 from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
 ALL = {**REGISTRY, **ML_REGISTRY, **CORPUS_REGISTRY, **TRAINPREP_REGISTRY,
        **GRAPH_REGISTRY, **RELSCALE_REGISTRY, **STATOPS_REGISTRY,
        **MEDIAOPS_REGISTRY, **ENGINEOPS_REGISTRY, **SPANDEDUP_REGISTRY,
-       **WEBSCALE_REGISTRY, **WEBQA_REGISTRY, **CURATION_REGISTRY}
+       **WEBSCALE_REGISTRY, **WEBQA_REGISTRY, **CURATION_REGISTRY,
+       **MIXGRAPH_REGISTRY}
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -119,6 +121,21 @@ def test_pagerank_broadcast_path_equals_join_path(monkeypatch):
     pd.testing.assert_frame_equal(
         normalize(bcast), normalize(joined), check_dtype=False,
         obj="pagerank path equivalence")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_prop_broadcast_path_equals_dataset_path(monkeypatch):
+    """label_propagation_2r broadcasts the dense label vector below
+    _LP_BCAST_MAX_NODES and keeps labels a Dataset through two bucketed
+    shuffles per superstep above it; both regimes must produce the
+    identical label census."""
+    import omni_ray.pipelines.mixgraph as mixgraph
+
+    bcast = mixgraph.label_propagation_2r(SF).to_pydict()
+    monkeypatch.setattr(mixgraph, "_LP_BCAST_MAX_NODES", 0)
+    dataset = mixgraph.label_propagation_2r(SF).to_pydict()
+    assert bcast == dataset
+    assert sum(bcast["n_nodes"]) > 0
 
 
 @pytest.mark.usefixtures("ray_session")
