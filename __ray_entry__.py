@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
     from omni_ray.pipelines.curation import CURATION_REGISTRY
     from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
+    from omni_ray.pipelines.vecsketch import VECSKETCH_REGISTRY
     from omni_ray.pipelines.webqa import WEBQA_REGISTRY
     from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in WEBQA_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in CURATION_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in MIXGRAPH_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in VECSKETCH_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -108,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
     from omni_ray.pipelines.curation import CURATION_REGISTRY
     from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
+    from omni_ray.pipelines.vecsketch import VECSKETCH_REGISTRY
     from omni_ray.pipelines.webqa import WEBQA_REGISTRY
     from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
@@ -125,4 +128,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in WEBQA_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in CURATION_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in MIXGRAPH_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in VECSKETCH_REGISTRY.items()})
     return out
