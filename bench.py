@@ -340,6 +340,15 @@ def run_bench() -> dict:
     timed("label_propagation_2r",
           lambda: MIXGRAPH_REGISTRY["label_propagation_2r"][0](SF_DIR).num_rows)
 
+    # batch 14: the CMS frequency audit (term-count combiner + bounded
+    # 4096-cell fold + bucketed exact top-k) and the PQ census (broadcast
+    # codebook, one zero-shuffle assignment pass) are the new costs
+    from omni_ray.pipelines.vecsketch import VECSKETCH_REGISTRY
+    timed("cms_freq_audit",
+          lambda: VECSKETCH_REGISTRY["cms_freq_audit"][0](SF_DIR).num_rows)
+    timed("pq_recon_error",
+          lambda: VECSKETCH_REGISTRY["pq_recon_error"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
