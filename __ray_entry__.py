@@ -58,6 +58,7 @@ def _crawl_schedule(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in CURATION_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in MIXGRAPH_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in VECSKETCH_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in ASSOCOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -98,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
@@ -129,4 +132,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in CURATION_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in MIXGRAPH_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in VECSKETCH_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in ASSOCOPS_REGISTRY.items()})
     return out

@@ -6,6 +6,7 @@ import duckdb
 import pandas as pd
 import pytest
 
+from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
 from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
 from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
 from omni_ray.pipelines.graphops import GRAPH_REGISTRY
@@ -18,6 +19,7 @@ from omni_ray.pipelines.statops import STATOPS_REGISTRY
 from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
 from omni_ray.pipelines.curation import CURATION_REGISTRY
 from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
+from omni_ray.pipelines.vecsketch import VECSKETCH_REGISTRY
 from omni_ray.pipelines.webqa import WEBQA_REGISTRY
 from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
@@ -25,7 +27,7 @@ ALL = {**REGISTRY, **ML_REGISTRY, **CORPUS_REGISTRY, **TRAINPREP_REGISTRY,
        **GRAPH_REGISTRY, **RELSCALE_REGISTRY, **STATOPS_REGISTRY,
        **MEDIAOPS_REGISTRY, **ENGINEOPS_REGISTRY, **SPANDEDUP_REGISTRY,
        **WEBSCALE_REGISTRY, **WEBQA_REGISTRY, **CURATION_REGISTRY,
-       **MIXGRAPH_REGISTRY}
+       **MIXGRAPH_REGISTRY, **VECSKETCH_REGISTRY, **ASSOCOPS_REGISTRY}
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
