@@ -349,6 +349,16 @@ def run_bench() -> dict:
     timed("pq_recon_error",
           lambda: VECSKETCH_REGISTRY["pq_recon_error"][0](SF_DIR).num_rows)
 
+    # batch 15: keep-first chunk dedup (one digest-keyed bucketed shuffle,
+    # in-bucket keeper election) and the SymSpell fuzzy title join (variant
+    # explosion → equality-keyed shuffle → in-bucket Levenshtein verify →
+    # pair-distinct fold) are the representative costs
+    from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
+    timed("chunk_dedup_keepfirst",
+          lambda: ASSOCOPS_REGISTRY["chunk_dedup_keepfirst"][0](SF_DIR).count())
+    timed("fuzzy_title_pairs",
+          lambda: ASSOCOPS_REGISTRY["fuzzy_title_pairs"][0](SF_DIR).count())
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
