@@ -359,6 +359,15 @@ def run_bench() -> dict:
     timed("fuzzy_title_pairs",
           lambda: ASSOCOPS_REGISTRY["fuzzy_title_pairs"][0](SF_DIR).count())
 
+    # batch 16: incremental crawl dedup (one fingerprint-keyed bucketed
+    # shuffle with in-bucket base/delta flagging) and the per-(user,day)
+    # rate-cap audit (user-bucketed window rank + bounded top-k)
+    from omni_ray.pipelines.increment import INCREMENT_REGISTRY
+    timed("incremental_dedup_delta",
+          lambda: INCREMENT_REGISTRY["incremental_dedup_delta"][0](SF_DIR).count())
+    timed("rate_limit_violations",
+          lambda: INCREMENT_REGISTRY["rate_limit_violations"][0](SF_DIR).count())
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

@@ -10,6 +10,7 @@ from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
 from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
 from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
 from omni_ray.pipelines.graphops import GRAPH_REGISTRY
+from omni_ray.pipelines.increment import INCREMENT_REGISTRY
 from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
 from omni_ray.pipelines.mlqueries import ML_REGISTRY
 from omni_ray.pipelines.queries import REGISTRY
@@ -27,7 +28,8 @@ ALL = {**REGISTRY, **ML_REGISTRY, **CORPUS_REGISTRY, **TRAINPREP_REGISTRY,
        **GRAPH_REGISTRY, **RELSCALE_REGISTRY, **STATOPS_REGISTRY,
        **MEDIAOPS_REGISTRY, **ENGINEOPS_REGISTRY, **SPANDEDUP_REGISTRY,
        **WEBSCALE_REGISTRY, **WEBQA_REGISTRY, **CURATION_REGISTRY,
-       **MIXGRAPH_REGISTRY, **VECSKETCH_REGISTRY, **ASSOCOPS_REGISTRY}
+       **MIXGRAPH_REGISTRY, **VECSKETCH_REGISTRY, **ASSOCOPS_REGISTRY,
+       **INCREMENT_REGISTRY}
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
