@@ -368,6 +368,15 @@ def run_bench() -> dict:
     timed("rate_limit_violations",
           lambda: INCREMENT_REGISTRY["rate_limit_violations"][0](SF_DIR).count())
 
+    # batch 17: the KMV set-difference audit (events-table hash map + ONE
+    # per-user bucketed flag fold beside the O(k) sketch finalize) and
+    # seeded PageRank (3 bucketed inflow rounds over the derived graph)
+    from omni_ray.pipelines.estmine import ESTMINE_REGISTRY
+    timed("kmv_anotb_audit",
+          lambda: ESTMINE_REGISTRY["kmv_anotb_audit"][0](SF_DIR).num_rows)
+    timed("ppr_seeded",
+          lambda: len(ESTMINE_REGISTRY["ppr_seeded"][0](SF_DIR)))
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
