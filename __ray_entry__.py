@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
     from omni_ray.pipelines.estmine import ESTMINE_REGISTRY
+    from omni_ray.pipelines.governance import GOVERNANCE_REGISTRY
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
@@ -97,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in ASSOCOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in INCREMENT_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in ESTMINE_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in GOVERNANCE_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -108,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
     from omni_ray.pipelines.estmine import ESTMINE_REGISTRY
+    from omni_ray.pipelines.governance import GOVERNANCE_REGISTRY
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
@@ -141,4 +144,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in ASSOCOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in INCREMENT_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in ESTMINE_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in GOVERNANCE_REGISTRY.items()})
     return out
