@@ -377,6 +377,15 @@ def run_bench() -> dict:
     timed("ppr_seeded",
           lambda: len(ESTMINE_REGISTRY["ppr_seeded"][0](SF_DIR)))
 
+    # batch 18: the k-anonymity audit (one QI-group bucketed shuffle +
+    # bounded per-nation rollup) and FD profiling (4x row explosion
+    # through two bucketed distinct-census folds) are the new costs
+    from omni_ray.pipelines.governance import GOVERNANCE_REGISTRY
+    timed("kanon_violations",
+          lambda: GOVERNANCE_REGISTRY["kanon_violations"][0](SF_DIR).count())
+    timed("fd_violation_audit",
+          lambda: GOVERNANCE_REGISTRY["fd_violation_audit"][0](SF_DIR).count())
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
