@@ -386,6 +386,15 @@ def run_bench() -> dict:
     timed("fd_violation_audit",
           lambda: GOVERNANCE_REGISTRY["fd_violation_audit"][0](SF_DIR).count())
 
+    # batch 19: the join-size audit (side-tagged count fold over 165k keys,
+    # the join never runs) and fanout distribution (same fold + bounded
+    # histogram) are the representative costs
+    from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
+    timed("join_size_audit",
+          lambda: PLANSTATS_REGISTRY["join_size_audit"][0](SF_DIR).num_rows)
+    timed("cardinality_fanout_audit",
+          lambda: PLANSTATS_REGISTRY["cardinality_fanout_audit"][0](SF_DIR).count())
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
