@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
+    from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
     from omni_ray.pipelines.mlqueries import ML_REGISTRY, ML_ROWS_ONLY
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in ESTMINE_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in GOVERNANCE_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in PLANSTATS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in SEARCHX_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -117,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
+    from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
     from omni_ray.pipelines.mlqueries import ML_REGISTRY
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
@@ -149,4 +152,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in ESTMINE_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in GOVERNANCE_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in PLANSTATS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in SEARCHX_REGISTRY.items()})
     return out
