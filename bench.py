@@ -395,6 +395,15 @@ def run_bench() -> dict:
     timed("cardinality_fanout_audit",
           lambda: PLANSTATS_REGISTRY["cardinality_fanout_audit"][0](SF_DIR).count())
 
+    # batch 20: significant terms (per-doc distinct tokenize + one
+    # term-keyed bucketed fg/bg fold + slice-sized top-k) and bib coupling
+    # (dst-keyed shuffle, in-degree-bounded pair expansion, pair fold)
+    from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
+    timed("significant_terms",
+          lambda: SEARCHX_REGISTRY["significant_terms"][0](SF_DIR).count())
+    timed("bib_coupling_topk",
+          lambda: SEARCHX_REGISTRY["bib_coupling_topk"][0](SF_DIR).count())
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
