@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.estmine import ESTMINE_REGISTRY
     from omni_ray.pipelines.governance import GOVERNANCE_REGISTRY
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
+    from omni_ray.pipelines.growth import GROWTH_REGISTRY
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in GOVERNANCE_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in PLANSTATS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in SEARCHX_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in GROWTH_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -116,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.estmine import ESTMINE_REGISTRY
     from omni_ray.pipelines.governance import GOVERNANCE_REGISTRY
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
+    from omni_ray.pipelines.growth import GROWTH_REGISTRY
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
@@ -153,4 +156,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in GOVERNANCE_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in PLANSTATS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in SEARCHX_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in GROWTH_REGISTRY.items()})
     return out
