@@ -404,6 +404,12 @@ def run_bench() -> dict:
     timed("bib_coupling_topk",
           lambda: SEARCHX_REGISTRY["bib_coupling_topk"][0](SF_DIR).count())
 
+    # batch 21: the growth ledger (one user-bucketed shuffle, in-bucket
+    # vectorized self-merges, bounded week fold) is the representative cost
+    from omni_ray.pipelines.growth import GROWTH_REGISTRY
+    timed("growth_accounting",
+          lambda: GROWTH_REGISTRY["growth_accounting"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
