@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.growth import GROWTH_REGISTRY
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
+    from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
     from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
     from omni_ray.pipelines.mlqueries import ML_REGISTRY, ML_ROWS_ONLY
@@ -105,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in PLANSTATS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in SEARCHX_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in GROWTH_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in OPSAUDIT_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -121,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.growth import GROWTH_REGISTRY
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
+    from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
     from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
     from omni_ray.pipelines.mlqueries import ML_REGISTRY
@@ -157,4 +160,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in PLANSTATS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in SEARCHX_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in GROWTH_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in OPSAUDIT_REGISTRY.items()})
     return out
