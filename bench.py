@@ -410,6 +410,12 @@ def run_bench() -> dict:
     timed("growth_accounting",
           lambda: GROWTH_REGISTRY["growth_accounting"][0](SF_DIR).num_rows)
 
+    # batch 22: the forward-fill series (one user-bucketed shuffle +
+    # in-bucket dense reindex, users x days output) is the new cost
+    from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
+    timed("ffill_gaps",
+          lambda: OPSAUDIT_REGISTRY["ffill_gaps"][0](SF_DIR).count())
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
