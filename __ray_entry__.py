@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
     from omni_ray.pipelines.growth import GROWTH_REGISTRY
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
+    from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in SEARCHX_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in GROWTH_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in OPSAUDIT_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in INFRAOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -122,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
     from omni_ray.pipelines.growth import GROWTH_REGISTRY
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
+    from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
@@ -161,4 +164,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in SEARCHX_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in GROWTH_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in OPSAUDIT_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in INFRAOPS_REGISTRY.items()})
     return out
