@@ -416,6 +416,15 @@ def run_bench() -> dict:
     timed("ffill_gaps",
           lambda: OPSAUDIT_REGISTRY["ffill_gaps"][0](SF_DIR).count())
 
+    # batch 23: the sentence census (sentence explode + one sentence-keyed
+    # bucketed fold + bounded census) and the encoding advisor (3x value
+    # explode through the distinct fold) are the new costs
+    from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
+    timed("sentence_dedup_census",
+          lambda: INFRAOPS_REGISTRY["sentence_dedup_census"][0](SF_DIR).count())
+    timed("encoding_advisor",
+          lambda: INFRAOPS_REGISTRY["encoding_advisor"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
