@@ -58,6 +58,7 @@ def _crawl_schedule(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from omni_ray.pipelines.advisory import ADVISORY_REGISTRY
     from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in GROWTH_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in OPSAUDIT_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in INFRAOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in ADVISORY_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -116,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from omni_ray.pipelines.advisory import ADVISORY_REGISTRY
     from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
@@ -165,4 +168,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in GROWTH_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in OPSAUDIT_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in INFRAOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in ADVISORY_REGISTRY.items()})
     return out
