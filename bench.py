@@ -425,6 +425,15 @@ def run_bench() -> dict:
     timed("encoding_advisor",
           lambda: INFRAOPS_REGISTRY["encoding_advisor"][0](SF_DIR).num_rows)
 
+    # batch 24: the bloom sizing advisor (3-table union through one
+    # key-bucketed exact-distinct fold) and the arrival audit (one bounded
+    # type shuffle + vectorized watermark scan) are the new costs
+    from omni_ray.pipelines.advisory import ADVISORY_REGISTRY
+    timed("bloom_size_advisor",
+          lambda: ADVISORY_REGISTRY["bloom_size_advisor"][0](SF_DIR).num_rows)
+    timed("ooo_arrival_audit",
+          lambda: ADVISORY_REGISTRY["ooo_arrival_audit"][0](SF_DIR).count())
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
