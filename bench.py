@@ -434,6 +434,15 @@ def run_bench() -> dict:
     timed("ooo_arrival_audit",
           lambda: ADVISORY_REGISTRY["ooo_arrival_audit"][0](SF_DIR).count())
 
+    # batch 25: the nearest-event join (one user-bucketed shuffle +
+    # searchsorted two-candidate match) and the merkle digest (per-block
+    # md5 fold + bounded day merge + root) are the new costs
+    from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
+    timed("nearest_event_join",
+          lambda: INTEGRITY_REGISTRY["nearest_event_join"][0](SF_DIR).count())
+    timed("merkle_partition_digest",
+          lambda: INTEGRITY_REGISTRY["merkle_partition_digest"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
