@@ -443,6 +443,15 @@ def run_bench() -> dict:
     timed("merkle_partition_digest",
           lambda: INTEGRITY_REGISTRY["merkle_partition_digest"][0](SF_DIR).num_rows)
 
+    # batch 26: winnowing (per-doc md5 3-gram hashing + stride-view window
+    # min, zero shuffle) and the postings gap census (term-bucketed df fold
+    # + bounded 20-key gap scan) are the new costs
+    from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
+    timed("winnowing_fingerprints",
+          lambda: FPINDEX_REGISTRY["winnowing_fingerprints"][0](SF_DIR).count())
+    timed("postings_gap_stats",
+          lambda: FPINDEX_REGISTRY["postings_gap_stats"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
