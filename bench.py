@@ -452,6 +452,15 @@ def run_bench() -> dict:
     timed("postings_gap_stats",
           lambda: FPINDEX_REGISTRY["postings_gap_stats"][0](SF_DIR).num_rows)
 
+    # batch 27: NDCG (per-doc distinct-term relevance + dual block-local
+    # top-10 prune into one bounded source groupby) and the exact EMD drift
+    # (bounded value-histogram CDF scan) are the new costs
+    from omni_ray.pipelines.evalops import EVALOPS_REGISTRY
+    timed("ndcg_eval",
+          lambda: EVALOPS_REGISTRY["ndcg_eval"][0](SF_DIR).count())
+    timed("emd_length_drift",
+          lambda: EVALOPS_REGISTRY["emd_length_drift"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
