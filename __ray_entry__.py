@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
     from omni_ray.pipelines.growth import GROWTH_REGISTRY
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
+    from omni_ray.pipelines.dssops import DSSOPS_REGISTRY
     from omni_ray.pipelines.evalops import EVALOPS_REGISTRY
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
@@ -117,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in INTEGRITY_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FPINDEX_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in EVALOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in DSSOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -133,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
     from omni_ray.pipelines.growth import GROWTH_REGISTRY
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
+    from omni_ray.pipelines.dssops import DSSOPS_REGISTRY
     from omni_ray.pipelines.evalops import EVALOPS_REGISTRY
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
@@ -181,4 +184,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in INTEGRITY_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FPINDEX_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in EVALOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in DSSOPS_REGISTRY.items()})
     return out

@@ -461,6 +461,15 @@ def run_bench() -> dict:
     timed("emd_length_drift",
           lambda: EVALOPS_REGISTRY["emd_length_drift"][0](SF_DIR).num_rows)
 
+    # batch 28: Q18 (orderkey-bucketed per-order fold + qualifying-set
+    # broadcast join-back) and Q22 (row-sized left_outer Dataset.join +
+    # scalar-subquery filter) are the new costs
+    from omni_ray.pipelines.dssops import DSSOPS_REGISTRY
+    timed("large_order_customers_q18",
+          lambda: DSSOPS_REGISTRY["large_order_customers_q18"][0](SF_DIR).num_rows)
+    timed("low_engagement_q22",
+          lambda: DSSOPS_REGISTRY["low_engagement_q22"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
