@@ -470,6 +470,16 @@ def run_bench() -> dict:
     timed("low_engagement_q22",
           lambda: DSSOPS_REGISTRY["low_engagement_q22"][0](SF_DIR).num_rows)
 
+    # batch 29: the RFM cube (user-bucketed metric fold + 3x2-pass exact
+    # quartile selection + bounded census) and the Lorenz concentration
+    # (exact k-th-largest selection + one above-threshold fold) are the
+    # new costs
+    from omni_ray.pipelines.tsops import TSOPS_REGISTRY
+    timed("rfm_segments",
+          lambda: TSOPS_REGISTRY["rfm_segments"][0](SF_DIR).num_rows)
+    timed("spend_concentration",
+          lambda: TSOPS_REGISTRY["spend_concentration"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
