@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
+    from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
     from omni_ray.pipelines.tsops import TSOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
     from omni_ray.pipelines.curation import CURATION_REGISTRY
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in EVALOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in DSSOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in TSOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in ROBUSTOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -151,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
+    from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
     from omni_ray.pipelines.tsops import TSOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
     from omni_ray.pipelines.curation import CURATION_REGISTRY
@@ -189,4 +192,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in EVALOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in DSSOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in TSOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in ROBUSTOPS_REGISTRY.items()})
     return out

@@ -480,6 +480,16 @@ def run_bench() -> dict:
     timed("spend_concentration",
           lambda: TSOPS_REGISTRY["spend_concentration"][0](SF_DIR).num_rows)
 
+    # batch 30: the JL distortion audit (per-block quantize+project matmul
+    # + one pair-bucketed shuffle) and the shingle novelty curve (5-gram
+    # first-occurrence bucketed fold over exact decile cuts) are the new
+    # costs
+    from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
+    timed("jl_distortion_audit",
+          lambda: ROBUSTOPS_REGISTRY["jl_distortion_audit"][0](SF_DIR).num_rows)
+    timed("gram_novelty_curve",
+          lambda: ROBUSTOPS_REGISTRY["gram_novelty_curve"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
