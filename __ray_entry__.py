@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
+    from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
     from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
     from omni_ray.pipelines.tsops import TSOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in DSSOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in TSOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in ROBUSTOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in ALLOCOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
+    from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
     from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
     from omni_ray.pipelines.tsops import TSOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
@@ -193,4 +196,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in DSSOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in TSOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in ROBUSTOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in ALLOCOPS_REGISTRY.items()})
     return out

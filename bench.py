@@ -490,6 +490,15 @@ def run_bench() -> dict:
     timed("gram_novelty_curve",
           lambda: ROBUSTOPS_REGISTRY["gram_novelty_curve"][0](SF_DIR).num_rows)
 
+    # batch 31: the hapax fold (per-block occurrence combiner + one
+    # term-bucketed shuffle) and the KS drift (bounded CDF scan) are the
+    # new costs
+    from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
+    timed("hapax_rate_by_source",
+          lambda: ALLOCOPS_REGISTRY["hapax_rate_by_source"][0](SF_DIR).num_rows)
+    timed("ks_length_drift",
+          lambda: ALLOCOPS_REGISTRY["ks_length_drift"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
