@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
     from omni_ray.pipelines.dssops import DSSOPS_REGISTRY
     from omni_ray.pipelines.evalops import EVALOPS_REGISTRY
+    from omni_ray.pipelines.expops import EXPOPS_REGISTRY
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in TSOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in ROBUSTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in ALLOCOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in EXPOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -143,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
     from omni_ray.pipelines.dssops import DSSOPS_REGISTRY
     from omni_ray.pipelines.evalops import EVALOPS_REGISTRY
+    from omni_ray.pipelines.expops import EXPOPS_REGISTRY
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
@@ -197,4 +200,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in TSOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in ROBUSTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in ALLOCOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in EXPOPS_REGISTRY.items()})
     return out

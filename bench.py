@@ -499,6 +499,15 @@ def run_bench() -> dict:
     timed("ks_length_drift",
           lambda: ALLOCOPS_REGISTRY["ks_length_drift"][0](SF_DIR).num_rows)
 
+    # batch 32: the type-Jaccard bitmask fold (user-bucketed OR + bounded
+    # mask census) and the rich-club audit (edge stream + degree folds +
+    # broadcast club filter) are the new costs
+    from omni_ray.pipelines.expops import EXPOPS_REGISTRY
+    timed("type_cooccurrence_jaccard",
+          lambda: EXPOPS_REGISTRY["type_cooccurrence_jaccard"][0](SF_DIR).num_rows)
+    timed("rich_club_topk",
+          lambda: EXPOPS_REGISTRY["rich_club_topk"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
