@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
+    from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
     from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in ROBUSTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in ALLOCOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in EXPOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in MRAOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -150,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
+    from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
     from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
@@ -201,4 +204,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in ROBUSTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in ALLOCOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in EXPOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in MRAOPS_REGISTRY.items()})
     return out

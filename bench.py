@@ -508,6 +508,15 @@ def run_bench() -> dict:
     timed("rich_club_topk",
           lambda: EXPOPS_REGISTRY["rich_club_topk"][0](SF_DIR).num_rows)
 
+    # batch 33: greedy shingle cover (3 bucketed passes over the
+    # materialized pair table) and the transition entropy (user-bucketed
+    # transition fold + bounded cell entropy) are the new costs
+    from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
+    timed("greedy_source_cover",
+          lambda: MRAOPS_REGISTRY["greedy_source_cover"][0](SF_DIR).num_rows)
+    timed("transition_entropy",
+          lambda: MRAOPS_REGISTRY["transition_entropy"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
