@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.mlqueries import ML_REGISTRY, ML_ROWS_ONLY
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
+    from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in ALLOCOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in EXPOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in MRAOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in SPECOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -159,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.mlqueries import ML_REGISTRY
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
+    from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
@@ -205,4 +208,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in ALLOCOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in EXPOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in MRAOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in SPECOPS_REGISTRY.items()})
     return out

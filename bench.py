@@ -517,6 +517,15 @@ def run_bench() -> dict:
     timed("transition_entropy",
           lambda: MRAOPS_REGISTRY["transition_entropy"][0](SF_DIR).num_rows)
 
+    # batch 34: the lagged CCF grid (bounded type-pair scan over the
+    # dense day table) and the term movers (term-bucketed half-df fold)
+    # are the new costs
+    from omni_ray.pipelines.specops import SPECOPS_REGISTRY
+    timed("daily_ccf_best_lag",
+          lambda: SPECOPS_REGISTRY["daily_ccf_best_lag"][0](SF_DIR).num_rows)
+    timed("term_movers_topk",
+          lambda: SPECOPS_REGISTRY["term_movers_topk"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
