@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
     from omni_ray.pipelines.curation import CURATION_REGISTRY
     from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
+    from omni_ray.pipelines.varops import VAROPS_REGISTRY
     from omni_ray.pipelines.vecsketch import VECSKETCH_REGISTRY
     from omni_ray.pipelines.webqa import WEBQA_REGISTRY
     from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in EXPOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in MRAOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in SPECOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in VAROPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -170,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
     from omni_ray.pipelines.curation import CURATION_REGISTRY
     from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
+    from omni_ray.pipelines.varops import VAROPS_REGISTRY
     from omni_ray.pipelines.vecsketch import VECSKETCH_REGISTRY
     from omni_ray.pipelines.webqa import WEBQA_REGISTRY
     from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
@@ -209,4 +212,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in EXPOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in MRAOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in SPECOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in VAROPS_REGISTRY.items()})
     return out

@@ -526,6 +526,15 @@ def run_bench() -> dict:
     timed("term_movers_topk",
           lambda: SPECOPS_REGISTRY["term_movers_topk"][0](SF_DIR).num_rows)
 
+    # batch 35: the CUPED moment fold (user-bucketed halves + global
+    # moments) and the class-separation matrix (per-block label partials
+    # + bounded centroid pair scan) are the new costs
+    from omni_ray.pipelines.varops import VAROPS_REGISTRY
+    timed("cuped_audit",
+          lambda: VAROPS_REGISTRY["cuped_audit"][0](SF_DIR).num_rows)
+    timed("class_separation_matrix",
+          lambda: VAROPS_REGISTRY["class_separation_matrix"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

@@ -315,7 +315,7 @@ WITH sgn(j, i, s) AS (VALUES {sgn}),
 q AS (
   SELECT vec_id,
          list_transform(embedding,
-           x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qe
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qe
   FROM embeddings
 ), flat AS (
   SELECT vec_id, i - 1 AS i, qe[i] AS v
