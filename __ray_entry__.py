@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
+    from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
@@ -133,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in MRAOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in SPECOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in VAROPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in LINKOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -155,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
+    from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
@@ -213,4 +216,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in MRAOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in SPECOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in VAROPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in LINKOPS_REGISTRY.items()})
     return out

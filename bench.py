@@ -535,6 +535,15 @@ def run_bench() -> dict:
     timed("class_separation_matrix",
           lambda: VAROPS_REGISTRY["class_separation_matrix"][0](SF_DIR).num_rows)
 
+    # batch 36: the link-prediction wedge join (dst-bucketed in-neighbor
+    # pairing + pair-bucketed score fold) and the gap audit (user-bucketed
+    # gap census + bounded value histogram) are the new costs
+    from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
+    timed("link_prediction_topk",
+          lambda: LINKOPS_REGISTRY["link_prediction_topk"][0](SF_DIR).num_rows)
+    timed("expfit_gap_audit",
+          lambda: LINKOPS_REGISTRY["expfit_gap_audit"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
