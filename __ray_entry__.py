@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
+    from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
@@ -135,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in SPECOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in VAROPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LINKOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in SKETCHOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -167,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
+    from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
@@ -217,4 +220,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in SPECOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in VAROPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LINKOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in SKETCHOPS_REGISTRY.items()})
     return out

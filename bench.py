@@ -544,6 +544,15 @@ def run_bench() -> dict:
     timed("expfit_gap_audit",
           lambda: LINKOPS_REGISTRY["expfit_gap_audit"][0](SF_DIR).num_rows)
 
+    # batch 37: the AMS sketch fold (16 per-block counter partials, one
+    # bounded aggregate + the exact bucketed F2) and the lineitem
+    # contiguity audit (orderkey-bucketed verdict fold) are the new costs
+    from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
+    timed("ams_f2_audit",
+          lambda: SKETCHOPS_REGISTRY["ams_f2_audit"][0](SF_DIR).num_rows)
+    timed("lineitem_density_audit",
+          lambda: SKETCHOPS_REGISTRY["lineitem_density_audit"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
