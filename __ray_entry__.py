@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
     from omni_ray.pipelines.mlqueries import ML_REGISTRY, ML_ROWS_ONLY
     from omni_ray.pipelines.queries import REGISTRY
+    from omni_ray.pipelines.rankops import RANKOPS_REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
@@ -137,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in VAROPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LINKOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in SKETCHOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in RANKOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -167,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
     from omni_ray.pipelines.mlqueries import ML_REGISTRY
     from omni_ray.pipelines.queries import REGISTRY
+    from omni_ray.pipelines.rankops import RANKOPS_REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
@@ -221,4 +224,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in VAROPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LINKOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in SKETCHOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in RANKOPS_REGISTRY.items()})
     return out

@@ -553,6 +553,15 @@ def run_bench() -> dict:
     timed("lineitem_density_audit",
           lambda: SKETCHOPS_REGISTRY["lineitem_density_audit"][0](SF_DIR).num_rows)
 
+    # batch 38: the bucket-skew audit (two bounded 256-bucket census
+    # folds, one over per-row md5 terms) and the Spearman rank moments
+    # (two CDF rank maps + one moment fold) are the new costs
+    from omni_ray.pipelines.rankops import RANKOPS_REGISTRY
+    timed("bucket_skew_audit",
+          lambda: RANKOPS_REGISTRY["bucket_skew_audit"][0](SF_DIR).num_rows)
+    timed("spearman_len_vocab",
+          lambda: RANKOPS_REGISTRY["spearman_len_vocab"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
