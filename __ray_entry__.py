@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.mlqueries import ML_REGISTRY, ML_ROWS_ONLY
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.rankops import RANKOPS_REGISTRY
+    from omni_ray.pipelines.remedyops import REMEDYOPS_REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in LINKOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in SKETCHOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in RANKOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in REMEDYOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -170,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.mlqueries import ML_REGISTRY
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.rankops import RANKOPS_REGISTRY
+    from omni_ray.pipelines.remedyops import REMEDYOPS_REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
@@ -225,4 +228,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in LINKOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in SKETCHOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in RANKOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in REMEDYOPS_REGISTRY.items()})
     return out

@@ -562,6 +562,15 @@ def run_bench() -> dict:
     timed("spearman_len_vocab",
           lambda: RANKOPS_REGISTRY["spearman_len_vocab"][0](SF_DIR).num_rows)
 
+    # batch 39: the originality census (two shingle/doc bucketed distinct
+    # folds over the materialized pair table) and the retry-storm scan
+    # (user-bucketed ordered scan) are the new costs
+    from omni_ray.pipelines.remedyops import REMEDYOPS_REGISTRY
+    timed("originality_census",
+          lambda: REMEDYOPS_REGISTRY["originality_census"][0](SF_DIR).num_rows)
+    timed("event_dedup_census",
+          lambda: REMEDYOPS_REGISTRY["event_dedup_census"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

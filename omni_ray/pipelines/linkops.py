@@ -318,7 +318,7 @@ def expfit_gap_audit(sf_dir: str):
                 "gap_s": np.diff(us) // 1_000_000,
             }))
         if not outs:
-            return pd.DataFrame({"event_type": pd.Series([], "str"),
+            return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
                                  "gap_s": pd.Series([], "int64")})
         return pd.concat(outs, ignore_index=True)
 

@@ -369,8 +369,8 @@ def transition_entropy(sf_dir: str):
                 continue
             outs.append(pd.DataFrame({"prev": et[:-1], "nxt": et[1:]}))
         if not outs:
-            return pd.DataFrame({"prev": pd.Series([], "str"),
-                                 "nxt": pd.Series([], "str")})
+            return pd.DataFrame({"prev": pd.Series([], dtype="object"),
+                                 "nxt": pd.Series([], dtype="object")})
         return pd.concat(outs, ignore_index=True)
 
     cells = (
