@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.dssops import DSSOPS_REGISTRY
     from omni_ray.pipelines.evalops import EVALOPS_REGISTRY
     from omni_ray.pipelines.expops import EXPOPS_REGISTRY
+    from omni_ray.pipelines.fitops import FITOPS_REGISTRY
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
@@ -141,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in SKETCHOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in RANKOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in REMEDYOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in FITOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -160,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.dssops import DSSOPS_REGISTRY
     from omni_ray.pipelines.evalops import EVALOPS_REGISTRY
     from omni_ray.pipelines.expops import EXPOPS_REGISTRY
+    from omni_ray.pipelines.fitops import FITOPS_REGISTRY
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
@@ -229,4 +232,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in SKETCHOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in RANKOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in REMEDYOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in FITOPS_REGISTRY.items()})
     return out

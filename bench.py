@@ -571,6 +571,15 @@ def run_bench() -> dict:
     timed("event_dedup_census",
           lambda: REMEDYOPS_REGISTRY["event_dedup_census"][0](SF_DIR).num_rows)
 
+    # batch 40: the price/volume decomposition (dimension broadcast +
+    # bounded brand-half groupby) and the isotonic fit (bounded band fold
+    # + O(bands^3) exact max-min) are the new costs
+    from omni_ray.pipelines.fitops import FITOPS_REGISTRY
+    timed("price_volume_decomp",
+          lambda: FITOPS_REGISTRY["price_volume_decomp"][0](SF_DIR).num_rows)
+    timed("isotonic_value_fit",
+          lambda: FITOPS_REGISTRY["isotonic_value_fit"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
