@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.dssops import DSSOPS_REGISTRY
     from omni_ray.pipelines.evalops import EVALOPS_REGISTRY
     from omni_ray.pipelines.expops import EXPOPS_REGISTRY
+    from omni_ray.pipelines.auditops import AUDITOPS_REGISTRY
     from omni_ray.pipelines.fitops import FITOPS_REGISTRY
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
@@ -143,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in RANKOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in REMEDYOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FITOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in AUDITOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -162,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.dssops import DSSOPS_REGISTRY
     from omni_ray.pipelines.evalops import EVALOPS_REGISTRY
     from omni_ray.pipelines.expops import EXPOPS_REGISTRY
+    from omni_ray.pipelines.auditops import AUDITOPS_REGISTRY
     from omni_ray.pipelines.fitops import FITOPS_REGISTRY
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
@@ -233,4 +236,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in RANKOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in REMEDYOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FITOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in AUDITOPS_REGISTRY.items()})
     return out

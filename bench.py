@@ -580,6 +580,15 @@ def run_bench() -> dict:
     timed("isotonic_value_fit",
           lambda: FITOPS_REGISTRY["isotonic_value_fit"][0](SF_DIR).num_rows)
 
+    # batch 41: the order reconciliation (two bucketed folds + union
+    # co-fold over orderkeys) and the syndication census (lead-fingerprint
+    # bucketed spread fold) are the new costs
+    from omni_ray.pipelines.auditops import AUDITOPS_REGISTRY
+    timed("order_reconciliation",
+          lambda: AUDITOPS_REGISTRY["order_reconciliation"][0](SF_DIR).num_rows)
+    timed("lead_para_dup_census",
+          lambda: AUDITOPS_REGISTRY["lead_para_dup_census"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
