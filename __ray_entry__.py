@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
+    from omni_ray.pipelines.lexops import LEXOPS_REGISTRY
     from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
@@ -145,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in REMEDYOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FITOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in AUDITOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in LEXOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -169,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
+    from omni_ray.pipelines.lexops import LEXOPS_REGISTRY
     from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
@@ -237,4 +240,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in REMEDYOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FITOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in AUDITOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in LEXOPS_REGISTRY.items()})
     return out

@@ -589,6 +589,15 @@ def run_bench() -> dict:
     timed("lead_para_dup_census",
           lambda: AUDITOPS_REGISTRY["lead_para_dup_census"][0](SF_DIR).num_rows)
 
+    # batch 42: the capture-recapture fold (term-bucketed half-presence)
+    # and the adaptation census (occurrence-combined term fold) are the
+    # new costs
+    from omni_ray.pipelines.lexops import LEXOPS_REGISTRY
+    timed("capture_recapture_vocab",
+          lambda: LEXOPS_REGISTRY["capture_recapture_vocab"][0](SF_DIR).num_rows)
+    timed("term_adaptation_topk",
+          lambda: LEXOPS_REGISTRY["term_adaptation_topk"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
