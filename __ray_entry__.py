@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
+    from omni_ray.pipelines.paradoxops import PARADOXOPS_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
     from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
     from omni_ray.pipelines.mlqueries import ML_REGISTRY, ML_ROWS_ONLY
@@ -147,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in FITOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in AUDITOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LEXOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in PARADOXOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -176,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
+    from omni_ray.pipelines.paradoxops import PARADOXOPS_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
     from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
     from omni_ray.pipelines.mlqueries import ML_REGISTRY
@@ -241,4 +244,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in FITOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in AUDITOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LEXOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in PARADOXOPS_REGISTRY.items()})
     return out

@@ -598,6 +598,15 @@ def run_bench() -> dict:
     timed("term_adaptation_topk",
           lambda: LEXOPS_REGISTRY["term_adaptation_topk"][0](SF_DIR).num_rows)
 
+    # batch 43: the ABC weighted selection (partkey-bucketed revenue fold
+    # + revenue-mass histogram + boundary-bin refine) and the clustering
+    # census (node-bucketed adjacency fold) are the new costs
+    from omni_ray.pipelines.paradoxops import PARADOXOPS_REGISTRY
+    timed("abc_classification",
+          lambda: PARADOXOPS_REGISTRY["abc_classification"][0](SF_DIR).num_rows)
+    timed("local_clustering_census",
+          lambda: PARADOXOPS_REGISTRY["local_clustering_census"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
