@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
     from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
     from omni_ray.pipelines.tsops import TSOPS_REGISTRY
+    from omni_ray.pipelines.sysops import SYSOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
     from omni_ray.pipelines.curation import CURATION_REGISTRY
     from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
@@ -149,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in AUDITOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LEXOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in PARADOXOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in SYSOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -193,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
     from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
     from omni_ray.pipelines.tsops import TSOPS_REGISTRY
+    from omni_ray.pipelines.sysops import SYSOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
     from omni_ray.pipelines.curation import CURATION_REGISTRY
     from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
@@ -245,4 +248,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in AUDITOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LEXOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in PARADOXOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in SYSOPS_REGISTRY.items()})
     return out

@@ -607,6 +607,15 @@ def run_bench() -> dict:
     timed("local_clustering_census",
           lambda: PARADOXOPS_REGISTRY["local_clustering_census"][0](SF_DIR).num_rows)
 
+    # batch 44: the learned-index audit (bin histogram + in-bin rank
+    # shuffle) and the MUS prefix scan (sort + two-pass block offsets)
+    # are the new costs
+    from omni_ray.pipelines.sysops import SYSOPS_REGISTRY
+    timed("learned_index_audit",
+          lambda: SYSOPS_REGISTRY["learned_index_audit"][0](SF_DIR).num_rows)
+    timed("monetary_unit_sample",
+          lambda: SYSOPS_REGISTRY["monetary_unit_sample"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
