@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
+    from omni_ray.pipelines.estops import ESTOPS_REGISTRY
     from omni_ray.pipelines.estmine import ESTMINE_REGISTRY
     from omni_ray.pipelines.governance import GOVERNANCE_REGISTRY
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in LEXOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in PARADOXOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in SYSOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in ESTOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -162,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
+    from omni_ray.pipelines.estops import ESTOPS_REGISTRY
     from omni_ray.pipelines.estmine import ESTMINE_REGISTRY
     from omni_ray.pipelines.governance import GOVERNANCE_REGISTRY
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
@@ -249,4 +252,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in LEXOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in PARADOXOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in SYSOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in ESTOPS_REGISTRY.items()})
     return out

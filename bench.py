@@ -616,6 +616,15 @@ def run_bench() -> dict:
     timed("monetary_unit_sample",
           lambda: SYSOPS_REGISTRY["monetary_unit_sample"][0](SF_DIR).num_rows)
 
+    # batch 45: the FM sketch fold (8 per-block trailing-zero maxima +
+    # exact distinct) and the join-estimate audit (two bucket histograms
+    # + a custkey-bucketed exact co-fold) are the new costs
+    from omni_ray.pipelines.estops import ESTOPS_REGISTRY
+    timed("fm_distinct_audit",
+          lambda: ESTOPS_REGISTRY["fm_distinct_audit"][0](SF_DIR).num_rows)
+    timed("join_estimate_audit",
+          lambda: ESTOPS_REGISTRY["join_estimate_audit"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
