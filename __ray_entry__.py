@@ -60,6 +60,7 @@ def _crawl_schedule(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.advisory import ADVISORY_REGISTRY
     from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
+    from omni_ray.pipelines.circops import CIRCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
     from omni_ray.pipelines.estops import ESTOPS_REGISTRY
@@ -153,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in PARADOXOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in SYSOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in ESTOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in CIRCOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -162,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.advisory import ADVISORY_REGISTRY
     from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
+    from omni_ray.pipelines.circops import CIRCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
     from omni_ray.pipelines.estops import ESTOPS_REGISTRY
@@ -253,4 +256,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in PARADOXOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in SYSOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in ESTOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in CIRCOPS_REGISTRY.items()})
     return out

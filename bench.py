@@ -625,6 +625,15 @@ def run_bench() -> dict:
     timed("join_estimate_audit",
           lambda: ESTOPS_REGISTRY["join_estimate_audit"][0](SF_DIR).num_rows)
 
+    # batch 46: the kappa confusion fold (two exact-quintile cut passes +
+    # bounded 5x5 matrix) and the circular hour stats (bounded hour
+    # histogram + literal-direction fold) are the new costs
+    from omni_ray.pipelines.circops import CIRCOPS_REGISTRY
+    timed("cohens_kappa_bins",
+          lambda: CIRCOPS_REGISTRY["cohens_kappa_bins"][0](SF_DIR).num_rows)
+    timed("circular_hour_stats",
+          lambda: CIRCOPS_REGISTRY["circular_hour_stats"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
