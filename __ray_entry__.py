@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
+    from omni_ray.pipelines.stumpops import STUMPOPS_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
     from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
@@ -155,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in SYSOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in ESTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in CIRCOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in STUMPOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -197,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
+    from omni_ray.pipelines.stumpops import STUMPOPS_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
     from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
@@ -257,4 +260,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in SYSOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in ESTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in CIRCOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in STUMPOPS_REGISTRY.items()})
     return out

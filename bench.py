@@ -634,6 +634,14 @@ def run_bench() -> dict:
     timed("circular_hour_stats",
           lambda: CIRCOPS_REGISTRY["circular_hour_stats"][0](SF_DIR).num_rows)
 
+    # batch 47: the stump scan (bounded value histogram + cumsum argmin)
+    # and the median polish (bounded matrix sweep) are the new costs
+    from omni_ray.pipelines.stumpops import STUMPOPS_REGISTRY
+    timed("decision_stump_audit",
+          lambda: STUMPOPS_REGISTRY["decision_stump_audit"][0](SF_DIR).num_rows)
+    timed("median_polish_dowweek",
+          lambda: STUMPOPS_REGISTRY["median_polish_dowweek"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
