@@ -60,6 +60,7 @@ def _crawl_schedule(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.advisory import ADVISORY_REGISTRY
     from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
+    from omni_ray.pipelines.boundops import BOUNDOPS_REGISTRY
     from omni_ray.pipelines.circops import CIRCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
@@ -157,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in ESTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in CIRCOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in STUMPOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in BOUNDOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -166,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.advisory import ADVISORY_REGISTRY
     from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
+    from omni_ray.pipelines.boundops import BOUNDOPS_REGISTRY
     from omni_ray.pipelines.circops import CIRCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
@@ -261,4 +264,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in ESTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in CIRCOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in STUMPOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in BOUNDOPS_REGISTRY.items()})
     return out

@@ -642,6 +642,15 @@ def run_bench() -> dict:
     timed("median_polish_dowweek",
           lambda: STUMPOPS_REGISTRY["median_polish_dowweek"][0](SF_DIR).num_rows)
 
+    # batch 48: the Hoeffding conversion fold (user-bucketed type/buyer
+    # co-fold) and the Sn robust scale (bounded O(days^2) scan) are the
+    # new costs
+    from omni_ray.pipelines.boundops import BOUNDOPS_REGISTRY
+    timed("hoeffding_ci_conversion",
+          lambda: BOUNDOPS_REGISTRY["hoeffding_ci_conversion"][0](SF_DIR).num_rows)
+    timed("sn_scale_daily",
+          lambda: BOUNDOPS_REGISTRY["sn_scale_daily"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
