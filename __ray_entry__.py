@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.stumpops import STUMPOPS_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
+    from omni_ray.pipelines.richops import RICHOPS_REGISTRY
     from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
     from omni_ray.pipelines.tsops import TSOPS_REGISTRY
     from omni_ray.pipelines.sysops import SYSOPS_REGISTRY
@@ -159,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in CIRCOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in STUMPOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in BOUNDOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in RICHOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -205,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.stumpops import STUMPOPS_REGISTRY
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
+    from omni_ray.pipelines.richops import RICHOPS_REGISTRY
     from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
     from omni_ray.pipelines.tsops import TSOPS_REGISTRY
     from omni_ray.pipelines.sysops import SYSOPS_REGISTRY
@@ -265,4 +268,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in CIRCOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in STUMPOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in BOUNDOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in RICHOPS_REGISTRY.items()})
     return out

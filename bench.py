@@ -651,6 +651,12 @@ def run_bench() -> dict:
     timed("sn_scale_daily",
           lambda: BOUNDOPS_REGISTRY["sn_scale_daily"][0](SF_DIR).num_rows)
 
+    # batch 49: the Chao1 occurrence census (term-bucketed frequency fold)
+    # is the new cost; the other estimators share its machinery
+    from omni_ray.pipelines.richops import RICHOPS_REGISTRY
+    timed("chao1_vocab",
+          lambda: RICHOPS_REGISTRY["chao1_vocab"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
