@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
     from omni_ray.pipelines.lexops import LEXOPS_REGISTRY
+    from omni_ray.pipelines.lexstat2 import LEXSTAT2_REGISTRY
     from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
@@ -161,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in STUMPOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in BOUNDOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in RICHOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in LEXSTAT2_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -189,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
     from omni_ray.pipelines.lexops import LEXOPS_REGISTRY
+    from omni_ray.pipelines.lexstat2 import LEXSTAT2_REGISTRY
     from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
@@ -269,4 +272,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in STUMPOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in BOUNDOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in RICHOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in LEXSTAT2_REGISTRY.items()})
     return out

@@ -657,6 +657,15 @@ def run_bench() -> dict:
     timed("chao1_vocab",
           lambda: RICHOPS_REGISTRY["chao1_vocab"][0](SF_DIR).num_rows)
 
+    # batch 50: the Yule K fold (term-bucketed occurrence census) and the
+    # digram entropy (bounded 26x26 cell fold + quantized-ln entropy) are
+    # the new costs
+    from omni_ray.pipelines.lexstat2 import LEXSTAT2_REGISTRY
+    timed("yule_k_by_source",
+          lambda: LEXSTAT2_REGISTRY["yule_k_by_source"][0](SF_DIR).num_rows)
+    timed("digram_entropy_by_source",
+          lambda: LEXSTAT2_REGISTRY["digram_entropy_by_source"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
