@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
     from omni_ray.pipelines.varops import VAROPS_REGISTRY
     from omni_ray.pipelines.vecsketch import VECSKETCH_REGISTRY
+    from omni_ray.pipelines.voteops import VOTEOPS_REGISTRY
     from omni_ray.pipelines.webqa import WEBQA_REGISTRY
     from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
@@ -163,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in BOUNDOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in RICHOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LEXSTAT2_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in VOTEOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -219,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.mixgraph import MIXGRAPH_REGISTRY
     from omni_ray.pipelines.varops import VAROPS_REGISTRY
     from omni_ray.pipelines.vecsketch import VECSKETCH_REGISTRY
+    from omni_ray.pipelines.voteops import VOTEOPS_REGISTRY
     from omni_ray.pipelines.webqa import WEBQA_REGISTRY
     from omni_ray.pipelines.webscaleops import WEBSCALE_REGISTRY
 
@@ -273,4 +276,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in BOUNDOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in RICHOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LEXSTAT2_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in VOTEOPS_REGISTRY.items()})
     return out

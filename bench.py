@@ -666,6 +666,12 @@ def run_bench() -> dict:
     timed("digram_entropy_by_source",
           lambda: LEXSTAT2_REGISTRY["digram_entropy_by_source"][0](SF_DIR).num_rows)
 
+    # batch 51: the source-metrics table (doc fold + term-bucketed vocab
+    # fold) feeds all three vote methods; Copeland is the timed headliner
+    from omni_ray.pipelines.voteops import VOTEOPS_REGISTRY
+    timed("copeland_ranking",
+          lambda: VOTEOPS_REGISTRY["copeland_ranking"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
