@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.lexops import LEXOPS_REGISTRY
     from omni_ray.pipelines.lexstat2 import LEXSTAT2_REGISTRY
     from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
+    from omni_ray.pipelines.listops import LISTOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
@@ -165,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in RICHOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LEXSTAT2_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in VOTEOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in LISTOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -195,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.lexops import LEXOPS_REGISTRY
     from omni_ray.pipelines.lexstat2 import LEXSTAT2_REGISTRY
     from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
+    from omni_ray.pipelines.listops import LISTOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
@@ -277,4 +280,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in RICHOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LEXSTAT2_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in VOTEOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in LISTOPS_REGISTRY.items()})
     return out

@@ -672,6 +672,14 @@ def run_bench() -> dict:
     timed("copeland_ranking",
           lambda: VOTEOPS_REGISTRY["copeland_ranking"][0](SF_DIR).num_rows)
 
+    # batch 52: the RBO pipeline (source-metric folds + bounded depth
+    # scan) and the price ladder (brand-cents census) are the new costs
+    from omni_ray.pipelines.listops import LISTOPS_REGISTRY
+    timed("rbo_rankings",
+          lambda: LISTOPS_REGISTRY["rbo_rankings"][0](SF_DIR).num_rows)
+    timed("price_ladder_audit",
+          lambda: LISTOPS_REGISTRY["price_ladder_audit"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
