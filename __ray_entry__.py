@@ -60,6 +60,7 @@ def _crawl_schedule(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.advisory import ADVISORY_REGISTRY
     from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
+    from omni_ray.pipelines.auctests import AUCTESTS_REGISTRY
     from omni_ray.pipelines.boundops import BOUNDOPS_REGISTRY
     from omni_ray.pipelines.circops import CIRCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
@@ -167,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in LEXSTAT2_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in VOTEOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LISTOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in AUCTESTS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -176,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.advisory import ADVISORY_REGISTRY
     from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
+    from omni_ray.pipelines.auctests import AUCTESTS_REGISTRY
     from omni_ray.pipelines.boundops import BOUNDOPS_REGISTRY
     from omni_ray.pipelines.circops import CIRCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
@@ -281,4 +284,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in LEXSTAT2_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in VOTEOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LISTOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in AUCTESTS_REGISTRY.items()})
     return out

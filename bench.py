@@ -680,6 +680,14 @@ def run_bench() -> dict:
     timed("price_ladder_audit",
           lambda: LISTOPS_REGISTRY["price_ladder_audit"][0](SF_DIR).num_rows)
 
+    # batch 53: the AUC histogram cross-fold and the Markov transition
+    # accuracy fold are the new costs
+    from omni_ray.pipelines.auctests import AUCTESTS_REGISTRY
+    timed("mann_whitney_auc",
+          lambda: AUCTESTS_REGISTRY["mann_whitney_auc"][0](SF_DIR).num_rows)
+    timed("markov_top1_accuracy",
+          lambda: AUCTESTS_REGISTRY["markov_top1_accuracy"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
