@@ -688,6 +688,14 @@ def run_bench() -> dict:
     timed("markov_top1_accuracy",
           lambda: AUCTESTS_REGISTRY["markov_top1_accuracy"][0](SF_DIR).num_rows)
 
+    # batch 54: the milestone scan (user-bucketed cumulative crossing) and
+    # the midmean histogram fold are the new costs
+    from omni_ray.pipelines.midops import MIDOPS_REGISTRY
+    timed("days_to_spend_milestone",
+          lambda: MIDOPS_REGISTRY["days_to_spend_milestone"][0](SF_DIR).num_rows)
+    timed("interquartile_mean",
+          lambda: MIDOPS_REGISTRY["interquartile_mean"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
