@@ -358,23 +358,44 @@ def pk_gap_audit(sf_dir: str):
     [min, max], the number of gap runs and the largest gap — the
     bulk-load integrity read.
 
-    Scale shape: missing total is pure arithmetic from (min, max,
-    count); gap runs need adjacent-id differences — ONE sort-free pass:
-    per block the sorted ids yield internal gaps; block boundaries
-    reconcile through a bounded fold of (block_min, block_max) ranges
-    keyed by id-range bucket. Here the simple house route: sort the
-    narrow id column (one int64 per row) and scan — documented as the
-    acceptable narrow-column sort."""
-    ds = _read(sf_dir, "documents", columns=["doc_id"])
-    ids = np.sort(ds.to_pandas()["doc_id"].to_numpy(np.int64))
-    lo, hi, n = int(ids[0]), int(ids[-1]), len(ids)
-    d = np.diff(ids)
-    gaps = d[d > 1] - 1
+    Scale shape: one sort of the narrow id column, then each BLOCK scans
+    its own sorted ids for internal gaps and emits one summary row
+    (min, max, count, runs, max gap); the driver reconciles only the
+    bounded per-block boundaries — ids never leave the cluster."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .sort("doc_id").materialize()
+
+    def block_stats(t: pa.Table) -> pa.Table:
+        ids = np.sort(np.asarray(t["doc_id"].to_numpy(), np.int64))
+        d = np.diff(ids)
+        gaps = d[d > 1] - 1
+        return pa.table({
+            "mn": pa.array([int(ids[0])], pa.int64()),
+            "mx": pa.array([int(ids[-1])], pa.int64()),
+            "n": pa.array([len(ids)], pa.int64()),
+            "runs": pa.array([len(gaps)], pa.int64()),
+            "mg": pa.array([int(gaps.max()) if len(gaps) else 0],
+                           pa.int64()),
+        })
+
+    parts = ds.map_batches(block_stats, batch_size=None,
+                           batch_format="pyarrow").to_pandas() \
+        .sort_values("mn").reset_index(drop=True)
+    lo, hi = int(parts["mn"].iloc[0]), int(parts["mx"].iloc[-1])
+    n = int(parts["n"].sum())
+    runs = int(parts["runs"].sum())
+    mg = int(parts["mg"].max())
+    # boundary gaps between consecutive sorted blocks
+    for i in range(1, len(parts)):
+        b = int(parts["mn"].iloc[i]) - int(parts["mx"].iloc[i - 1]) - 1
+        if b > 0:
+            runs += 1
+            mg = max(mg, b)
     out = pd.DataFrame({
         "n_ids": [np.int64(n)],
         "missing_total": np.int64(hi - lo + 1 - n),
-        "n_gap_runs": np.int64(len(gaps)),
-        "max_gap": np.int64(int(gaps.max()) if len(gaps) else 0),
+        "n_gap_runs": np.int64(runs),
+        "max_gap": np.int64(mg),
     })
     return pa.Table.from_pandas(out, preserve_index=False) \
         .replace_schema_metadata(None)
