@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
     from omni_ray.pipelines.tsops import TSOPS_REGISTRY
     from omni_ray.pipelines.sysops import SYSOPS_REGISTRY
+    from omni_ray.pipelines.tailops import TAILOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
     from omni_ray.pipelines.curation import CURATION_REGISTRY
     from omni_ray.pipelines.midops import MIDOPS_REGISTRY
@@ -171,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in LISTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in AUCTESTS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in MIDOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in TAILOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -224,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
     from omni_ray.pipelines.tsops import TSOPS_REGISTRY
     from omni_ray.pipelines.sysops import SYSOPS_REGISTRY
+    from omni_ray.pipelines.tailops import TAILOPS_REGISTRY
     from omni_ray.pipelines.trainprep import TRAINPREP_REGISTRY
     from omni_ray.pipelines.curation import CURATION_REGISTRY
     from omni_ray.pipelines.midops import MIDOPS_REGISTRY
@@ -289,4 +292,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in LISTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in AUCTESTS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in MIDOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in TAILOPS_REGISTRY.items()})
     return out

@@ -696,6 +696,15 @@ def run_bench() -> dict:
     timed("interquartile_mean",
           lambda: MIDOPS_REGISTRY["interquartile_mean"][0](SF_DIR).num_rows)
 
+    # batch 55: the Hill spend fold (user-bucketed + top-20 prune) and
+    # the syndication direction fold (fingerprint-bucketed provenance)
+    # are the new costs
+    from omni_ray.pipelines.tailops import TAILOPS_REGISTRY
+    timed("hill_tail_index",
+          lambda: TAILOPS_REGISTRY["hill_tail_index"][0](SF_DIR).num_rows)
+    timed("syndication_direction",
+          lambda: TAILOPS_REGISTRY["syndication_direction"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
