@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
+    from omni_ray.pipelines.opsmisc import OPSMISC_REGISTRY
     from omni_ray.pipelines.paradoxops import PARADOXOPS_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
     from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in AUCTESTS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in MIDOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in TAILOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in OPSMISC_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -208,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
+    from omni_ray.pipelines.opsmisc import OPSMISC_REGISTRY
     from omni_ray.pipelines.paradoxops import PARADOXOPS_REGISTRY
     from omni_ray.pipelines.planstats import PLANSTATS_REGISTRY
     from omni_ray.pipelines.searchx import SEARCHX_REGISTRY
@@ -293,4 +296,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in AUCTESTS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in MIDOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in TAILOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in OPSMISC_REGISTRY.items()})
     return out

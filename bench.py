@@ -705,6 +705,14 @@ def run_bench() -> dict:
     timed("syndication_direction",
           lambda: TAILOPS_REGISTRY["syndication_direction"][0](SF_DIR).num_rows)
 
+    # batch 56: the trigram coverage fold (user-bucketed sequence scan +
+    # bounded census) and the quiet-run scan are the new costs
+    from omni_ray.pipelines.opsmisc import OPSMISC_REGISTRY
+    timed("type_trigram_coverage",
+          lambda: OPSMISC_REGISTRY["type_trigram_coverage"][0](SF_DIR).num_rows)
+    timed("longest_quiet_run",
+          lambda: OPSMISC_REGISTRY["longest_quiet_run"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
