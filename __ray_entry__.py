@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.expops import EXPOPS_REGISTRY
     from omni_ray.pipelines.auditops import AUDITOPS_REGISTRY
     from omni_ray.pipelines.fitops import FITOPS_REGISTRY
+    from omni_ray.pipelines.forensics2 import FORENSICS2_REGISTRY
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
@@ -175,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in MIDOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in TAILOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in OPSMISC_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in FORENSICS2_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -200,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.expops import EXPOPS_REGISTRY
     from omni_ray.pipelines.auditops import AUDITOPS_REGISTRY
     from omni_ray.pipelines.fitops import FITOPS_REGISTRY
+    from omni_ray.pipelines.forensics2 import FORENSICS2_REGISTRY
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
@@ -297,4 +300,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in MIDOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in TAILOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in OPSMISC_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in FORENSICS2_REGISTRY.items()})
     return out

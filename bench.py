@@ -713,6 +713,15 @@ def run_bench() -> dict:
     timed("longest_quiet_run",
           lambda: OPSMISC_REGISTRY["longest_quiet_run"][0](SF_DIR).num_rows)
 
+    # batch 57: the dead-stock fold (partkey-bucketed last-shipment max +
+    # broadcast brand census) and the second-digit Benford census are the
+    # new costs
+    from omni_ray.pipelines.forensics2 import FORENSICS2_REGISTRY
+    timed("dead_stock_census",
+          lambda: FORENSICS2_REGISTRY["dead_stock_census"][0](SF_DIR).num_rows)
+    timed("benford2_audit",
+          lambda: FORENSICS2_REGISTRY["benford2_audit"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
