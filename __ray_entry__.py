@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
     from omni_ray.pipelines.auctests import AUCTESTS_REGISTRY
     from omni_ray.pipelines.boundops import BOUNDOPS_REGISTRY
+    from omni_ray.pipelines.catops import CATOPS_REGISTRY
     from omni_ray.pipelines.circops import CIRCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
@@ -177,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in TAILOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in OPSMISC_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FORENSICS2_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in CATOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -188,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.assocops import ASSOCOPS_REGISTRY
     from omni_ray.pipelines.auctests import AUCTESTS_REGISTRY
     from omni_ray.pipelines.boundops import BOUNDOPS_REGISTRY
+    from omni_ray.pipelines.catops import CATOPS_REGISTRY
     from omni_ray.pipelines.circops import CIRCOPS_REGISTRY
     from omni_ray.pipelines.corpusops import CORPUS_REGISTRY
     from omni_ray.pipelines.engineops import ENGINEOPS_REGISTRY
@@ -301,4 +304,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in TAILOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in OPSMISC_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FORENSICS2_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in CATOPS_REGISTRY.items()})
     return out

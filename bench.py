@@ -722,6 +722,12 @@ def run_bench() -> dict:
     timed("benford2_audit",
           lambda: FORENSICS2_REGISTRY["benford2_audit"][0](SF_DIR).num_rows)
 
+    # batch 58: the contingency association trio shares one bounded fold;
+    # Cramer's V is the timed headliner
+    from omni_ray.pipelines.catops import CATOPS_REGISTRY
+    timed("cramers_v_source_lang",
+          lambda: CATOPS_REGISTRY["cramers_v_source_lang"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
