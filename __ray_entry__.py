@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.lexstat2 import LEXSTAT2_REGISTRY
     from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
     from omni_ray.pipelines.listops import LISTOPS_REGISTRY
+    from omni_ray.pipelines.lmomops import LMOMOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
@@ -179,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in OPSMISC_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FORENSICS2_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in CATOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in LMOMOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -213,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.lexstat2 import LEXSTAT2_REGISTRY
     from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
     from omni_ray.pipelines.listops import LISTOPS_REGISTRY
+    from omni_ray.pipelines.lmomops import LMOMOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
@@ -305,4 +308,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in OPSMISC_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FORENSICS2_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in CATOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in LMOMOPS_REGISTRY.items()})
     return out

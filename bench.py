@@ -728,6 +728,15 @@ def run_bench() -> dict:
     timed("cramers_v_source_lang",
           lambda: CATOPS_REGISTRY["cramers_v_source_lang"][0](SF_DIR).num_rows)
 
+    # batch 59: the L-moment histogram fold and the three-size shingle
+    # sweep (per-doc md5 shingling x3 + bucketed distinct) are the new
+    # costs
+    from omni_ray.pipelines.lmomops import LMOMOPS_REGISTRY
+    timed("l_moments_spend",
+          lambda: LMOMOPS_REGISTRY["l_moments_spend"][0](SF_DIR).num_rows)
+    timed("shingle_size_sweep",
+          lambda: LMOMOPS_REGISTRY["shingle_size_sweep"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
