@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.rankops import RANKOPS_REGISTRY
     from omni_ray.pipelines.remedyops import REMEDYOPS_REGISTRY
+    from omni_ray.pipelines.renewops import RENEWOPS_REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
@@ -181,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in FORENSICS2_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in CATOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LMOMOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in RENEWOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -227,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.queries import REGISTRY
     from omni_ray.pipelines.rankops import RANKOPS_REGISTRY
     from omni_ray.pipelines.remedyops import REMEDYOPS_REGISTRY
+    from omni_ray.pipelines.renewops import RENEWOPS_REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
@@ -309,4 +312,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in FORENSICS2_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in CATOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LMOMOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in RENEWOPS_REGISTRY.items()})
     return out

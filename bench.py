@@ -737,6 +737,14 @@ def run_bench() -> dict:
     timed("shingle_size_sweep",
           lambda: LMOMOPS_REGISTRY["shingle_size_sweep"][0](SF_DIR).num_rows)
 
+    # batch 60: the gap-moment fold (user-bucketed seconds gaps) feeds
+    # both renewal diagnostics; the Zipf slope adds a top-50 pair scan
+    from omni_ray.pipelines.renewops import RENEWOPS_REGISTRY
+    timed("gap_burstiness_b",
+          lambda: RENEWOPS_REGISTRY["gap_burstiness_b"][0](SF_DIR).num_rows)
+    timed("zipf_slope_theil",
+          lambda: RENEWOPS_REGISTRY["zipf_slope_theil"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
