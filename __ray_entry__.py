@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.governance import GOVERNANCE_REGISTRY
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
     from omni_ray.pipelines.growth import GROWTH_REGISTRY
+    from omni_ray.pipelines.identops import IDENTOPS_REGISTRY
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
     from omni_ray.pipelines.dssops import DSSOPS_REGISTRY
     from omni_ray.pipelines.evalops import EVALOPS_REGISTRY
@@ -183,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in CATOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LMOMOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in RENEWOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -203,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.governance import GOVERNANCE_REGISTRY
     from omni_ray.pipelines.graphops import GRAPH_REGISTRY
     from omni_ray.pipelines.growth import GROWTH_REGISTRY
+    from omni_ray.pipelines.identops import IDENTOPS_REGISTRY
     from omni_ray.pipelines.increment import INCREMENT_REGISTRY
     from omni_ray.pipelines.dssops import DSSOPS_REGISTRY
     from omni_ray.pipelines.evalops import EVALOPS_REGISTRY
@@ -313,4 +316,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in CATOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LMOMOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in RENEWOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     return out

@@ -745,6 +745,14 @@ def run_bench() -> dict:
     timed("zipf_slope_theil",
           lambda: RENEWOPS_REGISTRY["zipf_slope_theil"][0](SF_DIR).num_rows)
 
+    # batch 61: the IDF profile (term-bucketed df/occ fold + quantized-ln
+    # banding) and the intra-doc similarity census are the new costs
+    from omni_ray.pipelines.identops import IDENTOPS_REGISTRY
+    timed("bm25_idf_profile",
+          lambda: IDENTOPS_REGISTRY["bm25_idf_profile"][0](SF_DIR).num_rows)
+    timed("intra_doc_similarity_census",
+          lambda: IDENTOPS_REGISTRY["intra_doc_similarity_census"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
