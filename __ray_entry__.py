@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.fitops import FITOPS_REGISTRY
     from omni_ray.pipelines.forensics2 import FORENSICS2_REGISTRY
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
+    from omni_ray.pipelines.funnelops import FUNNELOPS_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
     from omni_ray.pipelines.lexops import LEXOPS_REGISTRY
@@ -185,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in LMOMOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in RENEWOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -214,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.fitops import FITOPS_REGISTRY
     from omni_ray.pipelines.forensics2 import FORENSICS2_REGISTRY
     from omni_ray.pipelines.fpindex import FPINDEX_REGISTRY
+    from omni_ray.pipelines.funnelops import FUNNELOPS_REGISTRY
     from omni_ray.pipelines.integrity import INTEGRITY_REGISTRY
     from omni_ray.pipelines.infraops import INFRAOPS_REGISTRY
     from omni_ray.pipelines.lexops import LEXOPS_REGISTRY
@@ -317,4 +320,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in LMOMOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in RENEWOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     return out

@@ -753,6 +753,14 @@ def run_bench() -> dict:
     timed("intra_doc_similarity_census",
           lambda: IDENTOPS_REGISTRY["intra_doc_similarity_census"][0](SF_DIR).num_rows)
 
+    # batch 62: the first-touch fold (user-bucketed first-event scan) and
+    # the stump PR/F1 histogram pass are the new costs
+    from omni_ray.pipelines.funnelops import FUNNELOPS_REGISTRY
+    timed("first_touch_census",
+          lambda: FUNNELOPS_REGISTRY["first_touch_census"][0](SF_DIR).num_rows)
+    timed("stump_pr_f1",
+          lambda: FUNNELOPS_REGISTRY["stump_pr_f1"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
