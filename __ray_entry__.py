@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
     from omni_ray.pipelines.listops import LISTOPS_REGISTRY
     from omni_ray.pipelines.lmomops import LMOMOPS_REGISTRY
+    from omni_ray.pipelines.localops import LOCALOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
@@ -187,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in RENEWOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -224,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.linkops import LINKOPS_REGISTRY
     from omni_ray.pipelines.listops import LISTOPS_REGISTRY
     from omni_ray.pipelines.lmomops import LMOMOPS_REGISTRY
+    from omni_ray.pipelines.localops import LOCALOPS_REGISTRY
     from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY
     from omni_ray.pipelines.mraops import MRAOPS_REGISTRY
     from omni_ray.pipelines.opsaudit import OPSAUDIT_REGISTRY
@@ -321,4 +324,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in RENEWOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})
     return out

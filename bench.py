@@ -761,6 +761,14 @@ def run_bench() -> dict:
     timed("stump_pr_f1",
           lambda: FUNNELOPS_REGISTRY["stump_pr_f1"][0](SF_DIR).num_rows)
 
+    # batch 63: the distance-similarity explode (3 pair-keyed shuffles of
+    # shingle blobs) and the depth curve fold are the new costs
+    from omni_ray.pipelines.localops import LOCALOPS_REGISTRY
+    timed("doc_distance_similarity",
+          lambda: LOCALOPS_REGISTRY["doc_distance_similarity"][0](SF_DIR).num_rows)
+    timed("depth_conversion_curve",
+          lambda: LOCALOPS_REGISTRY["depth_conversion_curve"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
