@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
     from omni_ray.pipelines.richops import RICHOPS_REGISTRY
+    from omni_ray.pipelines.rleops import RLEOPS_REGISTRY
     from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
     from omni_ray.pipelines.tsops import TSOPS_REGISTRY
     from omni_ray.pipelines.sysops import SYSOPS_REGISTRY
@@ -189,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in RLEOPS_REGISTRY.items()})
     out.update(ML_ROWS_ONLY)
     out["articles41"] = _articles41
     out["crawl_schedule"] = _crawl_schedule
@@ -247,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.statops import STATOPS_REGISTRY
     from omni_ray.pipelines.allocops import ALLOCOPS_REGISTRY
     from omni_ray.pipelines.richops import RICHOPS_REGISTRY
+    from omni_ray.pipelines.rleops import RLEOPS_REGISTRY
     from omni_ray.pipelines.robustops import ROBUSTOPS_REGISTRY
     from omni_ray.pipelines.tsops import TSOPS_REGISTRY
     from omni_ray.pipelines.sysops import SYSOPS_REGISTRY
@@ -325,4 +328,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in RLEOPS_REGISTRY.items()})
     return out

@@ -769,6 +769,12 @@ def run_bench() -> dict:
     timed("depth_conversion_curve",
           lambda: LOCALOPS_REGISTRY["depth_conversion_curve"][0](SF_DIR).num_rows)
 
+    # batch 64: the RLE audit (narrow sort + per-block run scan +
+    # boundary reconciliation) is the new cost
+    from omni_ray.pipelines.rleops import RLEOPS_REGISTRY
+    timed("type_rle_audit",
+          lambda: RLEOPS_REGISTRY["type_rle_audit"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
