@@ -250,9 +250,9 @@ WITH toks AS (
   SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1
 ), total AS (SELECT sum(tf) AS t FROM tf)
 SELECT tf.doc_id,
-       sum(tf.tf) AS n_tokens,
-       sum(tf.tf * CAST(floor(ln(CAST(freq.cnt AS DOUBLE) / total.t) * 1000000 + 0.5)
-                        AS BIGINT)) AS logprob_q
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf.tf * CAST(floor(ln(CAST(freq.cnt AS DOUBLE) / total.t) * 1000000 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS logprob_q
 FROM tf JOIN freq USING (term) CROSS JOIN total
 GROUP BY 1
 """
@@ -325,7 +325,7 @@ WITH toks AS (
 )
 SELECT d.doc_id,
        coalesce(p.n_tokens, 0)   AS n_tokens,
-       coalesce(p.n_in_vocab, 0) AS n_in_vocab
+       CAST(coalesce(p.n_in_vocab, 0) AS BIGINT) AS n_in_vocab
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
@@ -660,7 +660,7 @@ SELECT CASE WHEN GROUPING(year(o_orderdate)) = 1 THEN -1
             ELSE year(o_orderdate) END                       AS year,
        CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
             ELSE o_orderpriority END                         AS priority,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))  AS revenue_cents
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders
 GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
 """

@@ -631,7 +631,8 @@ m AS (
          sum(x*x) AS sxx, sum(x*y) AS sxy
   FROM j
 )
-SELECT n, n*sxy - sx*sx AS num, n*sxx - sx*sx AS den,
+SELECT n, CAST(n*sxy - sx*sx AS BIGINT) AS num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS den,
        CASE WHEN n*sxx - sx*sx > 0 THEN
          CAST(floor(1000000.0 * (n*sxy - sx*sx)
               / CAST(n*sxx - sx*sx AS DOUBLE)) AS BIGINT)

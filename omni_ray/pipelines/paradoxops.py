@@ -366,6 +366,9 @@ def pk_gap_audit(sf_dir: str):
         .sort("doc_id").materialize()
 
     def block_stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # Ray's sort may emit empty blocks
+            return pa.table({k: pa.array([], pa.int64())
+                             for k in ("mn", "mx", "n", "runs", "mg")})
         ids = np.sort(np.asarray(t["doc_id"].to_numpy(), np.int64))
         d = np.diff(ids)
         gaps = d[d > 1] - 1

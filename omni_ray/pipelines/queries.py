@@ -1644,8 +1644,11 @@ def asof_broadcast_index(sf_dir: str):
 SQL_ASOF_BROADCAST_INDEX = """
 WITH idx AS (
   SELECT date_trunc('month', o_orderdate) AS m,
-         (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) * 200 + count(*))
-           // (2 * count(*)) AS idx_q
+         -- the sum() promotes to HUGEINT; without the outer BIGINT cast the
+         -- pandas conversion yields float64 and the driver's value hash
+         -- diverges from the Ray int64 column (round-3 red row)
+         CAST((sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) * 200 + count(*))
+           // (2 * count(*)) AS BIGINT) AS idx_q
   FROM orders GROUP BY 1
 )
 SELECT l.l_orderkey, l.l_linenumber, epoch_us(i.m) AS idx_month_us, i.idx_q

@@ -267,9 +267,9 @@ WITH q AS (
   FROM q GROUP BY 1, 2
 )
 SELECT l_returnflag, l_linestatus, n,
-       n*sxy - sx*sy AS num,
-       n*sxx - sx*sx AS den1,
-       n*syy - sy*sy AS den2,
+       CAST(n*sxy - sx*sy AS BIGINT) AS num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS den1,
+       CAST(n*syy - sy*sy AS BIGINT) AS den2,
        CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
          CAST(floor(1000000.0 * (n*sxy - sx*sy)
               / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
@@ -403,7 +403,7 @@ def salted_segment_revenue(sf_dir: str):
 SQL_SALTED_SEGMENT_REVENUE = """
 SELECT c_mktsegment,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1
 """
@@ -608,7 +608,7 @@ WITH c AS (
   FROM c
 )
 SELECT day, string_agg(event_type, ',' ORDER BY rnk) AS digest,
-       sum(cnt) AS top3_cnt
+       CAST(sum(cnt) AS BIGINT) AS top3_cnt
 FROM r WHERE rnk <= 3 GROUP BY day
 """
 

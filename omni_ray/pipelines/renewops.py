@@ -61,22 +61,33 @@ def _gap_moments(sf_dir: str) -> pd.DataFrame:
             if len(us) < 2:
                 continue
             d = (np.diff(us) // 1_000_000).astype(object)
+            ss = int(sum(x * x for x in d))
+            # split sum-of-squares into base-2^30 limbs: the cross-bucket
+            # Sum() reduce runs in int64 (the oracle is HUGEINT) — limbs
+            # keep every partial in range at any sf; recombined exactly
+            # on the bounded per-type driver side
             rows.append((et, len(d), int(sum(d)),
-                         int(sum(x * x for x in d))))
-        return pd.DataFrame(rows, columns=["event_type", "n", "s", "ss"]) \
+                         ss >> 30, ss & ((1 << 30) - 1)))
+        return pd.DataFrame(rows,
+                            columns=["event_type", "n", "s", "ss_hi", "ss_lo"]) \
             if rows else pd.DataFrame({
                 "event_type": pd.Series([], dtype="object"),
                 "n": pd.Series([], dtype="int64"),
                 "s": pd.Series([], dtype="int64"),
-                "ss": pd.Series([], dtype="int64")})
+                "ss_hi": pd.Series([], dtype="int64"),
+                "ss_lo": pd.Series([], dtype="int64")})
 
     return (
         ev.map_batches(prep, batch_format="pyarrow")
         .groupby("_kb").map_groups(_pd_arrow(gaps), batch_format="pandas")
         .groupby("event_type").aggregate(Sum("n", alias_name="n"),
                                          Sum("s", alias_name="s"),
-                                         Sum("ss", alias_name="ss"))
+                                         Sum("ss_hi", alias_name="ss_hi"),
+                                         Sum("ss_lo", alias_name="ss_lo"))
         .to_pandas().sort_values("event_type").reset_index(drop=True)
+        .assign(ss=lambda d: [(int(h) << 30) + int(l)
+                              for h, l in zip(d["ss_hi"], d["ss_lo"])])
+        .drop(columns=["ss_hi", "ss_lo"])
     )
 
 

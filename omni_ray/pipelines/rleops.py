@@ -38,6 +38,19 @@ def type_rle_audit(sf_dir: str):
         .sort(["us", "event_id"]).materialize()
 
     def block_runs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # Ray's sort may emit empty blocks
+            return pa.table({
+                "min_us": pa.array([], pa.int64()),
+                "min_eid": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "runs": pa.array([], pa.int64()),
+                "first_type": pa.array([], pa.string()),
+                "last_type": pa.array([], pa.string()),
+                "first_len": pa.array([], pa.int64()),
+                "last_len": pa.array([], pa.int64()),
+                "inner_max": pa.array([], pa.int64()),
+                "inner_max_type": pa.array([], pa.string()),
+            })
         us = np.asarray(t["us"].to_numpy(), np.int64)
         eid = np.asarray(t["event_id"].to_numpy(), np.int64)
         order = np.lexsort((eid, us))

@@ -138,8 +138,8 @@ def orc_roundtrip_stats(sf_dir: str):
 SQL_ORC_ROUNDTRIP = """
 SELECT source,
        COUNT(*)     AS n_docs,
-       SUM(n_chars) AS sum_chars,
-       SUM(doc_id)  AS sum_ids
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id)  AS BIGINT) AS sum_ids
 FROM documents
 GROUP BY source
 """

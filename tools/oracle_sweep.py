@@ -2,12 +2,21 @@
 mirroring the driver's sorted-column value compare. Derives the query list
 from __ray_entry__ so no registry can be missed.
 
+Beyond value equality, the sweep enforces a DTYPE-KIND match (int vs float vs
+object) between the normalized Ray and oracle frames: the driver hashes
+serialized values, so an oracle column that comes back float64 (e.g. a DuckDB
+HUGEINT sum) against a Ray int64 column value-compares equal here but hash-
+mismatches there (round-3's one red row, `asof_broadcast_index`). Kind drift
+is a FAILURE even when values match.
+
 Usage (owns its Ray session; run from the repo root):
     python tools/oracle_sweep.py                  # all queries at sf0.01
     python tools/oracle_sweep.py q1,exact_dedup   # a subset
+    python tools/oracle_sweep.py --driver-50      # replay the last driver set
     SWEEP_SF=/root/testdata/sf0.1 python tools/oracle_sweep.py
 Writes per-query pass/fail + timings to /tmp/sweep_sf01.json.
 """
+import glob
 import json
 import os
 import sys
@@ -29,8 +38,16 @@ QUERIES = entry.queries()
 ORACLES = entry.oracle_sql()
 ALL = {k: (QUERIES[k], ORACLES[k]) for k in QUERIES if k in ORACLES}
 if len(sys.argv) > 1:
-    only = set(sys.argv[1].split(","))
-    ALL = {k: v for k, v in ALL.items() if k in only}
+    if sys.argv[1] == "--driver-50":
+        # pre-handoff preflight: replay exactly the key set the driver last
+        # hash-checked (latest CORRECTNESS_r*.json), strict dtype discipline
+        latest = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))[-1]
+        keys = set(json.load(open(latest)))
+        ALL = {k: v for k, v in ALL.items() if k in keys}
+        print(f"driver-50 preflight: {len(ALL)} queries from {latest}")
+    else:
+        only = set(sys.argv[1].split(","))
+        ALL = {k: v for k, v in ALL.items() if k in only}
 
 SF = os.environ.get("SWEEP_SF", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -69,8 +86,13 @@ for name in sorted(ALL):
         assert sorted(got_df.columns) == sorted(want_df.columns), (
             f"columns {sorted(got_df.columns)} != {sorted(want_df.columns)}")
         assert len(got_df) == len(want_df), f"{len(got_df)} rows != {len(want_df)}"
-        pd.testing.assert_frame_equal(
-            normalize(got_df), normalize(want_df), check_dtype=False, obj=name)
+        gn, wn = normalize(got_df), normalize(want_df)
+        kinds_g = [gn[c].dtype.kind for c in gn.columns]
+        kinds_w = [wn[c].dtype.kind for c in wn.columns]
+        assert kinds_g == kinds_w, (
+            f"dtype-kind drift (driver hash risk): ray {list(zip(gn.columns, kinds_g))}"
+            f" vs oracle {list(zip(wn.columns, kinds_w))}")
+        pd.testing.assert_frame_equal(gn, wn, check_dtype=False, obj=name)
         results[name] = {"ok": True, "rows": len(got_df),
                          "sec": round(time.time() - t0, 2)}
         print(f"PASS {name} rows={len(got_df)} {results[name]['sec']}s", flush=True)
