@@ -272,10 +272,10 @@ class _FetchBucket:
 
 
 def _bucket_batch(batch: pa.Table, n_buckets: int) -> pa.Table:
-    from ..sources.pages import url_bucket
+    from ..sources.pages import batch_url_buckets
 
-    buckets = [url_bucket(u, n_buckets) for u in batch.column("url").to_pylist()]
-    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+    buckets = batch_url_buckets(batch.column("url").to_pylist(), n_buckets)
+    return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
 
 
 def _fine_factor(cpus: int, n_buckets: int) -> int:

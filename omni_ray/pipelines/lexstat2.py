@@ -134,19 +134,37 @@ def digram_entropy_by_source(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["source", "text"])
 
     def cells(df: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-        acc: Counter = Counter()
-        for src, tx in zip(df["source"], df["text"]):
-            for w in _WORD_RE.findall((tx or "").lower()):
-                for a, b in zip(w, w[1:]):
-                    acc[(src, a, b)] += 1
-        if not acc:
+        # vectorized digram census: per source, join the lowercased texts
+        # with a separator byte and bincount adjacent [a-z] byte pairs —
+        # non-[a-z] bytes (incl. every UTF-8 continuation byte) break runs,
+        # so this equals the per-word pair walk. str.lower() stays per-row
+        # for Unicode parity with the DuckDB oracle's lower().
+        out = []
+        for src, g in df.groupby("source", sort=False):
+            blob = "\x00".join((tx or "").lower() for tx in g["text"])
+            b = np.frombuffer(blob.encode("utf-8"), dtype=np.uint8)
+            if len(b) < 2:
+                continue
+            m = (b >= 97) & (b <= 122)
+            pair = m[:-1] & m[1:]
+            if not pair.any():
+                continue
+            code = (b[:-1][pair].astype(np.int32) - 97) * 26 \
+                + (b[1:][pair].astype(np.int32) - 97)
+            cnt = np.bincount(code, minlength=676)
+            nz = np.nonzero(cnt)[0]
+            out.append(pd.DataFrame({
+                "source": src,
+                "c1": [chr(97 + c // 26) for c in nz],
+                "c2": [chr(97 + c % 26) for c in nz],
+                "n": cnt[nz].astype(np.int64),
+            }))
+        if not out:
             return pd.DataFrame({"source": pd.Series([], dtype="object"),
                                  "c1": pd.Series([], dtype="object"),
                                  "c2": pd.Series([], dtype="object"),
                                  "n": pd.Series([], dtype="int64")})
-        rows = [(k[0], k[1], k[2], v) for k, v in acc.items()]
-        return pd.DataFrame(rows, columns=["source", "c1", "c2", "n"])
+        return pd.concat(out, ignore_index=True)
 
     mat = (
         ds.map_batches(_pd_arrow(cells), batch_format="pandas")

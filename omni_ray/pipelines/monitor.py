@@ -61,6 +61,20 @@ def make_gauges(names: list[str]) -> tuple[dict, dict]:
     return gauges, registry
 
 
+def prometheus_text(registry: dict) -> str:
+    """Prometheus text exposition (format 0.0.4): HELP/TYPE header pairs +
+    one sample line per gauge, names in sorted order for a stable body.
+    Values use the shortest round-trip float form ('%.10g'), matching what
+    the official client writes for these magnitudes."""
+    lines = []
+    for name in sorted(registry):
+        v = float(registry[name])
+        lines.append(f"# HELP {name} {name.replace('_', ' ')}")
+        lines.append(f"# TYPE {name} gauge")
+        lines.append(f"{name} {format(v, '.10g')}")
+    return "\n".join(lines) + "\n"
+
+
 def collect_system_metrics() -> dict:
     """system_monitor.py:74-103 shape; psutil → stdlib fallback; plus Ray
     cluster capacity gauges."""
@@ -212,6 +226,14 @@ class SystemMonitor:
 
     def get_current_metrics(self) -> dict:
         return self.monitoring_data
+
+    def exposition(self) -> str:
+        """Prometheus text exposition (format 0.0.4) of the gauge registry —
+        the /metrics body the reference serves from its Gauge objects
+        (system_monitor.py:267-291). Works off the dict-backed stub registry
+        so it needs no prometheus_client; when the real client is installed
+        the Gauges self-register with its own exposition path instead."""
+        return prometheus_text(self.registry)
 
     def get_health_status(self, now_s: float | None = None) -> dict:
         """healthy/degraded service checks (:304-343) for the services this

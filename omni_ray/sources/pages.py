@@ -273,6 +273,21 @@ def url_bucket(url: str, n_buckets: int) -> int:
     return int(hashlib.md5(url.encode()).hexdigest()[:8], 16) % n_buckets
 
 
+def batch_url_buckets(urls, n_buckets: int):
+    """Vectorized twin of ``url_bucket`` for a whole column: one int32 numpy
+    array, ``int.from_bytes(digest[:4])`` instead of hexdigest string
+    parsing (identical value — first 4 md5 bytes big-endian). Shared by the
+    crawl bucket/annotate stages and the store writer so every call site
+    stays bit-identical to the reference schedule."""
+    import numpy as np
+
+    md5 = hashlib.md5
+    out = np.empty(len(urls), dtype=np.int32)
+    for i, u in enumerate(urls):
+        out[i] = int.from_bytes(md5(u.encode()).digest()[:4], "big") % n_buckets
+    return out
+
+
 # Sub-bucket granularity of the page store: each bucket file carries a
 # ``sub_bucket = md5(url) % (n_buckets * SUB_BUCKET_FACTOR)`` column and is
 # SORTED by it, with row groups aligned to sub boundaries. A fetch task for
@@ -304,11 +319,11 @@ def write_pages_dataset(out_dir: str, n_rows: int, seed: int = 42, n_buckets: in
     else:
         pages, seeds = generate_pages(n_rows, seed)
     n_sub = n_buckets * SUB_BUCKET_FACTOR
-    subs = [url_bucket(u, n_sub) for u in pages.column("url").to_pylist()]
-    pages = pages.append_column("sub_bucket", pa.array(subs, pa.int32()))
+    subs = batch_url_buckets(pages.column("url").to_pylist(), n_sub)
+    pages = pages.append_column("sub_bucket", pa.array(subs, type=pa.int32()))
     # bucket = sub % n_buckets (md5 % kn % n == md5 % n)
     pages = pages.append_column(
-        "bucket", pa.array([s % n_buckets for s in subs], pa.int32())
+        "bucket", pa.array(subs % n_buckets, type=pa.int32())
     )
     pages_dir = os.path.join(out_dir, "pages")
     os.makedirs(pages_dir, exist_ok=True)

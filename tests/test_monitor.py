@@ -100,3 +100,35 @@ def test_corpus_metrics_empty_dataset():
     assert m["total_articles"] == 0
     assert m["avg_quality"] == 0.0
     assert m["unique_domains"] == 0
+
+
+def test_prometheus_exposition_matches_registry():
+    """The /metrics text body must carry exactly the gauge registry: one
+    HELP/TYPE/sample triple per gauge in sorted order, values round-tripping
+    through float() (reference system_monitor.py:267-291)."""
+    from omni_ray.pipelines.monitor import SystemMonitor, prometheus_text
+
+    mon = SystemMonitor()
+    if not mon.registry:  # real prometheus_client installed: stub unused
+        import pytest
+        pytest.skip("prometheus_client present; exposition owned by client")
+    mon.gauges["system_cpu_percent"].set(12.5)
+    mon.gauges["system_article_count"].set(40)
+    mon.gauges["crawl_success_rate"].set(0.8)
+    body = mon.exposition()
+    assert body == prometheus_text(mon.registry)
+    lines = body.strip().split("\n")
+    names = sorted(mon.registry)
+    assert len(lines) == 3 * len(names)
+    parsed = {}
+    for i, name in enumerate(names):
+        help_l, type_l, sample = lines[3 * i: 3 * i + 3]
+        assert help_l == f"# HELP {name} {name.replace('_', ' ')}"
+        assert type_l == f"# TYPE {name} gauge"
+        k, v = sample.split(" ")
+        assert k == name
+        parsed[k] = float(v)
+    assert parsed["system_cpu_percent"] == 12.5
+    assert parsed["system_article_count"] == 40.0
+    assert parsed["crawl_success_rate"] == 0.8
+    assert body.endswith("\n")
