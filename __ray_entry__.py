@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.remedyops import REMEDYOPS_REGISTRY
     from omni_ray.pipelines.renewops import RENEWOPS_REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
+    from omni_ray.pipelines.tpchx import TPCHX_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -187,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in CATOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LMOMOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in RENEWOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in TPCHX_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -242,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.remedyops import REMEDYOPS_REGISTRY
     from omni_ray.pipelines.renewops import RENEWOPS_REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
+    from omni_ray.pipelines.tpchx import TPCHX_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -325,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in CATOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LMOMOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in RENEWOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in TPCHX_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

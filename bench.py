@@ -775,6 +775,14 @@ def run_bench() -> dict:
     timed("type_rle_audit",
           lambda: RLEOPS_REGISTRY["type_rle_audit"][0](SF_DIR).num_rows)
 
+    # batch 65: the two fact-side hash joins (Q3's filtered join + row-
+    # sized rollup + distributed top-k; Q9's double-broadcast profit fold)
+    from omni_ray.pipelines.tpchx import TPCHX_REGISTRY
+    timed("q3_shipping_priority",
+          lambda: TPCHX_REGISTRY["q3_shipping_priority"][0](SF_DIR).num_rows)
+    timed("q9_profit_by_nation_year",
+          lambda: TPCHX_REGISTRY["q9_profit_by_nation_year"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
