@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.renewops import RENEWOPS_REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.tpchx import TPCHX_REGISTRY
+    from omni_ray.pipelines.urltmpl import URLTMPL_REGISTRY
+    from omni_ray.pipelines.cuckooaudit import CUCKOOAUDIT_REGISTRY
+    from omni_ray.pipelines.styleops import STYLEOPS_REGISTRY
+    from omni_ray.pipelines.interop import INTEROP_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -189,6 +193,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in LMOMOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in RENEWOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in TPCHX_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in URLTMPL_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in CUCKOOAUDIT_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in STYLEOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in INTEROP_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -245,6 +253,10 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.renewops import RENEWOPS_REGISTRY
     from omni_ray.pipelines.relscale import RELSCALE_REGISTRY
     from omni_ray.pipelines.tpchx import TPCHX_REGISTRY
+    from omni_ray.pipelines.urltmpl import URLTMPL_REGISTRY
+    from omni_ray.pipelines.cuckooaudit import CUCKOOAUDIT_REGISTRY
+    from omni_ray.pipelines.styleops import STYLEOPS_REGISTRY
+    from omni_ray.pipelines.interop import INTEROP_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -329,6 +341,10 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in LMOMOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in RENEWOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in TPCHX_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in URLTMPL_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in CUCKOOAUDIT_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in STYLEOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in INTEROP_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

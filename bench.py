@@ -783,6 +783,25 @@ def run_bench() -> dict:
     timed("q9_profit_by_nation_year",
           lambda: TPCHX_REGISTRY["q9_profit_by_nation_year"][0](SF_DIR).num_rows)
 
+    # batch 66-69: URL-structure mining, cuckoo placement audit, the
+    # stylometry term fold, Allan blocks, and the two text round-trips
+    from omni_ray.pipelines.urltmpl import URLTMPL_REGISTRY
+    timed("url_template_census",
+          lambda: URLTMPL_REGISTRY["url_template_census"][0](SF_DIR).num_rows)
+    from omni_ray.pipelines.cuckooaudit import CUCKOOAUDIT_REGISTRY
+    timed("cuckoo_collision_audit",
+          lambda: CUCKOOAUDIT_REGISTRY["cuckoo_collision_audit"][0](SF_DIR).num_rows)
+    from omni_ray.pipelines.styleops import STYLEOPS_REGISTRY
+    timed("burrows_delta_sources",
+          lambda: STYLEOPS_REGISTRY["burrows_delta_sources"][0](SF_DIR).num_rows)
+    timed("allan_variance_daily",
+          lambda: STYLEOPS_REGISTRY["allan_variance_daily"][0](SF_DIR).num_rows)
+    from omni_ray.pipelines.interop import INTEROP_REGISTRY
+    timed("csv_roundtrip_stats",
+          lambda: INTEROP_REGISTRY["csv_roundtrip_stats"][0](SF_DIR).num_rows)
+    timed("jsonl_roundtrip_stats",
+          lambda: INTEROP_REGISTRY["jsonl_roundtrip_stats"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

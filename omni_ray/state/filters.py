@@ -57,13 +57,127 @@ class BloomFilter:
             self.bits[p >> 3] |= 1 << (p & 7)
 
 
+class CuckooFilter:
+    """Cuckoo filter over 16-byte md5 digests (north_rule's named alternative
+    to the Bloom front): 4-slot buckets of uint16 fingerprints, partial-key
+    cuckoo hashing with the XOR partner rule, a bounded stash for insert
+    overflow, and support for DELETE — the capability a Bloom front lacks
+    (needed when a frontier retracts URLs, e.g. robots revocation).
+
+    Determinism contract (shared with the SQL audit oracle in
+    pipelines/cuckooaudit.py): for digest d,
+      fp = (BE(d[4:6]) % 65535) + 1          (1..65535; 0 = empty slot)
+      i1 = BE(d[8:12]) % n_buckets           (decorrelated from the shard
+                                              router, which keys on d[0:4])
+      i2 = i1 XOR ((fp * 2654435761) % n_buckets)   (involutive: power-of-2
+                                              n_buckets, so alt(alt(i)) = i)
+    Eviction walks deterministically (slot = kicks % 4), so a rebuilt filter
+    over the same insert order is bit-identical — checkpoint-friendly.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+    _MIX = 2654435761  # Knuth multiplicative constant
+
+    def __init__(self, n_buckets: int = 1 << 16):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be 2^k"
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        self.stash: set[bytes] = set()
+        self.n_items = 0
+
+    def _fp_i1(self, digest: bytes) -> tuple[int, int]:
+        fp = (int.from_bytes(digest[4:6], "big") % 65535) + 1
+        i1 = int.from_bytes(digest[8:12], "big") % self.n_buckets
+        return fp, i1
+
+    def _alt(self, i: int, fp: int) -> int:
+        return i ^ ((fp * self._MIX) % self.n_buckets)
+
+    def might_contain(self, digest: bytes) -> bool:
+        fp, i1 = self._fp_i1(digest)
+        i2 = self._alt(i1, fp)
+        if fp in self.table[i1] or fp in self.table[i2]:
+            return True
+        # overflow orphans are parked as (bucket, fp) tokens: a digest whose
+        # fingerprint was displaced past MAX_KICKS still answers True
+        return self._fp_stashed(i1, fp) or self._fp_stashed(i2, fp)
+
+    def add(self, digest: bytes) -> None:
+        fp, i1 = self._fp_i1(digest)
+        i2 = self._alt(i1, fp)
+        for i in (i1, i2):
+            row = self.table[i]
+            empt = np.nonzero(row == 0)[0]
+            if len(empt):
+                row[empt[0]] = fp
+                self.n_items += 1
+                return
+        # evict: deterministic walk from i1
+        i, kicks = i1, 0
+        while kicks < self.MAX_KICKS:
+            slot = kicks % self.SLOTS
+            fp, self.table[i][slot] = int(self.table[i][slot]), fp
+            i = self._alt(i, fp)
+            row = self.table[i]
+            empt = np.nonzero(row == 0)[0]
+            if len(empt):
+                row[empt[0]] = fp
+                self.n_items += 1
+                return
+            kicks += 1
+        # table saturated: after the swap chain the NEW item's fingerprint
+        # is already placed; the homeless one is the last DISPLACED
+        # fingerprint. Park it as a (bucket, fp) token — might_contain
+        # probes both candidate buckets, and the token matches from either
+        # side because i is one of the orphan's two buckets and the XOR
+        # partner rule is involutive.
+        self.stash.add(b"fp:" + i.to_bytes(4, "big") + fp.to_bytes(2, "big"))
+        self.n_items += 1
+
+    def _fp_stashed(self, i: int, fp: int) -> bool:
+        return (b"fp:" + i.to_bytes(4, "big") + fp.to_bytes(2, "big")) in self.stash
+
+    def delete(self, digest: bytes) -> bool:
+        """Remove one occurrence; True if found. Exact-tier callers must
+        mirror the removal in their own set."""
+        fp, i1 = self._fp_i1(digest)
+        for i in (i1, self._alt(i1, fp)):
+            row = self.table[i]
+            hit = np.nonzero(row == fp)[0]
+            if len(hit):
+                row[hit[0]] = 0
+                self.n_items -= 1
+                return True
+        for i in (i1, self._alt(i1, fp)):
+            tok = b"fp:" + i.to_bytes(4, "big") + fp.to_bytes(2, "big")
+            if tok in self.stash:
+                self.stash.discard(tok)
+                self.n_items -= 1
+                return True
+        return False
+
+    def load_factor(self) -> float:
+        return self.n_items / float(self.n_buckets * self.SLOTS)
+
+
 @ray.remote(num_cpus=0.1)
 class SeenShard:
-    """One shard of the URL-seen set. Exact, bloom-fronted, checkpointable."""
+    """One shard of the URL-seen set. Exact, bloom- or cuckoo-fronted,
+    checkpointable. ``front="bloom"`` (default) or ``front="cuckoo"`` —
+    either way the front only short-circuits definite-misses; the exact
+    digest set keeps the shard's answers exact."""
 
-    def __init__(self, shard_id: int, n_bits: int = 1 << 23):
+    def __init__(self, shard_id: int, n_bits: int = 1 << 23,
+                 front: str = "bloom"):
         self.shard_id = shard_id
-        self.bloom = BloomFilter(n_bits=n_bits)
+        self.front_kind = front
+        if front == "cuckoo":
+            # bucket count sized so 4-slot capacity ~ n_bits/16 keys at
+            # ~95% fill — comparable memory to the bloom at the same scale
+            self.bloom = CuckooFilter(n_buckets=max(1 << 10, n_bits >> 6))
+        else:
+            self.bloom = BloomFilter(n_bits=n_bits)
         self.exact: set[bytes] = set()
 
     @staticmethod
@@ -102,18 +216,43 @@ class SeenShard:
 
     def checkpoint(self, path: str) -> str:
         packed = np.frombuffer(b"".join(sorted(self.exact)), dtype=np.uint8)
-        np.savez_compressed(
-            path, bits=self.bloom.bits, digests=packed,
-            meta=np.array([self.shard_id, self.bloom.n_bits, self.bloom.n_hashes]),
-        )
+        if self.front_kind == "cuckoo":
+            stash = np.frombuffer(b"".join(sorted(self.bloom.stash)),
+                                  dtype=np.uint8)
+            np.savez_compressed(
+                path, table=self.bloom.table, stash=stash,
+                stash_lens=np.array([len(x) for x in sorted(self.bloom.stash)]),
+                digests=packed,
+                meta=np.array([self.shard_id, self.bloom.n_buckets,
+                               self.bloom.n_items]),
+                kind=np.array(["cuckoo"]),
+            )
+        else:
+            np.savez_compressed(
+                path, bits=self.bloom.bits, digests=packed,
+                meta=np.array([self.shard_id, self.bloom.n_bits, self.bloom.n_hashes]),
+            )
         return path
 
     def restore(self, path: str) -> int:
         data = np.load(path)
         meta = data["meta"]
         self.shard_id = int(meta[0])
-        self.bloom = BloomFilter(n_bits=int(meta[1]), n_hashes=int(meta[2]))
-        self.bloom.bits = data["bits"].copy()
+        if "kind" in data and str(data["kind"][0]) == "cuckoo":
+            self.front_kind = "cuckoo"
+            cf = CuckooFilter(n_buckets=int(meta[1]))
+            cf.table = data["table"].copy()
+            raw, lens = data["stash"].tobytes(), data["stash_lens"]
+            off = 0
+            for ln in lens:
+                cf.stash.add(raw[off:off + int(ln)])
+                off += int(ln)
+            cf.n_items = int(meta[2])
+            self.bloom = cf
+        else:
+            self.front_kind = "bloom"
+            self.bloom = BloomFilter(n_bits=int(meta[1]), n_hashes=int(meta[2]))
+            self.bloom.bits = data["bits"].copy()
         raw = data["digests"].tobytes()
         self.exact = {raw[i : i + 16] for i in range(0, len(raw), 16)}
         return len(self.exact)
@@ -146,11 +285,13 @@ def route_packed_digests(url_hashes_hex: list[str], n_shards: int):
 class SeenSet:
     """Driver-side handle over the shard pool."""
 
-    def __init__(self, n_shards: int = 8, n_bits: int = 1 << 23):
+    def __init__(self, n_shards: int = 8, n_bits: int = 1 << 23,
+                 front: str = "bloom"):
         # anonymous actors: one pool per crawl run (named actors would leak
         # seen-state across runs in the same Ray session)
         self.n_shards = n_shards
-        self.shards = [SeenShard.remote(i, n_bits) for i in range(n_shards)]
+        self.shards = [SeenShard.remote(i, n_bits, front=front)
+                       for i in range(n_shards)]
 
     @staticmethod
     def shard_of(url_hash_hex: str, n_shards: int) -> int:
