@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.cuckooaudit import CUCKOOAUDIT_REGISTRY
     from omni_ray.pipelines.styleops import STYLEOPS_REGISTRY
     from omni_ray.pipelines.interop import INTEROP_REGISTRY
+    from omni_ray.pipelines.holdout import HOLDOUT_REGISTRY
+    from omni_ray.pipelines.linkage import LINKAGE_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -197,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in CUCKOOAUDIT_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in STYLEOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in INTEROP_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in HOLDOUT_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in LINKAGE_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -257,6 +261,8 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.cuckooaudit import CUCKOOAUDIT_REGISTRY
     from omni_ray.pipelines.styleops import STYLEOPS_REGISTRY
     from omni_ray.pipelines.interop import INTEROP_REGISTRY
+    from omni_ray.pipelines.holdout import HOLDOUT_REGISTRY
+    from omni_ray.pipelines.linkage import LINKAGE_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -345,6 +351,8 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in CUCKOOAUDIT_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in STYLEOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in INTEROP_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in HOLDOUT_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in LINKAGE_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

@@ -802,6 +802,19 @@ def run_bench() -> dict:
     timed("jsonl_roundtrip_stats",
           lambda: INTEROP_REGISTRY["jsonl_roundtrip_stats"][0](SF_DIR).num_rows)
 
+    # batch 70-71: the user-grain holdout fold, the R/S window pass, the
+    # signature census + QI ladder
+    from omni_ray.pipelines.holdout import HOLDOUT_REGISTRY
+    timed("temporal_holdout_census",
+          lambda: HOLDOUT_REGISTRY["temporal_holdout_census"][0](SF_DIR).num_rows)
+    timed("hurst_rs_audit",
+          lambda: HOLDOUT_REGISTRY["hurst_rs_audit"][0](SF_DIR).num_rows)
+    from omni_ray.pipelines.linkage import LINKAGE_REGISTRY
+    timed("path_edit_distance_pairs",
+          lambda: LINKAGE_REGISTRY["path_edit_distance_pairs"][0](SF_DIR).num_rows)
+    timed("kanon_generalization_plan",
+          lambda: LINKAGE_REGISTRY["kanon_generalization_plan"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

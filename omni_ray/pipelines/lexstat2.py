@@ -166,22 +166,24 @@ def digram_entropy_by_source(sf_dir: str):
                                  "n": pd.Series([], dtype="int64")})
         return pd.concat(out, ignore_index=True)
 
-    mat = (
-        ds.map_batches(_pd_arrow(cells), batch_format="pandas")
-        .groupby(["source", "c1", "c2"]).aggregate(Count(alias_name="_"),
-                                                   Sum("n",
-                                                       alias_name="n"))
-        .to_pandas()
-    )
+    # the cell domain is BOUNDED (sources × 26²), so the per-block partials
+    # fold on the driver with one pandas groupby — a distributed
+    # sort-aggregate here cost ~4 s of pure key machinery (bench r4 note)
+    parts = ds.map_batches(_pd_arrow(cells), batch_format="pandas").to_pandas()
+    mat = parts.groupby(["source", "c1", "c2"], sort=False)["n"] \
+        .sum().reset_index()
     rows = []
-    for src, g in mat.groupby("source"):
+    for src, g in mat.groupby("source", sort=False):
         row_tot = g.groupby("c1")["n"].sum()
         total = int(g["n"].sum())
-        contrib = 0
-        for _, r in g.iterrows():
-            na, nab = int(row_tot[r["c1"]]), int(r["n"])
-            contrib += int(math.floor(1_000_000 * nab
-                                      * math.log(na / nab) + 0.5))
+        na_arr = g["c1"].map(row_tot).to_numpy(np.int64)
+        nab_arr = g["n"].to_numpy(np.int64)
+        # per-cell math.log (libm, matches DuckDB ln); the loop is over the
+        # bounded cell matrix, not rows
+        contrib = sum(
+            int(math.floor(1_000_000 * int(nab) * math.log(int(na) / int(nab))
+                           + 0.5))
+            for na, nab in zip(na_arr, nab_arr))
         rows.append((src, total, contrib // total if total else 0))
     out = pd.DataFrame(rows, columns=["source", "n_digrams",
                                       "h_micro_nats"]) \
