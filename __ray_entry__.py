@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.interop import INTEROP_REGISTRY
     from omni_ray.pipelines.holdout import HOLDOUT_REGISTRY
     from omni_ray.pipelines.linkage import LINKAGE_REGISTRY
+    from omni_ray.pipelines.episodeops import EPISODEOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -201,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in INTEROP_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in HOLDOUT_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LINKAGE_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in EPISODEOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -263,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.interop import INTEROP_REGISTRY
     from omni_ray.pipelines.holdout import HOLDOUT_REGISTRY
     from omni_ray.pipelines.linkage import LINKAGE_REGISTRY
+    from omni_ray.pipelines.episodeops import EPISODEOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -353,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in INTEROP_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in HOLDOUT_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LINKAGE_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in EPISODEOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

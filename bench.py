@@ -815,6 +815,13 @@ def run_bench() -> dict:
     timed("kanon_generalization_plan",
           lambda: LINKAGE_REGISTRY["kanon_generalization_plan"][0](SF_DIR).num_rows)
 
+    # batch 72: the per-user windowed pair scan and the LOSO stump refits
+    from omni_ray.pipelines.episodeops import EPISODEOPS_REGISTRY
+    timed("episode_pairs_window",
+          lambda: EPISODEOPS_REGISTRY["episode_pairs_window"][0](SF_DIR).num_rows)
+    timed("loso_stump_delta",
+          lambda: EPISODEOPS_REGISTRY["loso_stump_delta"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
