@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.holdout import HOLDOUT_REGISTRY
     from omni_ray.pipelines.linkage import LINKAGE_REGISTRY
     from omni_ray.pipelines.episodeops import EPISODEOPS_REGISTRY
+    from omni_ray.pipelines.hashfeat import HASHFEAT_REGISTRY
+    from omni_ray.pipelines.mlprep import MLPREP_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -203,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in HOLDOUT_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LINKAGE_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in EPISODEOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in HASHFEAT_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in MLPREP_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -266,6 +270,8 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.holdout import HOLDOUT_REGISTRY
     from omni_ray.pipelines.linkage import LINKAGE_REGISTRY
     from omni_ray.pipelines.episodeops import EPISODEOPS_REGISTRY
+    from omni_ray.pipelines.hashfeat import HASHFEAT_REGISTRY
+    from omni_ray.pipelines.mlprep import MLPREP_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -357,6 +363,8 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in HOLDOUT_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LINKAGE_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in EPISODEOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in HASHFEAT_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in MLPREP_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

@@ -822,6 +822,17 @@ def run_bench() -> dict:
     timed("loso_stump_delta",
           lambda: EPISODEOPS_REGISTRY["loso_stump_delta"][0](SF_DIR).num_rows)
 
+    # batch 73-74: the half-split lang pass, the term-hash fold, and the
+    # LOO broadcast encode
+    from omni_ray.pipelines.hashfeat import HASHFEAT_REGISTRY
+    timed("code_switch_census",
+          lambda: HASHFEAT_REGISTRY["code_switch_census"][0](SF_DIR).num_rows)
+    timed("feature_hash_collision_audit",
+          lambda: HASHFEAT_REGISTRY["feature_hash_collision_audit"][0](SF_DIR).num_rows)
+    from omni_ray.pipelines.mlprep import MLPREP_REGISTRY
+    timed("loo_target_encoding",
+          lambda: MLPREP_REGISTRY["loo_target_encoding"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
