@@ -833,6 +833,11 @@ def run_bench() -> dict:
     timed("loo_target_encoding",
           lambda: MLPREP_REGISTRY["loo_target_encoding"][0](SF_DIR).num_rows)
 
+    # batch 75: the three-codec encode+decode fused pass
+    from omni_ray.pipelines.mediaops import MEDIAOPS_REGISTRY as _MR
+    timed("mixed_codec_image_stats",
+          lambda: _MR["mixed_codec_image_stats"][0](SF_DIR).num_rows)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():

@@ -271,10 +271,137 @@ FROM s
 """
 
 
+def mixed_codec_image_stats(sf_dir: str):
+    """Every doc becomes a REAL encoded image in a per-id rotating format
+    (PPM / BMP / PNG by doc_id % 3 — three genuine codecs incl. BMP's
+    bottom-up padded rows and PNG's CRC-framed zlib IDAT), decoded by
+    ImageStatsStage's magic-byte dispatch; the channel means share the PPM
+    closed form, so ONE SQL expectation covers all three parsers. A wrong
+    pad/filter/CRC path shows up as a hash mismatch, not a crash.
+
+    Scale shape: encode + decode fused map-side, payloads never cross a
+    stage boundary, zero shuffle."""
+    from ..stages.multimodal import (ImageStatsStage, encode_bmp,
+                                     encode_png, encode_ppm)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    encoders = [encode_ppm, encode_bmp, encode_png]
+
+    def to_img(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [encoders[int(i) % 3](int(i), 16 + int(i) % 5 * 4,
+                                      12 + int(i) % 4 * 4)
+                 for i in ids], pa.binary()),
+        })
+
+    out = (
+        ds.map_batches(to_img, batch_format="pyarrow")
+        .map_batches(ImageStatsStage, batch_format="pyarrow",
+                     batch_size=ImageStatsStage.BATCH_SIZE, concurrency=2)
+        .drop_columns(["status"])  # all-ok here; the census op audits it
+    )
+    return _collect_i64(out)
+
+
+SQL_MIXED_CODEC_STATS = """
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         16 + (doc_id % 5) * 4 AS w, 12 + (doc_id % 4) * 4 AS h
+  FROM documents
+), rows_y AS (
+  SELECT media_id, w, h, unnest(range(h)) AS y FROM imgs
+), px AS (
+  SELECT media_id, w, h, y, unnest(range(w)) AS x FROM rows_y
+), sums AS (
+  SELECT media_id, w, h,
+         sum((media_id * 7 + x * 3 + y * 5) % 256) AS sr,
+         sum((media_id * 7 + x * 3 + y * 5 + 11) % 256) AS sg,
+         sum((media_id * 7 + x * 3 + y * 5 + 22) % 256) AS sb
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sr * 1000 // (w * h) AS BIGINT) AS mean_r_q,
+       CAST(sg * 1000 // (w * h) AS BIGINT) AS mean_g_q,
+       CAST(sb * 1000 // (w * h) AS BIGINT) AS mean_b_q
+FROM sums
+"""
+
+
+def media_quarantine_census(sf_dir: str):
+    """Corruption quarantine: known ids are deliberately damaged (doc_id %
+    11 == 0 → payload truncated to half; else doc_id % 13 == 0 → magic
+    bytes stomped) before the SAME decode stage; the (status, fmt) census
+    proves the dead-letter routing — parse failures quarantine the row,
+    never kill the wave, and nothing healthy is miscounted."""
+    from ..stages.multimodal import (ImageStatsStage, encode_bmp,
+                                     encode_png, encode_ppm)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    encoders = [encode_ppm, encode_bmp, encode_png]
+
+    def to_img(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        payloads = []
+        for i in ids:
+            p = encoders[int(i) % 3](int(i), 16 + int(i) % 5 * 4,
+                                     12 + int(i) % 4 * 4)
+            if int(i) % 11 == 0:
+                p = p[: len(p) // 2]
+            elif int(i) % 13 == 0:
+                p = b"XX" + p[2:]
+            payloads.append(p)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    decoded = (
+        ds.map_batches(to_img, batch_format="pyarrow")
+        .map_batches(ImageStatsStage, batch_format="pyarrow",
+                     batch_size=ImageStatsStage.BATCH_SIZE, concurrency=2)
+    )
+
+    def fmt_col(t: pa.Table) -> pa.Table:
+        fmts = ["ppm", "bmp", "png"]
+        f = [fmts[int(i) % 3] for i in t["media_id"].to_pylist()]
+        return pa.table({"status": t["status"],
+                         "fmt": pa.array(f, pa.string())})
+
+    from ray.data.aggregate import Count
+
+    out = (
+        decoded.map_batches(fmt_col, batch_format="pyarrow")
+        .groupby(["status", "fmt"]).aggregate(Count(alias_name="n_items"))
+        .to_pandas().sort_values(["status", "fmt"]).reset_index(drop=True)
+    )
+    out["n_items"] = out["n_items"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+SQL_MEDIA_QUARANTINE = """
+WITH lab AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN 'corrupt'
+              WHEN doc_id % 13 = 0 THEN 'bad_magic'
+              ELSE 'ok' END AS status,
+         CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+              ELSE 'png' END AS fmt
+  FROM documents
+)
+SELECT status, fmt, CAST(count(*) AS BIGINT) AS n_items
+FROM lab GROUP BY 1, 2
+"""
+
+
 MEDIAOPS_REGISTRY = {
     "frame_sample_index": (frame_sample_index, SQL_FRAME_SAMPLE_INDEX),
     "audio_chunks": (audio_chunks, SQL_AUDIO_CHUNKS),
     "resize_plan": (resize_plan, SQL_RESIZE_PLAN),
     "image_channel_stats": (image_channel_stats, SQL_IMAGE_CHANNEL_STATS),
     "wav_audio_stats": (wav_audio_stats, SQL_WAV_AUDIO_STATS),
+    "mixed_codec_image_stats": (mixed_codec_image_stats, SQL_MIXED_CODEC_STATS),
+    "media_quarantine_census": (media_quarantine_census, SQL_MEDIA_QUARANTINE),
 }
