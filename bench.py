@@ -838,6 +838,63 @@ def run_bench() -> dict:
     timed("mixed_codec_image_stats",
           lambda: _MR["mixed_codec_image_stats"][0](SF_DIR).num_rows)
 
+    # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
+    # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
+    # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier
+    # machinery exercised at 25x the page-universe bench; bucket hash is a
+    # vectorized multiplicative mix (the md5 dictionary trick is annotate-
+    # stage cost, measured separately in crawl_loop)
+    def bench_frontier_10m():
+        import numpy as np
+        import pandas as pd
+
+        from omni_ray.pipelines.crawl import _dedup_and_rank
+
+        N = 10_000_000
+        ds = ray.data.range(N, override_num_blocks=64)
+
+        def gen(b: pd.DataFrame) -> pd.DataFrame:
+            ids = b["id"].to_numpy(np.int64)
+            hid = (ids * 2654435761) % 1_000_000
+            host = pd.Series(hid).astype(str).radd("h")
+            return pd.DataFrame({
+                "url": "http://" + host + "/p" + pd.Series(ids).astype(str),
+                "url_hash": pd.Series(ids % 8_000_000).astype(str),
+                "host": host,
+                "priority": (ids % 100).astype("int64"),
+                "discovery_ts": ids,
+                "seen": np.zeros(len(ids), dtype=bool),
+                "robots_allowed": np.ones(len(ids), dtype=bool),
+                "host_bucket": ((hid * 2654435761) % 64).astype("int32"),
+            })
+
+        from ray.data.aggregate import Sum as _Sum
+
+        fr = ds.map_batches(gen, batch_format="pandas")
+        # the hid map is a bijection per 1M block, so every host holds
+        # EXACTLY 8 distinct urls after dedup; budget 6 makes the politeness
+        # cutoff a sharp invariant (6M scheduled of 8M deduped)
+        ranked = fr.groupby("host_bucket").map_groups(
+            lambda g: _dedup_and_rank(g, 6), batch_format="pandas")
+        agg = ranked.map_batches(
+            lambda t: pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array(
+                    [pa.compute.sum(pa.compute.cast(
+                        t["scheduled"], pa.int64())).as_py() or 0],
+                    pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ).aggregate(_Sum("n", alias_name="n"), _Sum("s", alias_name="s"))
+        assert agg["n"] == 8_000_000 and agg["s"] == 6_000_000, agg
+        return agg["s"]
+
+    import pyarrow as pa
+
+    timed("frontier_10m_dedup_rank", bench_frontier_10m)
+    throughput["frontier_10m_urls_per_s"] = round(
+        10_000_000 / timings["frontier_10m_dedup_rank"], 1)
+
     # distributed connected components over a synthetic 1e6-pair set (the
     # huge-pair-set duplicate_of path: hash-to-min label propagation)
     def bench_dupgroups_1m():
