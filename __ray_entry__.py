@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.episodeops import EPISODEOPS_REGISTRY
     from omni_ray.pipelines.hashfeat import HASHFEAT_REGISTRY
     from omni_ray.pipelines.mlprep import MLPREP_REGISTRY
+    from omni_ray.pipelines.funnelx import FUNNELX_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -207,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in EPISODEOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in HASHFEAT_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in MLPREP_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in FUNNELX_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -272,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.episodeops import EPISODEOPS_REGISTRY
     from omni_ray.pipelines.hashfeat import HASHFEAT_REGISTRY
     from omni_ray.pipelines.mlprep import MLPREP_REGISTRY
+    from omni_ray.pipelines.funnelx import FUNNELX_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -365,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in EPISODEOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in HASHFEAT_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in MLPREP_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in FUNNELX_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

@@ -838,6 +838,13 @@ def run_bench() -> dict:
     timed("mixed_codec_image_stats",
           lambda: _MR["mixed_codec_image_stats"][0](SF_DIR).num_rows)
 
+    # batch 76: the per-user chain scan and the (type, gap) fold
+    from omni_ray.pipelines.funnelx import FUNNELX_REGISTRY
+    timed("strict_funnel_timed",
+          lambda: FUNNELX_REGISTRY["strict_funnel_timed"][0](SF_DIR).num_rows)
+    timed("gap_median_by_type",
+          lambda: FUNNELX_REGISTRY["gap_median_by_type"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier
