@@ -845,6 +845,11 @@ def run_bench() -> dict:
     timed("gap_median_by_type",
           lambda: FUNNELX_REGISTRY["gap_median_by_type"][0](SF_DIR).num_rows)
 
+    # batch 77: the WARC encode->frame-parse round trip
+    from omni_ray.pipelines.interop import INTEROP_REGISTRY as _IR
+    timed("warc_roundtrip_stats",
+          lambda: _IR["warc_roundtrip_stats"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier

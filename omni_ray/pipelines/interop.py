@@ -198,8 +198,87 @@ FROM ranked
 """
 
 
+_WARC_TS0 = 1_700_000_000_000_000
+
+
+def warc_roundtrip_stats(sf_dir: str):
+    """WARC round trip — the Common-Crawl wire format: documents become
+    HTTP-response WARC records (payload = utf-8 text bytes; doc_id % 7 == 0
+    rows carry status 404 for header diversity), sharded to .warc files,
+    streamed back through WARCDatasource's REAL framing parser, and reduced
+    per (source, http_status). The source and doc_id are recovered FROM THE
+    PARSED URI, and byte sums come from the parsed bodies — a single
+    mis-sliced Content-Length anywhere hashes wrong.
+
+    Scale shape: write and read both stream shard-at-a-time; the aggregate
+    is a bounded (source, status) groupby."""
+    from ..sources.warcfiles import read_warc, write_warc_shards
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = f"/tmp/omni_ray_warc_{tag}"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "url": ("https://" + df["source"].astype(str)
+                    + ".example.com/doc/" + pd.Series(ids).astype(str)),
+            "ts_us": _WARC_TS0 + ids,
+            "payload": [
+                (t or "").encode("utf-8") for t in df["text"]],
+            "status": np.where(ids % 7 == 0, 404, 200),
+        })
+
+    write_warc_shards(
+        ds.map_batches(_pd_arrow(prep), batch_format="pandas"),
+        out_dir, "doc_id", n_shards=_N_SHARDS)
+
+    back = read_warc(out_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        src = [u.split("//")[1].split(".example.com")[0] for u in urls]
+        ids = [int(u.rsplit("/", 1)[1]) for u in urls]
+        return pa.table({
+            "source": pa.array(src, pa.string()),
+            "http_status": pc.cast(t["http_status"], pa.int64()),
+            "payload_bytes": pa.array(
+                [len(p) for p in t["payload"].to_pylist()], pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+        })
+
+    out = (
+        back.map_batches(stats, batch_format="pyarrow")
+        .groupby(["source", "http_status"])
+        .aggregate(Count(alias_name="n_records"),
+                   Sum("payload_bytes", alias_name="sum_bytes"),
+                   Sum("doc_id", alias_name="sum_ids"))
+        .to_pandas().sort_values(["source", "http_status"])
+        .reset_index(drop=True)
+    )
+    for c in ("http_status", "n_records", "sum_bytes", "sum_ids"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT source,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS BIGINT)
+         AS http_status,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT)
+         AS sum_bytes,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 INTEROP_REGISTRY = {
     "csv_roundtrip_stats": (csv_roundtrip_stats, _SQL_ROUNDTRIP),
     "jsonl_roundtrip_stats": (jsonl_roundtrip_stats, _SQL_ROUNDTRIP),
     "neyman_allocation": (neyman_allocation, SQL_NEYMAN_ALLOCATION),
+    "warc_roundtrip_stats": (warc_roundtrip_stats, SQL_WARC_ROUNDTRIP),
 }
