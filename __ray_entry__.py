@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.hashfeat import HASHFEAT_REGISTRY
     from omni_ray.pipelines.mlprep import MLPREP_REGISTRY
     from omni_ray.pipelines.funnelx import FUNNELX_REGISTRY
+    from omni_ray.pipelines.robotsops import ROBOTSOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -209,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in HASHFEAT_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in MLPREP_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELX_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in ROBOTSOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -275,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.hashfeat import HASHFEAT_REGISTRY
     from omni_ray.pipelines.mlprep import MLPREP_REGISTRY
     from omni_ray.pipelines.funnelx import FUNNELX_REGISTRY
+    from omni_ray.pipelines.robotsops import ROBOTSOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -369,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in HASHFEAT_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in MLPREP_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELX_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in ROBOTSOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

@@ -850,6 +850,11 @@ def run_bench() -> dict:
     timed("warc_roundtrip_stats",
           lambda: _IR["warc_roundtrip_stats"][0](SF_DIR).num_rows)
 
+    # batch 78: the robots probe pass
+    from omni_ray.pipelines.robotsops import ROBOTSOPS_REGISTRY
+    timed("robots_decision_census",
+          lambda: ROBOTSOPS_REGISTRY["robots_decision_census"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier
