@@ -855,6 +855,11 @@ def run_bench() -> dict:
     timed("robots_decision_census",
           lambda: ROBOTSOPS_REGISTRY["robots_decision_census"][0](SF_DIR).num_rows)
 
+    # batch 79: the feed-build + parse + union-dedup pass
+    from omni_ray.pipelines.discoveryops import DISCOVERYOPS_REGISTRY
+    timed("discovery_union_dedup",
+          lambda: DISCOVERYOPS_REGISTRY["discovery_union_dedup"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier
