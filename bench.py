@@ -860,6 +860,11 @@ def run_bench() -> dict:
     timed("discovery_union_dedup",
           lambda: DISCOVERYOPS_REGISTRY["discovery_union_dedup"][0](SF_DIR).num_rows)
 
+    # batch 80: the DOM-parse + clean ladder pass
+    from omni_ray.pipelines.htmlqueries import HTMLQUERIES_REGISTRY
+    timed("clean_boilerplate_census",
+          lambda: HTMLQUERIES_REGISTRY["clean_boilerplate_census"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier
