@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.robotsops import ROBOTSOPS_REGISTRY
     from omni_ray.pipelines.discoveryops import DISCOVERYOPS_REGISTRY
     from omni_ray.pipelines.htmlqueries import HTMLQUERIES_REGISTRY
+    from omni_ray.pipelines.enrichqueries import ENRICHQUERIES_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -215,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in ROBOTSOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in DISCOVERYOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in HTMLQUERIES_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in ENRICHQUERIES_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -284,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.robotsops import ROBOTSOPS_REGISTRY
     from omni_ray.pipelines.discoveryops import DISCOVERYOPS_REGISTRY
     from omni_ray.pipelines.htmlqueries import HTMLQUERIES_REGISTRY
+    from omni_ray.pipelines.enrichqueries import ENRICHQUERIES_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -381,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in ROBOTSOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in DISCOVERYOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in HTMLQUERIES_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in ENRICHQUERIES_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

@@ -865,6 +865,11 @@ def run_bench() -> dict:
     timed("clean_boilerplate_census",
           lambda: HTMLQUERIES_REGISTRY["clean_boilerplate_census"][0](SF_DIR).num_rows)
 
+    # batch 81: the validator kernel pass
+    from omni_ray.pipelines.enrichqueries import ENRICHQUERIES_REGISTRY
+    timed("validator_warning_census",
+          lambda: ENRICHQUERIES_REGISTRY["validator_warning_census"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier
