@@ -870,6 +870,11 @@ def run_bench() -> dict:
     timed("validator_warning_census",
           lambda: ENRICHQUERIES_REGISTRY["validator_warning_census"][0](SF_DIR).num_rows)
 
+    # batch 82: the live seen-shard routing pass
+    from omni_ray.pipelines.kernelmisc import KERNELMISC_REGISTRY
+    timed("seen_shard_distribution_census",
+          lambda: KERNELMISC_REGISTRY["seen_shard_distribution_census"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier
