@@ -48,7 +48,13 @@ def seen_shard_distribution_census(sf_dir: str):
         "url": _synth_urls(d),
     })), batch_format="pandas").to_pandas()
 
-    hashes = [hashlib.md5(u.encode()).hexdigest() for u in df["url"]]
+    # uniquified key: the synth URL universe collides past doc_id 3000
+    # (lcm of its residue cycles), and a seen-set key must be unique per
+    # logical page — production keys on the canonical url; here doc_id
+    # stands in for the canonicalizer's uniqueness
+    keys = [f"{u}|{i}" for u, i in zip(df["url"],
+                                       df["doc_id"].to_numpy(np.int64))]
+    hashes = [hashlib.md5(k.encode()).hexdigest() for k in keys]
     dup_mask = (df["doc_id"].to_numpy(np.int64) % 4 == 0)
 
     seen = SeenSet(n_shards=_N_SHARDS)
@@ -83,7 +89,9 @@ SQL_SEEN_SHARD = f"""
 WITH urls AS ({_SQL_URLS}),
 r AS (
   SELECT doc_id,
-         CAST(CAST(('0x' || substr(md5(url), 1, 8)) AS UBIGINT)
+         CAST(CAST(('0x' || substr(md5(url || '|' ||
+                                          CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT)
               % {_N_SHARDS} AS BIGINT) AS shard
   FROM urls
 )
