@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.htmlqueries import HTMLQUERIES_REGISTRY
     from omni_ray.pipelines.enrichqueries import ENRICHQUERIES_REGISTRY
     from omni_ray.pipelines.kernelmisc import KERNELMISC_REGISTRY
+    from omni_ray.pipelines.tpchx2 import TPCHX2_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -219,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in HTMLQUERIES_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in ENRICHQUERIES_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in KERNELMISC_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in TPCHX2_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -290,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.htmlqueries import HTMLQUERIES_REGISTRY
     from omni_ray.pipelines.enrichqueries import ENRICHQUERIES_REGISTRY
     from omni_ray.pipelines.kernelmisc import KERNELMISC_REGISTRY
+    from omni_ray.pipelines.tpchx2 import TPCHX2_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -389,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in HTMLQUERIES_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in ENRICHQUERIES_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in KERNELMISC_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in TPCHX2_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

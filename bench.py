@@ -875,6 +875,14 @@ def run_bench() -> dict:
     timed("seen_shard_distribution_census",
           lambda: KERNELMISC_REGISTRY["seen_shard_distribution_census"][0](SF_DIR).num_rows)
 
+    # batch 83: the Q14 broadcast-indicator fold and the Q16 two-level
+    # distinct
+    from omni_ray.pipelines.tpchx2 import TPCHX2_REGISTRY
+    timed("q14_promo_share",
+          lambda: TPCHX2_REGISTRY["q14_promo_share"][0](SF_DIR).num_rows)
+    timed("q16_parts_supplier_cnt",
+          lambda: TPCHX2_REGISTRY["q16_parts_supplier_cnt"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier
