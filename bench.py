@@ -883,6 +883,11 @@ def run_bench() -> dict:
     timed("q16_parts_supplier_cnt",
           lambda: TPCHX2_REGISTRY["q16_parts_supplier_cnt"][0](SF_DIR).num_rows)
 
+    # batch 84: the term-frequency fold feeding the OOV curve
+    from omni_ray.pipelines.trainplan import TRAINPLAN_REGISTRY
+    timed("oov_vocab_curve",
+          lambda: TRAINPLAN_REGISTRY["oov_vocab_curve"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier
