@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.kernelmisc import KERNELMISC_REGISTRY
     from omni_ray.pipelines.tpchx2 import TPCHX2_REGISTRY
     from omni_ray.pipelines.trainplan import TRAINPLAN_REGISTRY
+    from omni_ray.pipelines.halflife import HALFLIFE_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -223,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in KERNELMISC_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in TPCHX2_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in TRAINPLAN_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in HALFLIFE_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -296,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.kernelmisc import KERNELMISC_REGISTRY
     from omni_ray.pipelines.tpchx2 import TPCHX2_REGISTRY
     from omni_ray.pipelines.trainplan import TRAINPLAN_REGISTRY
+    from omni_ray.pipelines.halflife import HALFLIFE_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -397,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in KERNELMISC_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in TPCHX2_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in TRAINPLAN_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in HALFLIFE_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

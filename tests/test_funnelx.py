@@ -86,3 +86,29 @@ def test_q2_argmin_tiebreak(tmp_path):
     assert out.loc[8, "s_suppkey"] == 1
     # supplier 3 unused: floor(-100.5 + 0.5) = -100 never appears
     assert set(out["s_suppkey"]) == {1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_activity_half_life_planted(tmp_path):
+    """Batch 85: front-loaded stream crosses half-mass on day 1; uniform
+    stream at the middle day; the ceil(total/2) threshold is pinned on an
+    odd total."""
+    from omni_ray.pipelines.halflife import activity_half_life
+
+    rows, eid = [], 0
+    # 'burst': 6 events day 0, 1 event on each of days 1..4 (total 10,
+    # need 5 -> crossed on day 0, days_to_half = 1)
+    for _ in range(6):
+        rows.append((eid, 10 + eid, 1, "burst")); eid += 1
+    for d in range(1, 5):
+        rows.append((eid, d * 86_400 + 10, 1, "burst")); eid += 1
+    # 'steady': 1 event per day for 5 days (total 5, need 3 -> day index 3)
+    for d in range(5):
+        rows.append((eid, d * 86_400 + 20, 2, "steady")); eid += 1
+    _events(tmp_path, rows)
+    out = activity_half_life(str(tmp_path)).to_pandas() \
+        .set_index("event_type")
+    assert out.loc["burst", "days_to_half"] == 1
+    assert out.loc["burst", "half_day"] == 0
+    assert out.loc["steady", "days_to_half"] == 3
+    assert out.loc["steady", "n_events"] == 5
