@@ -888,6 +888,15 @@ def run_bench() -> dict:
     timed("oov_vocab_curve",
           lambda: TRAINPLAN_REGISTRY["oov_vocab_curve"][0](SF_DIR).num_rows)
 
+    # batch 86: continuous crawl (per-wave discovery unioned into the live
+    # frontier through the real wave machinery; backlog read from the
+    # deferred snapshots — shares one crawl run via the module cache)
+    from omni_ray.pipelines.contcrawl import CONTCRAWL_REGISTRY
+    timed("continuous_crawl_census",
+          lambda: CONTCRAWL_REGISTRY["continuous_crawl_census"][0](SF_DIR).num_rows)
+    timed("continuous_backlog_profile",
+          lambda: CONTCRAWL_REGISTRY["continuous_backlog_profile"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier

@@ -112,7 +112,12 @@ class _AnnotateStage:
         self.skip_seen = skip_seen
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if "url_hash" not in batch.column_names:
+        # re-canonicalize when the column is absent OR partially null — a
+        # promoted concat of a 5-col seed file with 8-col discovery records
+        # leaves the seed rows' url_hash null (canonicalize_batch is
+        # idempotent, so recomputing the whole batch is safe)
+        if ("url_hash" not in batch.column_names
+                or batch.column("url_hash").null_count > 0):
             batch = canonicalize_batch(batch)
         hashes = batch.column("url_hash").to_pylist()
         if self.skip_seen:
@@ -310,6 +315,18 @@ class _SeenAdd:
         return batch
 
 
+def _discoveries_to_frontier(extra: pa.Table) -> pa.Table:
+    """Normalize freshly discovered records (sources/discovery.discover_batch
+    output, or any table carrying url/source/priority/depth/discovery_ts) into
+    the frontier snapshot schema: canonicalize, drop feed-only columns
+    (title/published), cast. The result deliberately carries NO host_rank —
+    the promoted concat in the wave loop nulls that column across the merged
+    snapshot, which forces the full annotate+rank split (the pre-ranked fast
+    path is only sound for a pure deferred snapshot)."""
+    extra = canonicalize_batch(extra)
+    return extra.select(FRONTIER_COLS).cast(_frontier_schema())
+
+
 def _read_frontier(path: str) -> pa.Table:
     """Frontier snapshot reader: a single parquet file (driver mode) or a
     directory of part files (distributed mode)."""
@@ -341,8 +358,24 @@ def run_crawl(
     resume: bool = True,
     enrich_concurrency: int | None = None,
     distributed_frontier: bool = True,
+    discover_fn=None,
 ) -> dict:
     """Run the full crawl to frontier exhaustion. Returns summary counters.
+
+    ``discover_fn`` (continuous mode — the reference's flagship
+    ``run_continuous`` cycle, omni_orchestrator.py:209-245 + per-cycle
+    ``run_discovery``, url_discovery_engine.py:91-106): called once at the
+    top of every wave with the wave number; returns an Arrow table of
+    freshly discovered frontier records (url/source/priority/depth/
+    discovery_ts at minimum), an EMPTY table for "nothing this cycle, keep
+    polling", or None for "feed schedule exhausted". Non-empty discoveries
+    are canonicalized and unioned into the wave's frontier via the promoted
+    concat (their missing host_rank nulls the column, which correctly forces
+    the full annotate+rank split for that wave — re-discovered urls whose
+    hash was already scheduled are dropped by the seen-shard anti-join,
+    exactly the reference's Redis ``_is_visited`` semantics). An empty
+    frontier with a live discovery source is an idle cycle: no epoch is
+    written and the loop keeps polling until ``max_waves``.
 
     ``distributed_frontier`` (the DEFAULT) selects the 10^10-scale wave
     regime: the frontier split, seen-set marking, schedule artifact and
@@ -557,9 +590,32 @@ def run_crawl(
                     f.result()
             frontier_tbl = _read_frontier(frontier_path)
             _tick("read-frontier")
+            n_disc = 0
+            discovery_dry = discover_fn is None
+            if discover_fn is not None:
+                extra = discover_fn(wave)
+                if extra is None:
+                    discovery_dry = True
+                elif extra.num_rows:
+                    extra = _discoveries_to_frontier(extra)
+                    n_disc = extra.num_rows
+                    frontier_tbl = (
+                        extra if frontier_tbl.num_rows == 0
+                        else pa.concat_tables(
+                            [frontier_tbl, extra], promote_options="default"
+                        )
+                    )
+                    _tick("merge-discoveries")
             epoch_dir = os.path.join(out_dir, f"epoch={wave:04d}")
             counters: list[tuple[str, str, int]] = []
             if frontier_tbl.num_rows == 0:
+                if not discovery_dry:
+                    # idle cycle: nothing deferred and nothing discovered,
+                    # but the feed schedule is still live — keep polling
+                    # (reference: a cycle that finds no URLs just waits for
+                    # the next interval, omni_orchestrator.py:86-87)
+                    wave += 1
+                    continue
                 break
             if os.path.isdir(epoch_dir) and not os.path.exists(
                 os.path.join(epoch_dir, "_COMPLETE")
@@ -571,6 +627,8 @@ def run_crawl(
                 shutil.rmtree(epoch_dir)
             os.makedirs(epoch_dir, exist_ok=True)
             counters.append(("*", "frontier_in", frontier_tbl.num_rows))
+            if n_disc:
+                counters.append(("*", "discovered", n_disc))
 
             # ---- frontier split ----------------------------------------------
             # from_arrow(table) yields ONE block; slice driver-side (zero-copy
@@ -648,6 +706,10 @@ def run_crawl(
                         _empty_wave_job, epoch_dir, counters, wave))
                     frontier_path = os.path.join(epoch_dir, "frontier_next")
                     wave += 1
+                    if not discovery_dry:
+                        # continuous mode: this cycle's discoveries were all
+                        # already seen/blocked, but the feed is still live
+                        continue
                     break
                 sched_ds, pending, deferred_fut = out
                 _tick("wave-split")
@@ -696,6 +758,8 @@ def run_crawl(
                     _acc(counters)
                     frontier_path = os.path.join(epoch_dir, "frontier_next.parquet")
                     wave += 1
+                    if not discovery_dry:
+                        continue  # feed still live (see distributed branch)
                     break
 
                 sched_pdf = ranked_pdf[ranked_pdf["scheduled"]].copy()
@@ -819,6 +883,46 @@ def run_crawl(
             robots.shutdown()
         ray.kill(wave_counter)
     return totals
+
+
+def run_continuous(
+    pages_dir: str,
+    seeds_path: str,
+    out_dir: str,
+    feeds_fn,
+    cycles: int,
+    **kw,
+) -> dict:
+    """Continuous crawling — the reference's flagship mode
+    (omni_orchestrator.py:209-245 ``run_continuous``: each cycle runs
+    discovery, crawls what arrived, then waits for the next interval). Here
+    one wave == one cycle: ``feeds_fn(cycle)`` returns an Arrow table of
+    freshly fetched feed bodies (columns: feed_url, kind ∈ {rss, sitemap},
+    body[, feed_seq]) — or an empty table for a quiet cycle, or None once
+    the feed schedule is exhausted. Bodies are parsed by the REAL RSS /
+    sitemap parsers (sources/discovery.py) and the resulting records are
+    unioned into that wave's frontier; already-crawled urls are dropped by
+    the seen-shard anti-join and still-deferred duplicates by frontier
+    dedup (first-wins under priority desc, discovery_ts, url).
+
+    Scale shape: identical to run_crawl — the only addition is a bounded
+    feed-parse at the loop top; the merged snapshot flows through the same
+    annotate → host-bucket shuffle → budget split, and cycles with no
+    discoveries fall back to the pre-ranked incremental fast path."""
+    from ..sources.discovery import discover_batch
+
+    def discover_fn(wave: int):
+        feeds = feeds_fn(wave)
+        if feeds is None:
+            return None
+        if feeds.num_rows == 0:
+            return feeds
+        return discover_batch(feeds)
+
+    return run_crawl(
+        pages_dir=pages_dir, seeds_path=seeds_path, out_dir=out_dir,
+        discover_fn=discover_fn, max_waves=cycles, **kw,
+    )
 
 
 def _wave_distributed(ranked, seen, epoch_dir, counters, robots_on, pool,

@@ -60,6 +60,58 @@ def crawl_order_pandas(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def reference_oracle_schedule_continuous(
+    seeds: pd.DataFrame,
+    discoveries: dict[int, pd.DataFrame],
+    budget_per_host: int | None = None,
+) -> pd.DataFrame:
+    """Single-process oracle for CONTINUOUS crawling: the reference's
+    run_continuous cycle (omni_orchestrator.py:209-245) — at the top of
+    cycle ``w``, ``discoveries[w]`` (canonicalized frontier records) is
+    merged into the pending frontier; records whose url_hash was already
+    scheduled are dropped (Redis ``_is_visited``,
+    url_discovery_engine.py:108-123), still-pending duplicates resolve
+    first-wins; then the per-host politeness budget schedules the wave.
+    Cycles where both the pending frontier and the cycle's discoveries are
+    empty schedule nothing (idle cycle) but still advance the cycle clock.
+    Returns the same (url, url_hash, host, …, wave, crawl_order) frame as
+    reference_oracle_schedule."""
+    seen: set[str] = set()
+    pending = dedup_frontier_pandas(seeds)
+    waves = []
+    wave = 0
+    last_cycle = max(discoveries) if discoveries else -1
+    while True:
+        if wave in discoveries and len(discoveries[wave]):
+            merged = pd.concat([pending, discoveries[wave]], ignore_index=True)
+            merged = merged[~merged["url_hash"].isin(seen)]
+            pending = dedup_frontier_pandas(merged)
+        if not len(pending):
+            if wave < last_cycle:
+                wave += 1
+                continue
+            break
+        picks, deferred = [], []
+        for _, g in pending.groupby("host", sort=False):
+            g = g.sort_values(SORT_COLS, ascending=SORT_ASC, kind="mergesort")
+            k = len(g) if budget_per_host is None else budget_per_host
+            picks.append(g.head(k))
+            if len(g) > k:
+                deferred.append(g.iloc[k:])
+        sched = crawl_order_pandas(pd.concat(picks, ignore_index=True))
+        sched["wave"] = wave
+        waves.append(sched)
+        seen.update(sched["url_hash"])
+        pending = (
+            pd.concat(deferred, ignore_index=True) if deferred else pending.iloc[0:0]
+        )
+        wave += 1
+    out = pd.concat(waves, ignore_index=True) if waves else seeds.iloc[0:0].copy()
+    out = out.sort_values(["wave", "crawl_order"], kind="mergesort").reset_index(drop=True)
+    out["crawl_order"] = range(len(out))
+    return out
+
+
 def reference_oracle_schedule(
     seeds: pd.DataFrame, budget_per_host: int | None = None
 ) -> pd.DataFrame:
