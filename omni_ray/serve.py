@@ -142,6 +142,76 @@ class DashboardServer:
             self._thread.join(timeout=5)
 
 
+class PagesHTTPServer:
+    """Loopback page server over the bucketed parquet pages store — the
+    in-sandbox stand-in for the open web, so HttpBackend (the real urllib
+    engine behind the fetch seam) exercises genuine socket, status and
+    timeout semantics (reference network surface: simple_crawler.py:43-58).
+
+    GET /page?url=<quoted-logical-url> → stored html bytes (200) or 404.
+    ``delays`` maps logical urls to a server-side sleep in seconds (the
+    scripted slow route for timeout-path testing). ``rewrite`` is the
+    url_rewrite callable to hand HttpBackend."""
+
+    def __init__(self, pages_dir: str, n_files: int,
+                 delays: dict[str, float] | None = None, port: int = 0):
+        import time as _time
+        from urllib.parse import parse_qs, urlparse
+
+        from .stages.fetchbackend import ParquetStoreBackend
+
+        store = ParquetStoreBackend(pages_dir, n_files)
+        delays = dict(delays or {})
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                try:
+                    p = urlparse(self.path)
+                    if p.path != "/page":
+                        self.send_error(404)
+                        return
+                    q = parse_qs(p.query).get("url", [""])[0]
+                    d = delays.get(q)
+                    if d:
+                        _time.sleep(d)
+                    r = store.fetch_one(q, timeout_s=0.0)
+                    if r.status != 200 or r.html is None:
+                        self.send_error(404)
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(r.html)))
+                    self.end_headers()
+                    self.wfile.write(r.html)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client gave up (timeout test) — not a server error
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def rewrite(self, url: str) -> str:
+        from urllib.parse import quote
+
+        return f"http://127.0.0.1:{self.port}/page?url={quote(url, safe='')}"
+
+    def start(self) -> "PagesHTTPServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
 def make_http_webhook_channel(url: str, timeout_s: float = 5.0):
     """A REAL network webhook sink (urllib POST) for the alert engine —
     the production body behind alerts.make_webhook_channel's seam

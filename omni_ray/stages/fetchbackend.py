@@ -101,6 +101,63 @@ class ParquetStoreBackend(FetchBackend):
                            self.name, ms)
 
 
+def loopback_rewrite(port: int):
+    """url_rewrite for HttpBackend against a PagesHTTPServer on ``port``.
+    Module-level (captures only the int) so FetchStage actor pools can
+    serialize it — PagesHTTPServer.rewrite itself holds the live socket."""
+    from urllib.parse import quote
+
+    def rw(url: str) -> str:
+        return f"http://127.0.0.1:{port}/page?url={quote(url, safe='')}"
+
+    return rw
+
+
+class HttpBackend(FetchBackend):
+    """REAL network engine over stdlib urllib — the production body behind
+    the seam (reference simple_crawler.py:43-58: requests.get with
+    per-request timeout + User-Agent header). ``url_rewrite`` maps the
+    logical page url to the transport url (a proxy/mirror seam: identity in
+    production, the loopback PagesHTTPServer in-sandbox so socket/timeout
+    semantics are exercised for real).
+
+    Timeout → FetchTimeout (so FallbackChainBackend falls through, shaped
+    408 if terminal); HTTP error status → FetchResult with that status and
+    html=None (a 404 is an answer, not an engine failure); connection-level
+    errors raise (the chain shapes them 599)."""
+
+    name = "http"
+
+    def __init__(self, user_agent: str = "omni-ray/1.0", url_rewrite=None):
+        self.user_agent = user_agent
+        self.url_rewrite = url_rewrite
+
+    def fetch_one(self, url: str, timeout_s: float) -> FetchResult:
+        import socket
+        import urllib.error
+        import urllib.request
+
+        target = self.url_rewrite(url) if self.url_rewrite else url
+        req = urllib.request.Request(
+            target, headers={"User-Agent": self.user_agent})
+        t0 = time.perf_counter()
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                body = resp.read()
+                status = int(resp.status)
+        except urllib.error.HTTPError as e:
+            return FetchResult(url, int(e.code), None, self.name,
+                               (time.perf_counter() - t0) * 1000.0)
+        except (socket.timeout, TimeoutError) as e:
+            raise FetchTimeout(url) from e
+        except urllib.error.URLError as e:
+            if isinstance(e.reason, (socket.timeout, TimeoutError)):
+                raise FetchTimeout(url) from e
+            raise
+        return FetchResult(url, status, body, self.name,
+                           (time.perf_counter() - t0) * 1000.0)
+
+
 class ScriptedBackend(FetchBackend):
     """Deterministic fake-network engine for tests and dry runs: per-url
     scripted behavior — ``('ok', html)``, ``('timeout',)``, ``('error',)``,
