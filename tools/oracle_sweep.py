@@ -45,6 +45,19 @@ if len(sys.argv) > 1:
         keys = set(json.load(open(latest)))
         ALL = {k: v for k, v in ALL.items() if k in keys}
         print(f"driver-50 preflight: {len(ALL)} queries from {latest}")
+        if "--rotate" in sys.argv[2:]:
+            # breadth rotation: ALSO draw a seeded-random 50 from the
+            # oracle-backed keys the driver did NOT check, so each handoff
+            # self-checks ~100 keys with the driver's exact discipline
+            import random
+
+            rest = sorted(k for k in QUERIES if k in ORACLES and k not in keys)
+            rng = random.Random(int(os.environ.get("ROTATE_SEED", "45")))
+            extra = rng.sample(rest, min(50, len(rest)))
+            ALL.update({k: (QUERIES[k], ORACLES[k]) for k in extra})
+            print(f"rotation: +{len(extra)} seeded-random keys "
+                  f"(seed {os.environ.get('ROTATE_SEED', '45')}) "
+                  f"-> {len(ALL)} total")
     else:
         only = set(sys.argv[1].split(","))
         ALL = {k: v for k, v in ALL.items() if k in only}
