@@ -90,6 +90,17 @@ class DashboardServer:
                         self._json(200, outer._run("global_stats"))
                     elif path == "/api/timeseries":
                         self._json(200, outer._run("daily_timeseries"))
+                    elif path == "/analytics":
+                        self._send(200, outer._analytics_html().encode(),
+                                   "text/html; charset=utf-8")
+                    elif path.startswith("/api/analytics/"):
+                        kind = path[len("/api/analytics/"):]
+                        fig = outer._analytics(kind)
+                        if fig is None:
+                            self._json(404, {"error": f"unknown analytics "
+                                                      f"{kind!r}"})
+                        else:
+                            self._json(200, fig)
                     elif path.startswith("/api/query/"):
                         name = path[len("/api/query/"):]
                         if name not in outer.allowed \
@@ -124,6 +135,61 @@ class DashboardServer:
     def _run(self, name: str):
         fn = self.queries[name]
         return _df_records(fn(self.sf_dir))
+
+    # ---- figure routes (dashboard.py:327-353 → 755-1004) -----------------
+
+    def _analytics(self, kind: str):
+        """``/api/analytics/<kind>`` → ``{'chart': figure, 'data': {...}}``
+        over the registered aggregate queries (bounded results only)."""
+        from . import figures
+
+        try:
+            if kind == "categories" and "per_category_rollup" in self.queries:
+                rows = self._run("per_category_rollup")
+                rows.sort(key=lambda r: -r["n"])
+                return figures.category_figure(
+                    [r["event_type"] for r in rows],
+                    [r["n"] for r in rows],
+                    [round(r["avg_value"] / 1e6, 1) for r in rows],
+                )
+            if kind == "sentiment" and "daily_type_matrix" in self.queries:
+                rows = sorted(self._run("daily_type_matrix"),
+                              key=lambda r: r["day"])
+                dates = [r["day"] for r in rows]
+                series = {
+                    c[len("n_"):]: [r[c] for r in rows]
+                    for c in (rows[0] if rows else {}) if c.startswith("n_")
+                }
+                return figures.timeseries_figure(
+                    dates, series, title="Events Over Time",
+                    ytitle="Number of Events")
+            if kind == "domains" and "per_domain_topk" in self.queries:
+                rows = self._run("per_domain_topk")
+                total_en = [
+                    round(100.0 * r["n_en"] / r["n_docs"], 1)
+                    if r["n_docs"] else 0.0 for r in rows
+                ]
+                return figures.domain_figure(
+                    [r["source"] for r in rows],
+                    [r["n_docs"] for r in rows],
+                    [round(r["avg_chars"] / 1e6, 1) for r in rows],
+                    total_en,
+                )
+        except Exception as e:
+            return {"chart": figures.empty_figure(
+                f"Error Loading {kind.capitalize()} Data", str(e)[:200]),
+                "error": str(e)[:500]}
+        return None
+
+    def _analytics_html(self) -> str:
+        from .figures import dashboard_html
+
+        figs = {}
+        for kind in ("categories", "sentiment", "domains"):
+            f = self._analytics(kind)
+            if f is not None:
+                figs[kind] = f
+        return dashboard_html(figs)
 
     @property
     def url(self) -> str:
@@ -208,6 +274,176 @@ class PagesHTTPServer:
     def stop(self) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+_SEVERITY_COLORS = {  # alert_engine.py:244-249 / :296-301
+    "critical": "#dc3545", "error": "#dc3545",
+    "warning": "#ffc107", "info": "#17a2b8",
+}
+
+_EMAIL_HTML = """\
+<html>
+<body>
+    <h2>&#128680; OmniRay Alert</h2>
+    <div style="border-left: 4px solid {color}; padding-left: 15px;">
+        <h3>{name}</h3>
+        <p><strong>Severity:</strong> <span style="color: {color}">{severity}</span></p>
+        <p><strong>Metric:</strong> {metric}</p>
+        <p><strong>Current Value:</strong> {value}</p>
+        <p><strong>Threshold:</strong> {threshold}</p>
+    </div>
+    <hr>
+    <p><small>This alert was triggered by rule: {rule_id}</small></p>
+</body>
+</html>
+"""
+
+
+def make_email_channel(smtp_config: dict):
+    """REAL smtplib email sender (alert_engine.py:236-287 `_send_email_alert`):
+    builds the reference's severity-colored HTML MIME message and ships it
+    over a live SMTP exchange. ``smtp_config`` keys: smtp_server, smtp_port,
+    from_email, to_email, plus optional use_tls / username / password (the
+    reference always STARTTLSes against a real provider; the loopback test
+    server speaks plain ESMTP). In-sandbox this is exercised against
+    LoopbackSMTPServer below."""
+    import smtplib
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    def sink(alert: dict) -> None:
+        msg = MIMEMultipart()
+        msg["Subject"] = f"[{alert['severity'].upper()}] {alert['name']}"
+        msg["From"] = smtp_config["from_email"]
+        msg["To"] = smtp_config["to_email"]
+        html = _EMAIL_HTML.format(
+            color=_SEVERITY_COLORS.get(alert["severity"], "#6c757d"),
+            name=alert["name"], severity=alert["severity"],
+            metric=alert.get("metric", ""), value=alert.get("value", ""),
+            threshold=alert.get("threshold", ""),
+            rule_id=alert.get("rule_id", ""),
+        )
+        msg.attach(MIMEText(html, "html"))
+        with smtplib.SMTP(smtp_config["smtp_server"],
+                          smtp_config["smtp_port"], timeout=10) as server:
+            if smtp_config.get("use_tls"):
+                server.starttls()
+            if smtp_config.get("username"):
+                server.login(smtp_config["username"],
+                             smtp_config.get("password", ""))
+            server.send_message(msg)
+
+    return sink
+
+
+def make_slack_channel(webhook_url: str, timeout_s: float = 5.0):
+    """Slack webhook sender (alert_engine.py:290-335 `_send_slack_alert`):
+    the reference's attachment payload — severity color, 🚨 title, and
+    short fields for value/threshold/severity — POSTed with urllib.
+    In-sandbox it is exercised against DashboardServer's /hook route (the
+    payload shape is what Slack's incoming-webhook API accepts)."""
+    import urllib.request
+
+    def sink(alert: dict) -> None:
+        payload = {
+            "attachments": [{
+                "color": _SEVERITY_COLORS.get(alert["severity"], "#6c757d"),
+                "title": f"\U0001f6a8 {alert['name']}",
+                "text": f"{alert.get('metric', '')} = {alert.get('value', '')}"
+                        f" (threshold: {alert.get('threshold', '')})",
+                "fields": [
+                    {"title": "Current Value",
+                     "value": str(alert.get("value", "")), "short": True},
+                    {"title": "Threshold",
+                     "value": str(alert.get("threshold", "")), "short": True},
+                    {"title": "Severity",
+                     "value": alert["severity"].upper(), "short": True},
+                ],
+            }],
+        }
+        req = urllib.request.Request(
+            webhook_url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            resp.read()
+
+    return sink
+
+
+class LoopbackSMTPServer:
+    """Minimal threaded ESMTP sink on loopback (test-support twin of the
+    /hook route): speaks just enough of RFC 5321 for smtplib to complete a
+    real MAIL FROM / RCPT TO / DATA exchange. Received messages land in
+    ``messages`` as (mail_from, rcpt_tos, data_bytes)."""
+
+    def __init__(self, port: int = 0):
+        import socketserver
+
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def _send(self, line: str) -> None:
+                self.wfile.write((line + "\r\n").encode())
+
+            def handle(self):
+                self._send("220 loopback SMTP")
+                mail_from, rcpts = "", []
+                while True:
+                    line = self.rfile.readline()
+                    if not line:
+                        return
+                    cmd = line.decode("utf-8", "replace").strip()
+                    up = cmd.upper()
+                    if up.startswith("EHLO"):
+                        self.wfile.write(b"250-loopback\r\n250 OK\r\n")
+                    elif up.startswith("HELO"):
+                        self._send("250 loopback")
+                    elif up.startswith("MAIL FROM:"):
+                        mail_from = cmd[10:].strip().strip("<>")
+                        self._send("250 OK")
+                    elif up.startswith("RCPT TO:"):
+                        rcpts.append(cmd[8:].strip().strip("<>"))
+                        self._send("250 OK")
+                    elif up == "DATA":
+                        self._send("354 End data with <CR><LF>.<CR><LF>")
+                        buf = bytearray()
+                        while True:
+                            dl = self.rfile.readline()
+                            if not dl or dl == b".\r\n":
+                                break
+                            buf += dl
+                        outer.messages.append(
+                            (mail_from, list(rcpts), bytes(buf)))
+                        self._send("250 OK queued")
+                    elif up == "QUIT":
+                        self._send("221 bye")
+                        return
+                    elif up == "RSET":
+                        mail_from, rcpts = "", []
+                        self._send("250 OK")
+                    else:
+                        self._send("502 not implemented")
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.messages: list[tuple[str, list[str], bytes]] = []
+        self._srv = Server(("127.0.0.1", port), Handler)
+        self.port = self._srv.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "LoopbackSMTPServer":
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
         if self._thread:
             self._thread.join(timeout=5)
 

@@ -80,3 +80,111 @@ def test_real_webhook_channel_delivers(server):
     assert hook["text"] == "[warning] high error rate"
     assert hook["alert"]["rule_id"] == "r1"
     assert hook["alert"]["value"] == 0.9
+
+
+def test_analytics_figure_routes(server):
+    """dashboard.py:327-353 figure routes: each returns {'chart': plotly
+    figure JSON, 'data': {...}} with the reference's trace/layout fields."""
+    _, body = _get(server.url + "/api/analytics/categories")
+    cat = json.loads(body)
+    traces = cat["chart"]["data"]
+    assert [t["type"] for t in traces] == ["bar", "scatter"]
+    assert traces[1]["yaxis"] == "y2"  # dual axis: quality on the right
+    assert cat["chart"]["layout"]["yaxis2"]["overlaying"] == "y"
+    assert len(cat["data"]["categories"]) == len(cat["data"]["counts"]) > 0
+
+    _, body = _get(server.url + "/api/analytics/sentiment")
+    sent = json.loads(body)
+    assert all(t["stackgroup"] == "one" for t in sent["chart"]["data"])
+    assert len(sent["chart"]["data"]) == 5  # one stacked trace per event type
+    assert sent["chart"]["layout"]["hovermode"] == "x unified"
+
+    _, body = _get(server.url + "/api/analytics/domains")
+    dom = json.loads(body)
+    m = dom["chart"]["data"][0]["marker"]
+    assert m["sizemode"] == "area" and m["colorscale"] == "Viridis"
+    assert len(m["size"]) == len(dom["data"]["domains"]) > 0
+
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server.url + "/api/analytics/nope")
+    assert ei.value.code == 404
+
+
+def test_analytics_html_page(server):
+    ctype, body = _get(server.url + "/analytics")
+    assert ctype.startswith("text/html")
+    html = body.decode()
+    for div in ("fig-categories", "fig-sentiment", "fig-domains"):
+        assert div in html
+    assert "Plotly.newPlot" in html and "plotly-2" in html
+    # figure JSON is inlined and valid
+    assert '"type": "bar"' in html
+
+
+def test_empty_figure_fallback():
+    """The reference's no-data path (dashboard.py:781-792): annotation-only
+    layout, no traces."""
+    from omni_ray.figures import category_figure
+
+    fig = category_figure([], [], [])
+    assert fig["chart"]["data"] == []
+    ann = fig["chart"]["layout"]["annotations"][0]
+    assert ann["xref"] == "paper" and not ann["showarrow"]
+
+
+def test_email_channel_real_smtp_exchange(server):
+    """alert_engine.py:236-287: the email sender completes a REAL smtplib
+    exchange against a loopback SMTP server; the MIME body carries the
+    severity-colored HTML."""
+    from omni_ray.pipelines.alerts import AlertEngine, AlertRule
+    from omni_ray.serve import LoopbackSMTPServer, make_email_channel
+
+    smtp = LoopbackSMTPServer().start()
+    try:
+        eng = AlertEngine([AlertRule(
+            id="mail1", name="fetch stall", metric="crawl.error_rate",
+            condition=">", threshold=0.5, severity="critical",
+            channels=["email"])])
+        eng.register_channel("email", make_email_channel({
+            "smtp_server": "127.0.0.1", "smtp_port": smtp.port,
+            "from_email": "alerts@omni-ray.local",
+            "to_email": "oncall@omni-ray.local",
+        }))
+        fired = eng.evaluate({"crawl": {"error_rate": 0.8}}, now_minutes=0.0)
+        assert len(fired) == 1
+        assert len(smtp.messages) == 1
+        mail_from, rcpts, data = smtp.messages[0]
+        assert mail_from == "alerts@omni-ray.local"
+        assert rcpts == ["oncall@omni-ray.local"]
+        body = data.decode("utf-8", "replace")
+        assert "Subject: [CRITICAL] fetch stall" in body
+        assert "#dc3545" in body  # the reference's critical color
+        assert "crawl.error_rate" in body
+    finally:
+        smtp.stop()
+
+
+def test_slack_channel_payload_shape(server):
+    """alert_engine.py:290-335: the Slack sender POSTs the attachments
+    payload (color/title/short fields) over real loopback HTTP."""
+    from omni_ray.pipelines.alerts import AlertEngine, AlertRule
+    from omni_ray.serve import make_slack_channel
+
+    eng = AlertEngine([AlertRule(
+        id="s1", name="quality drop", metric="articles.avg_quality",
+        condition="<", threshold=40, severity="warning",
+        channels=["slack"])])
+    eng.register_channel("slack", make_slack_channel(server.url + "/hook"))
+    fired = eng.evaluate({"articles": {"avg_quality": 12}}, now_minutes=0.0)
+    assert len(fired) == 1
+    payload = server.received_hooks[-1]
+    att = payload["attachments"][0]
+    assert att["color"] == "#ffc107"  # warning
+    assert att["title"].endswith("quality drop")
+    fields = {f["title"]: f["value"] for f in att["fields"]}
+    assert float(fields["Current Value"]) == 12
+    assert float(fields["Threshold"]) == 40
+    assert fields["Severity"] == "WARNING"
+    assert all(f["short"] for f in att["fields"])
