@@ -17,8 +17,8 @@ wrong.
 - discovery_union_dedup: the D5∪D1 shape query-side — sitemap covers
   every doc, RSS covers the even half; discover_batch unions both feeds
   and the frontier first-wins rule (priority desc: RSS 10 > sitemap 5)
-  picks the winner per URL; per (source, won_by) counts have a closed
-  form (evens → rss, odds → sitemap).
+  picks the winner per URL; the closed form is PER URL (urls collide
+  above sf0.01): a url wins by rss iff ANY of its docs has an even id.
 
 Scale shape: feeds are bounded (one body per source); parsing streams
 through map_batches; every output is a bounded census.
@@ -191,11 +191,21 @@ def discovery_union_dedup(sf_dir: str):
         .replace_schema_metadata(None)
 
 
-SQL_DISCOVERY_UNION = """
+SQL_DISCOVERY_UNION = f"""
+WITH u AS ({_SQL_URLS}),
+per_url AS (
+  -- the union target is the URL, not the doc: above sf0.01 the synthesized
+  -- urls collide (doc_id mod 1000 wraps), and a url is RSS-covered iff ANY
+  -- of its docs has an even id — the naive per-doc count silently agreed
+  -- only while urls were unique (caught by the sf0.1 full sweep)
+  SELECT source, url,
+         max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS has_even
+  FROM u GROUP BY 1, 2
+)
 SELECT source,
-       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'sitemap' END AS won_by,
+       CASE WHEN has_even = 1 THEN 'rss' ELSE 'sitemap' END AS won_by,
        CAST(count(*) AS BIGINT) AS n_urls
-FROM documents GROUP BY 1, 2
+FROM per_url GROUP BY 1, 2
 """
 
 

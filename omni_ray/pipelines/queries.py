@@ -1443,7 +1443,13 @@ def order_revenue_topk(sf_dir: str):
         )
         return pa.table({
             "l_orderkey": t["l_orderkey"],
-            "cents": pc.cast(pc.round(pc.multiply(rev, 100.0)), pa.int64()),
+            # DuckDB round() breaks ties AWAY FROM ZERO; pyarrow defaults to
+            # half-to-even — cents-exact prices × (1-discount) hit exact .5
+            # doubles ~3% of rows (first diverged in the sf0.1 full sweep)
+            "cents": pc.cast(
+                pc.round(pc.multiply(rev, 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64()),
             "gb": pc.bit_wise_and(t["l_orderkey"], 255),
         })
 
