@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.trainplan import TRAINPLAN_REGISTRY
     from omni_ray.pipelines.halflife import HALFLIFE_REGISTRY
     from omni_ray.pipelines.contcrawl import CONTCRAWL_REGISTRY
+    from omni_ray.pipelines.fetchchain import FETCHCHAIN_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -227,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in TRAINPLAN_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in HALFLIFE_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in CONTCRAWL_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in FETCHCHAIN_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -302,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.trainplan import TRAINPLAN_REGISTRY
     from omni_ray.pipelines.halflife import HALFLIFE_REGISTRY
     from omni_ray.pipelines.contcrawl import CONTCRAWL_REGISTRY
+    from omni_ray.pipelines.fetchchain import FETCHCHAIN_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -405,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in TRAINPLAN_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in HALFLIFE_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in CONTCRAWL_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in FETCHCHAIN_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

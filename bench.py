@@ -897,6 +897,11 @@ def run_bench() -> dict:
     timed("continuous_backlog_profile",
           lambda: CONTCRAWL_REGISTRY["continuous_backlog_profile"][0](SF_DIR).num_rows)
 
+    # batch 87: the real fallback chain through an actor pool
+    from omni_ray.pipelines.fetchchain import FETCHCHAIN_REGISTRY
+    timed("fetch_chain_census",
+          lambda: FETCHCHAIN_REGISTRY["fetch_chain_census"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier
