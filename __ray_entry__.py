@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.halflife import HALFLIFE_REGISTRY
     from omni_ray.pipelines.contcrawl import CONTCRAWL_REGISTRY
     from omni_ray.pipelines.fetchchain import FETCHCHAIN_REGISTRY
+    from omni_ray.pipelines.shardops import SHARDOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -229,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in HALFLIFE_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in CONTCRAWL_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FETCHCHAIN_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in SHARDOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -305,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.halflife import HALFLIFE_REGISTRY
     from omni_ray.pipelines.contcrawl import CONTCRAWL_REGISTRY
     from omni_ray.pipelines.fetchchain import FETCHCHAIN_REGISTRY
+    from omni_ray.pipelines.shardops import SHARDOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -409,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in HALFLIFE_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in CONTCRAWL_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FETCHCHAIN_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in SHARDOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

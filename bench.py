@@ -902,6 +902,11 @@ def run_bench() -> dict:
     timed("fetch_chain_census",
           lambda: FETCHCHAIN_REGISTRY["fetch_chain_census"][0](SF_DIR).num_rows)
 
+    # batch 88: HRW-vs-mod resharding census over real md5 routing
+    from omni_ray.pipelines.shardops import SHARDOPS_REGISTRY
+    timed("shard_rebalance_census",
+          lambda: SHARDOPS_REGISTRY["shard_rebalance_census"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier

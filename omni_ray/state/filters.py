@@ -282,6 +282,35 @@ def route_packed_digests(url_hashes_hex: list[str], n_shards: int):
     return out
 
 
+def rendezvous_shard(url_hashes_hex: list[str], n_shards: int) -> "np.ndarray":
+    """Highest-random-weight (rendezvous) shard assignment: per key, the
+    shard s maximizing md5(url_hash + '#' + str(s)) — ties broken toward the
+    LOWER shard id. Unlike the mod router (``SeenSet.shard_of``), growing
+    the pool N→N+1 relocates only the keys whose new weight wins (~1/(N+1)
+    of them), not ~(1 − 1/lcm) of the keyspace — the resharding story for a
+    long-lived 100-TB frontier whose filter pool must grow in place.
+    Weight = big-endian uint32 of the first 4 digest bytes (same prefix
+    arithmetic as shard_of, so the SQL twin is one hex-slice expression).
+    """
+    import hashlib
+
+    n = len(url_hashes_hex)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    weights = np.empty((n, n_shards), dtype=np.uint32)
+    for s in range(n_shards):
+        suf = f"#{s}".encode()
+        col = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(h.encode() + suf).digest()[:4], "big")
+             for h in url_hashes_hex),
+            dtype=np.uint32, count=n,
+        )
+        weights[:, s] = col
+    return np.argmax(weights, axis=1).astype(np.int64)  # first max wins ties
+
+
 class SeenSet:
     """Driver-side handle over the shard pool."""
 
