@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.contcrawl import CONTCRAWL_REGISTRY
     from omni_ray.pipelines.fetchchain import FETCHCHAIN_REGISTRY
     from omni_ray.pipelines.shardops import SHARDOPS_REGISTRY
+    from omni_ray.pipelines.lineageops import LINEAGEOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -231,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in CONTCRAWL_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FETCHCHAIN_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in SHARDOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in LINEAGEOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -308,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.contcrawl import CONTCRAWL_REGISTRY
     from omni_ray.pipelines.fetchchain import FETCHCHAIN_REGISTRY
     from omni_ray.pipelines.shardops import SHARDOPS_REGISTRY
+    from omni_ray.pipelines.lineageops import LINEAGEOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -413,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in CONTCRAWL_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FETCHCHAIN_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in SHARDOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in LINEAGEOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

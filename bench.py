@@ -907,6 +907,11 @@ def run_bench() -> dict:
     timed("shard_rebalance_census",
           lambda: SHARDOPS_REGISTRY["shard_rebalance_census"][0](SF_DIR).num_rows)
 
+    # batch 89: counter lineage read back from real epoch artifacts
+    from omni_ray.pipelines.lineageops import LINEAGEOPS_REGISTRY
+    timed("crawl_counter_lineage",
+          lambda: LINEAGEOPS_REGISTRY["crawl_counter_lineage"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier
