@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.fetchchain import FETCHCHAIN_REGISTRY
     from omni_ray.pipelines.shardops import SHARDOPS_REGISTRY
     from omni_ray.pipelines.lineageops import LINEAGEOPS_REGISTRY
+    from omni_ray.pipelines.cdxops import CDXOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -233,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in FETCHCHAIN_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in SHARDOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LINEAGEOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in CDXOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -311,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.fetchchain import FETCHCHAIN_REGISTRY
     from omni_ray.pipelines.shardops import SHARDOPS_REGISTRY
     from omni_ray.pipelines.lineageops import LINEAGEOPS_REGISTRY
+    from omni_ray.pipelines.cdxops import CDXOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -417,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in FETCHCHAIN_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in SHARDOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LINEAGEOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in CDXOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

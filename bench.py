@@ -912,6 +912,11 @@ def run_bench() -> dict:
     timed("crawl_counter_lineage",
           lambda: LINEAGEOPS_REGISTRY["crawl_counter_lineage"][0](SF_DIR).num_rows)
 
+    # batch 90: WARC shard write + distributed CDX byte-walk
+    from omni_ray.pipelines.cdxops import CDXOPS_REGISTRY
+    timed("warc_cdx_census",
+          lambda: CDXOPS_REGISTRY["warc_cdx_census"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier

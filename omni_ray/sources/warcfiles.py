@@ -85,6 +85,34 @@ def parse_warc_stream(data: bytes):
         i = hdr_end + 4 + length
 
 
+def build_cdx(data: bytes) -> list[tuple[str, int, int]]:
+    """CDX-style index of a WARC byte stream: (target_uri, offset, length)
+    per record, by REAL byte walking — offset is where 'WARC/1.0' starts,
+    length spans through the record's trailing CRLF CRLF (the Common Crawl
+    cdx(j) contract: offset+length slices one complete record out of the
+    .warc). Content-Length framing only; never splits on sentinels."""
+    out = []
+    i, n = 0, len(data)
+    while i < n:
+        while i < n and data[i:i + 2] == _CRLF:
+            i += 2
+        if i >= n:
+            break
+        start = i
+        if data[i:i + 8] != b"WARC/1.0":
+            raise ValueError(f"bad WARC version at offset {i}")
+        hdr_end = data.index(_CRLF + _CRLF, i)
+        headers = {}
+        for line in data[i:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.decode("utf-8", "replace").partition(":")
+            headers[k.strip()] = v.strip()
+        length = int(headers["Content-Length"])
+        end = hdr_end + 4 + length + 4  # block + trailing CRLF CRLF
+        out.append((headers.get("WARC-Target-URI", ""), start, end - start))
+        i = end
+    return out
+
+
 class WARCDatasource(FileBasedDatasource):
     """Streaming WARC reader: one Ray task per file; each record becomes a
     row (url, warc_date, http_status, content_type, payload)."""
