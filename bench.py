@@ -917,6 +917,11 @@ def run_bench() -> dict:
     timed("warc_cdx_census",
           lambda: CDXOPS_REGISTRY["warc_cdx_census"][0](SF_DIR).num_rows)
 
+    # batch 91: robots -> sitemap -> gate discovery chain
+    from omni_ray.pipelines.robotschain import ROBOTSCHAIN_REGISTRY
+    timed("robots_sitemap_chain",
+          lambda: ROBOTSCHAIN_REGISTRY["robots_sitemap_chain"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier

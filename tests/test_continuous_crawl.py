@@ -235,3 +235,53 @@ def test_continuous_idle_cycles_and_driver_mode_parity(pages_dir, tmp_path):
     )
     assert results["dist"][0] == oracle["url"].tolist()
     assert results["dist"][1] == oracle["wave"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_continuous_resume_mid_cycle(pages_dir, tmp_path):
+    """Kill a continuous run after cycle 0 completes (max_waves=1), then
+    resume with the SAME feed schedule: the resumed run polls discover_fn
+    from the resumed wave and the combined outputs equal an uninterrupted
+    run's — discovery state needs no checkpoint beyond the seen shards."""
+    from omni_ray.pipelines.crawl import run_continuous
+
+    urls = sorted(pq.read_table(f"{pages_dir}/pages").column("url").to_pylist())
+    seeds_urls, c1, c2 = urls[:60], urls[60:110], urls[110:150]
+    seeds = pa.table(
+        {
+            "url": pa.array(seeds_urls, pa.string()),
+            "source": pa.array(["rss"] * len(seeds_urls), pa.string()),
+            "priority": pa.array([10] * len(seeds_urls), pa.int32()),
+            "depth": pa.array([0] * len(seeds_urls), pa.int32()),
+            "discovery_ts": pa.array(
+                [BASE_TS_US + i * 1_000_000 for i in range(len(seeds_urls))],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    seeds_path = str(tmp_path / "res_seeds.parquet")
+    pq.write_table(seeds, seeds_path)
+
+    def feeds_fn(cycle: int):
+        if cycle == 1:
+            return _feed_table("rss", _rss_xml(c1), seq=800)
+        if cycle == 2:
+            return _feed_table("sitemap", _sitemap_xml(c2), seq=900)
+        return None if cycle > 2 else _feed_table("rss", "", 0).slice(0, 0)
+
+    kw = dict(pages_dir=f"{pages_dir}/pages", seeds_path=seeds_path,
+              feeds_fn=feeds_fn, budget_per_host=5,
+              n_buckets=8, n_seen_shards=2)
+
+    full_dir = str(tmp_path / "res_full")
+    run_continuous(out_dir=full_dir, cycles=50, **kw)
+    full_sched = _all_schedules(full_dir)
+
+    part_dir = str(tmp_path / "res_part")
+    run_continuous(out_dir=part_dir, cycles=1, **kw)   # killed after cycle 0
+    assert os.path.exists(os.path.join(part_dir, "epoch=0000", "_COMPLETE"))
+    run_continuous(out_dir=part_dir, cycles=50, **kw)  # resume
+    part_sched = _all_schedules(part_dir)
+
+    assert part_sched["url"].tolist() == full_sched["url"].tolist()
+    assert part_sched["wave"].tolist() == full_sched["wave"].tolist()
