@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.lineageops import LINEAGEOPS_REGISTRY
     from omni_ray.pipelines.cdxops import CDXOPS_REGISTRY
     from omni_ray.pipelines.robotschain import ROBOTSCHAIN_REGISTRY
+    from omni_ray.pipelines.revalops import REVALPLAN_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -237,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in LINEAGEOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in CDXOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in ROBOTSCHAIN_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in REVALPLAN_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -317,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.lineageops import LINEAGEOPS_REGISTRY
     from omni_ray.pipelines.cdxops import CDXOPS_REGISTRY
     from omni_ray.pipelines.robotschain import ROBOTSCHAIN_REGISTRY
+    from omni_ray.pipelines.revalops import REVALPLAN_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -425,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in LINEAGEOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in CDXOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in ROBOTSCHAIN_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in REVALPLAN_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

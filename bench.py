@@ -922,6 +922,11 @@ def run_bench() -> dict:
     timed("robots_sitemap_chain",
           lambda: ROBOTSCHAIN_REGISTRY["robots_sitemap_chain"][0](SF_DIR).num_rows)
 
+    # batch 92: conditional-GET bandwidth plan
+    from omni_ray.pipelines.revalops import REVALPLAN_REGISTRY
+    timed("conditional_get_plan",
+          lambda: REVALPLAN_REGISTRY["conditional_get_plan"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier

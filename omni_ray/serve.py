@@ -9,13 +9,23 @@ Routes (all GET, JSON unless noted):
   /metrics             — Prometheus 0.0.4 text (monitor.prometheus_text)
   /api/stats           — global_stats over the configured sf_dir
   /api/timeseries      — daily_timeseries rows
+  /analytics           — HTML page embedding the three figures (plotly.js)
+  /api/analytics/<k>   — k ∈ {categories, sentiment, domains}: plotly
+                         figure JSON + data (figures.py; dashboard.py
+                         :327-353 → :755-1004)
   /api/query/<name>    — any registered queries() entry (allow-listed at
                          construction; arbitrary names 404 — the server
                          must not become a remote code path)
   POST /hook           — test-support webhook sink: appends the JSON body
                          to ``received_hooks`` (the loopback target that
-                         lets make_http_webhook_channel be exercised with
-                         a REAL network POST in-sandbox)
+                         lets make_http_webhook_channel and
+                         make_slack_channel POST over a REAL socket
+                         in-sandbox)
+
+Also here: PagesHTTPServer (loopback page store for HttpBackend),
+LoopbackSMTPServer (minimal ESMTP sink for make_email_channel), and the
+alert sender bodies make_email_channel / make_slack_channel /
+make_http_webhook_channel (alert_engine.py:202-335).
 
 Design: queries run in the CALLING Ray session (the server thread shares
 the driver's session; routes are driver-side reads of already-small
@@ -228,6 +238,8 @@ class PagesHTTPServer:
 
         store = ParquetStoreBackend(pages_dir, n_files)
         delays = dict(delays or {})
+        self.n_not_modified = 0  # 304 revalidations served
+        outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -247,9 +259,22 @@ class PagesHTTPServer:
                     if r.status != 200 or r.html is None:
                         self.send_error(404)
                         return
+                    # conditional GET: strong ETag = md5 of the entity;
+                    # a matching If-None-Match revalidates with 304 and no
+                    # body (RFC 9110 §13.1.2 — the recrawl bandwidth saver)
+                    import hashlib as _hl
+
+                    etag = f'"{_hl.md5(r.html).hexdigest()}"'
+                    if self.headers.get("If-None-Match") == etag:
+                        outer.n_not_modified += 1
+                        self.send_response(304)
+                        self.send_header("ETag", etag)
+                        self.end_headers()
+                        return
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "text/html; charset=utf-8")
+                    self.send_header("ETag", etag)
                     self.send_header("Content-Length", str(len(r.html)))
                     self.end_headers()
                     self.wfile.write(r.html)

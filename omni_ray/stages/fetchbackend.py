@@ -158,6 +158,57 @@ class HttpBackend(FetchBackend):
                            (time.perf_counter() - t0) * 1000.0)
 
 
+class CachingHttpBackend(HttpBackend):
+    """HttpBackend + ETag revalidation cache (RFC 9110 conditional GET —
+    the recrawl bandwidth saver a continuous crawler relies on): remembers
+    (ETag, body) per url FOR THE LIFETIME OF THE ACTOR holding it; repeat
+    fetches send If-None-Match, and a 304 serves the cached entity with
+    zero body bytes on the wire. ``n_revalidated`` counts 304 hits (per
+    actor — fold across the pool for lineage)."""
+
+    name = "http"
+
+    def __init__(self, user_agent: str = "omni-ray/1.0", url_rewrite=None):
+        super().__init__(user_agent, url_rewrite)
+        self.cache: dict[str, tuple[str, bytes]] = {}
+        self.n_revalidated = 0
+
+    def fetch_one(self, url: str, timeout_s: float) -> FetchResult:
+        import socket
+        import urllib.error
+        import urllib.request
+
+        target = self.url_rewrite(url) if self.url_rewrite else url
+        headers = {"User-Agent": self.user_agent}
+        cached = self.cache.get(url)
+        if cached:
+            headers["If-None-Match"] = cached[0]
+        req = urllib.request.Request(target, headers=headers)
+        t0 = time.perf_counter()
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                body = resp.read()
+                status = int(resp.status)
+                etag = resp.headers.get("ETag")
+        except urllib.error.HTTPError as e:
+            if e.code == 304 and cached:
+                self.n_revalidated += 1
+                return FetchResult(url, 200, cached[1], self.name,
+                                   (time.perf_counter() - t0) * 1000.0)
+            return FetchResult(url, int(e.code), None, self.name,
+                               (time.perf_counter() - t0) * 1000.0)
+        except (socket.timeout, TimeoutError) as e:
+            raise FetchTimeout(url) from e
+        except urllib.error.URLError as e:
+            if isinstance(e.reason, (socket.timeout, TimeoutError)):
+                raise FetchTimeout(url) from e
+            raise
+        if status == 200 and etag:
+            self.cache[url] = (etag, body)
+        return FetchResult(url, status, body, self.name,
+                           (time.perf_counter() - t0) * 1000.0)
+
+
 class ScriptedBackend(FetchBackend):
     """Deterministic fake-network engine for tests and dry runs: per-url
     scripted behavior — ``('ok', html)``, ``('timeout',)``, ``('error',)``,

@@ -135,3 +135,29 @@ def test_fetch_stage_http_actor_pool_byte_identical_articles(pages_dir, pages_ur
             assert a_http[c].map(str).tolist() == a_store[c].map(str).tolist()
     finally:
         srv.stop()
+
+
+def test_etag_revalidation_304(pages_dir, pages_urls):
+    """RFC 9110 conditional GET over real loopback: the first fetch caches
+    the ETag, the second revalidates with If-None-Match, the server answers
+    304 with no body, and the backend serves the identical cached bytes."""
+    from omni_ray.stages.fetchbackend import CachingHttpBackend
+
+    srv = PagesHTTPServer(f"{pages_dir}/pages", N_FILES).start()
+    try:
+        http = CachingHttpBackend(url_rewrite=loopback_rewrite(srv.port))
+        u = pages_urls[0]
+        r1 = http.fetch_one(u, 5.0)
+        assert r1.status == 200 and r1.html
+        assert srv.n_not_modified == 0 and http.n_revalidated == 0
+        r2 = http.fetch_one(u, 5.0)
+        assert srv.n_not_modified == 1 and http.n_revalidated == 1
+        assert r2.status == 200 and r2.html == r1.html  # cached entity
+        # a different url is a fresh 200, not a revalidation
+        r3 = http.fetch_one(pages_urls[1], 5.0)
+        assert r3.status == 200 and srv.n_not_modified == 1
+        # misses still 404 (no ETag involved)
+        r4 = http.fetch_one("https://missing.example.org/x", 5.0)
+        assert r4.status == 404
+    finally:
+        srv.stop()
