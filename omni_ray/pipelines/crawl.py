@@ -276,6 +276,62 @@ class _FetchBucket:
         ).replace_schema_metadata(None)
 
 
+class _FetchStageCounting:
+    """FetchStage (stages/fetchbackend.py — any FetchBackend: parquet store,
+    HTTP, fallback chain) wrapped with the wave's idempotent lineage tally.
+    The tally key is content-derived (md5 of first url + row count): Ray
+    retries re-run the same block with the same batching, so a re-executed
+    batch overwrites its own entry (the _WaveCounter contract)."""
+
+    def __init__(self, backend_factory, timeout_s, counter, wave):
+        from ..stages.fetchbackend import FetchStage
+
+        self.stage = FetchStage(backend_factory, timeout_s=timeout_s)
+        self.counter = counter
+        self.wave = wave
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        import hashlib as _hashlib
+
+        out = self.stage(batch)
+        if self.counter is not None and len(batch):
+            key = int(_hashlib.md5(
+                (str(batch["url"].iloc[0]) + ":" + str(len(batch))).encode()
+            ).hexdigest()[:12], 16)
+            hits = int(pa.compute.sum(pa.compute.cast(
+                pa.compute.equal(out["http_status"], 200), pa.int64()
+            )).as_py() or 0)
+            ray.get(self.counter.add.remote(
+                self.wave, key, out.num_rows, hits))
+        return out
+
+
+def _fetch_dataset(sched_ds, pages_dir, n_buckets, wave_counter, wave, cpus,
+                   fetch_backend_factory, fetch_timeout_s):
+    """The wave's fetch stage: default = hash-bucketed parquet lookup
+    (groupby(bucket).map_groups(_FetchBucket)); with a backend factory =
+    the FetchStage actor pool over the pluggable seam (HTTP, chain, store),
+    emitting the same (html, warc_ts, lang, http_status) surface."""
+    if fetch_backend_factory is not None:
+        return sched_ds.map_batches(
+            _FetchStageCounting,
+            fn_constructor_kwargs=dict(
+                backend_factory=fetch_backend_factory,
+                timeout_s=fetch_timeout_s, counter=wave_counter, wave=wave),
+            batch_format="pandas", batch_size=256,
+            concurrency=max(2, cpus // 2),
+        )
+    n_fine = n_buckets * _fine_factor(cpus, n_buckets)
+    ds = sched_ds.map_batches(
+        lambda t: _bucket_batch(t, n_fine), batch_format="pyarrow"
+    )
+    fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter,
+                         wave=wave, n_fine=n_fine)
+    return ds.groupby("bucket").map_groups(
+        lambda g: fetch(g), batch_format="pandas"
+    )
+
+
 def _bucket_batch(batch: pa.Table, n_buckets: int) -> pa.Table:
     from ..sources.pages import batch_url_buckets
 
@@ -359,6 +415,8 @@ def run_crawl(
     enrich_concurrency: int | None = None,
     distributed_frontier: bool = True,
     discover_fn=None,
+    fetch_backend_factory=None,
+    fetch_timeout_s: float = 10.0,
 ) -> dict:
     """Run the full crawl to frontier exhaustion. Returns summary counters.
 
@@ -513,15 +571,9 @@ def run_crawl(
         the seen-marking that barrier used to order now runs as its own
         narrow pass, see _mark_and_ckpt in the caller)."""
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_fine = n_buckets * _fine_factor(cpus, n_buckets)
-        ds = sched_ds.map_batches(
-            lambda t: _bucket_batch(t, n_fine), batch_format="pyarrow"
-        )
-        fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter,
-                             wave=wave, n_fine=n_fine)
-        fetched = ds.groupby("bucket").map_groups(
-            lambda g: fetch(g), batch_format="pandas"
-        )
+        fetched = _fetch_dataset(
+            sched_ds, pages_dir, n_buckets, wave_counter, wave, cpus,
+            fetch_backend_factory, fetch_timeout_s)
         hits = fetched.map_batches(
             lambda t: t.filter(pa.compute.equal(t.column("http_status"), 200)),
             batch_format="pyarrow",
@@ -806,15 +858,9 @@ def run_crawl(
             # sort shuffle cost grows with partition count while extract's
             # straggler risk is already covered by the rows-per-block split below
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            n_fine = n_buckets * _fine_factor(cpus, n_buckets)
-            sched_ds = sched_ds.map_batches(
-                lambda t: _bucket_batch(t, n_fine), batch_format="pyarrow"
-            )
-            fetch = _FetchBucket(pages_dir, n_files=n_buckets, counter=wave_counter,
-                                 wave=wave, n_fine=n_fine)
-            fetched = sched_ds.groupby("bucket").map_groups(
-                lambda g: fetch(g), batch_format="pandas"
-            )
+            fetched = _fetch_dataset(
+                sched_ds, pages_dir, n_buckets, wave_counter, wave, cpus,
+                fetch_backend_factory, fetch_timeout_s)
             _tick("fetch")
             hits = fetched.map_batches(
                 lambda t: t.filter(pa.compute.equal(t.column("http_status"), 200)),

@@ -275,6 +275,12 @@ class PagesHTTPServer:
                     self.send_header("Content-Type",
                                      "text/html; charset=utf-8")
                     self.send_header("ETag", etag)
+                    # page metadata for the crawl's article chain
+                    meta = r.meta or {}
+                    if meta.get("warc_ts") is not None:
+                        self.send_header("X-Warc-Ts", str(meta["warc_ts"]))
+                    if meta.get("lang"):
+                        self.send_header("X-Lang", str(meta["lang"]))
                     self.send_header("Content-Length", str(len(r.html)))
                     self.end_headers()
                     self.wfile.write(r.html)

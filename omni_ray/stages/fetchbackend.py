@@ -49,6 +49,10 @@ class FetchResult:
     html: bytes | None
     engine: str
     elapsed_ms: float
+    # page metadata the article chain consumes (warc_ts µs, lang, ...);
+    # store-backed engines read it off the row, HTTP engines off response
+    # headers (X-Warc-Ts / X-Lang from PagesHTTPServer)
+    meta: dict | None = None
 
 
 class FetchTimeout(Exception):
@@ -78,16 +82,24 @@ class ParquetStoreBackend(FetchBackend):
         self.n_files = n_files
         self._cache: dict[int, dict[str, bytes]] = {}
 
-    def _bucket_map(self, bucket: int) -> dict[str, bytes]:
+    def _bucket_map(self, bucket: int) -> dict[str, tuple]:
         if bucket not in self._cache:
             path = os.path.join(self.pages_dir, f"bucket-{bucket:04d}.parquet")
-            m: dict[str, bytes] = {}
+            m: dict[str, tuple] = {}
             if os.path.exists(path):
-                t = pq.read_table(path, columns=["url", "html"])
-                for u, h in zip(t.column("url").to_pylist(),
-                                t.column("html").to_pylist()):
+                cols = ["url", "html"]
+                avail = pq.read_schema(path).names
+                extra = [c for c in ("warc_ts", "lang") if c in avail]
+                t = pq.read_table(path, columns=cols + extra)
+                ts = (t.column("warc_ts").cast("int64").to_pylist()
+                      if "warc_ts" in extra else [None] * t.num_rows)
+                lg = (t.column("lang").to_pylist() if "lang" in extra
+                      else [None] * t.num_rows)
+                for u, h, w, l in zip(t.column("url").to_pylist(),
+                                      t.column("html").to_pylist(), ts, lg):
                     if h is not None:
-                        m[u] = h if isinstance(h, bytes) else str(h).encode()
+                        m[u] = (h if isinstance(h, bytes) else str(h).encode(),
+                                w, l)
             self._cache[bucket] = m
         return self._cache[bucket]
 
@@ -95,10 +107,30 @@ class ParquetStoreBackend(FetchBackend):
         from ..sources.pages import url_bucket
 
         t0 = time.perf_counter()
-        html = self._bucket_map(url_bucket(url, self.n_files)).get(url)
+        row = self._bucket_map(url_bucket(url, self.n_files)).get(url)
         ms = (time.perf_counter() - t0) * 1000.0
-        return FetchResult(url, 200 if html is not None else 404, html,
-                           self.name, ms)
+        if row is None:
+            return FetchResult(url, 404, None, self.name, ms)
+        html, warc_ts, lang = row
+        return FetchResult(url, 200, html, self.name, ms,
+                           meta={"warc_ts": warc_ts, "lang": lang})
+
+
+def _meta_from_headers(headers) -> dict | None:
+    """Page metadata carried on response headers (PagesHTTPServer sends the
+    store row's warc_ts/lang as X-Warc-Ts / X-Lang; a production mirror
+    would do the same or the crawl stamps fetch time)."""
+    meta = {}
+    wt = headers.get("X-Warc-Ts")
+    if wt:
+        try:
+            meta["warc_ts"] = int(wt)
+        except ValueError:
+            pass
+    lg = headers.get("X-Lang")
+    if lg:
+        meta["lang"] = lg
+    return meta or None
 
 
 def loopback_rewrite(port: int):
@@ -145,6 +177,7 @@ class HttpBackend(FetchBackend):
             with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                 body = resp.read()
                 status = int(resp.status)
+                meta = _meta_from_headers(resp.headers)
         except urllib.error.HTTPError as e:
             return FetchResult(url, int(e.code), None, self.name,
                                (time.perf_counter() - t0) * 1000.0)
@@ -155,7 +188,7 @@ class HttpBackend(FetchBackend):
                 raise FetchTimeout(url) from e
             raise
         return FetchResult(url, status, body, self.name,
-                           (time.perf_counter() - t0) * 1000.0)
+                           (time.perf_counter() - t0) * 1000.0, meta=meta)
 
 
 class CachingHttpBackend(HttpBackend):
@@ -170,7 +203,7 @@ class CachingHttpBackend(HttpBackend):
 
     def __init__(self, user_agent: str = "omni-ray/1.0", url_rewrite=None):
         super().__init__(user_agent, url_rewrite)
-        self.cache: dict[str, tuple[str, bytes]] = {}
+        self.cache: dict[str, tuple[str, bytes, dict | None]] = {}
         self.n_revalidated = 0
 
     def fetch_one(self, url: str, timeout_s: float) -> FetchResult:
@@ -190,11 +223,13 @@ class CachingHttpBackend(HttpBackend):
                 body = resp.read()
                 status = int(resp.status)
                 etag = resp.headers.get("ETag")
+                meta = _meta_from_headers(resp.headers)
         except urllib.error.HTTPError as e:
             if e.code == 304 and cached:
                 self.n_revalidated += 1
                 return FetchResult(url, 200, cached[1], self.name,
-                                   (time.perf_counter() - t0) * 1000.0)
+                                   (time.perf_counter() - t0) * 1000.0,
+                                   meta=cached[2])
             return FetchResult(url, int(e.code), None, self.name,
                                (time.perf_counter() - t0) * 1000.0)
         except (socket.timeout, TimeoutError) as e:
@@ -204,9 +239,9 @@ class CachingHttpBackend(HttpBackend):
                 raise FetchTimeout(url) from e
             raise
         if status == 200 and etag:
-            self.cache[url] = (etag, body)
+            self.cache[url] = (etag, body, meta)
         return FetchResult(url, status, body, self.name,
-                           (time.perf_counter() - t0) * 1000.0)
+                           (time.perf_counter() - t0) * 1000.0, meta=meta)
 
 
 class ScriptedBackend(FetchBackend):
@@ -287,6 +322,7 @@ class FetchStage:
             u.split("/", 3)[2] if "://" in u else u for u in urls]
         taken: dict[str, int] = {}
         status, html, engine, elapsed, deferred = [], [], [], [], []
+        warc_ts, lang = [], []
         for u, h in zip(urls, hosts):
             if self.max_per_host is not None:
                 c = taken.get(h, 0)
@@ -294,12 +330,16 @@ class FetchStage:
                     status.append(0); html.append(None)
                     engine.append(""); elapsed.append(0.0)
                     deferred.append(True)
+                    warc_ts.append(None); lang.append(None)
                     continue
                 taken[h] = c + 1
             r = self.backend.fetch_one(u, self.timeout_s)
             status.append(r.status); html.append(r.html)
             engine.append(r.engine); elapsed.append(r.elapsed_ms)
             deferred.append(False)
+            meta = r.meta or {}
+            warc_ts.append(meta.get("warc_ts"))
+            lang.append(meta.get("lang"))
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "host": pa.array(hosts, pa.string()),
@@ -308,4 +348,7 @@ class FetchStage:
             "engine": pa.array(engine, pa.string()),
             "elapsed_ms": pa.array(elapsed, pa.float64()),
             "deferred": pa.array(deferred, pa.bool_()),
+            # page metadata for the article chain (store rows / X- headers)
+            "warc_ts": pa.array(warc_ts, pa.timestamp("us")),
+            "lang": pa.array(lang, pa.string()),
         })
