@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.cdxops import CDXOPS_REGISTRY
     from omni_ray.pipelines.robotschain import ROBOTSCHAIN_REGISTRY
     from omni_ray.pipelines.revalops import REVALPLAN_REGISTRY
+    from omni_ray.pipelines.heavyhitters import HEAVYHITTERS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -239,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in CDXOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in ROBOTSCHAIN_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in REVALPLAN_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in HEAVYHITTERS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -320,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.cdxops import CDXOPS_REGISTRY
     from omni_ray.pipelines.robotschain import ROBOTSCHAIN_REGISTRY
     from omni_ray.pipelines.revalops import REVALPLAN_REGISTRY
+    from omni_ray.pipelines.heavyhitters import HEAVYHITTERS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -429,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in CDXOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in ROBOTSCHAIN_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in REVALPLAN_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in HEAVYHITTERS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

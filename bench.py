@@ -927,6 +927,11 @@ def run_bench() -> dict:
     timed("conditional_get_plan",
           lambda: REVALPLAN_REGISTRY["conditional_get_plan"][0](SF_DIR).num_rows)
 
+    # batch 93: Misra-Gries heavy hitters (sketch + exact verify pass)
+    from omni_ray.pipelines.heavyhitters import HEAVYHITTERS_REGISTRY
+    timed("mg_heavy_hitters",
+          lambda: HEAVYHITTERS_REGISTRY["mg_heavy_hitters"][0](SF_DIR).num_rows)
+
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
     # body (_dedup_and_rank over hash(host)%64 buckets) — the 10^10-frontier
