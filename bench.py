@@ -931,6 +931,9 @@ def run_bench() -> dict:
     from omni_ray.pipelines.heavyhitters import HEAVYHITTERS_REGISTRY
     timed("mg_heavy_hitters",
           lambda: HEAVYHITTERS_REGISTRY["mg_heavy_hitters"][0](SF_DIR).num_rows)
+    from omni_ray.pipelines.heavychange import HEAVYCHANGE_REGISTRY
+    timed("heavy_change_census",
+          lambda: HEAVYCHANGE_REGISTRY["heavy_change_census"][0](SF_DIR).num_rows)
 
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
