@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.revalops import REVALPLAN_REGISTRY
     from omni_ray.pipelines.heavyhitters import HEAVYHITTERS_REGISTRY
     from omni_ray.pipelines.heavychange import HEAVYCHANGE_REGISTRY
+    from omni_ray.pipelines.mrlops import MRLOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -243,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in REVALPLAN_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in HEAVYHITTERS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in HEAVYCHANGE_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in MRLOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -326,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.revalops import REVALPLAN_REGISTRY
     from omni_ray.pipelines.heavyhitters import HEAVYHITTERS_REGISTRY
     from omni_ray.pipelines.heavychange import HEAVYCHANGE_REGISTRY
+    from omni_ray.pipelines.mrlops import MRLOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -437,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in REVALPLAN_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in HEAVYHITTERS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in HEAVYCHANGE_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in MRLOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

@@ -934,6 +934,9 @@ def run_bench() -> dict:
     from omni_ray.pipelines.heavychange import HEAVYCHANGE_REGISTRY
     timed("heavy_change_census",
           lambda: HEAVYCHANGE_REGISTRY["heavy_change_census"][0](SF_DIR).num_rows)
+    from omni_ray.pipelines.mrlops import MRLOPS_REGISTRY
+    timed("mrl_prefix_top1_audit",
+          lambda: MRLOPS_REGISTRY["mrl_prefix_top1_audit"][0](SF_DIR).num_rows)
 
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
