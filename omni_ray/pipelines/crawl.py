@@ -14,6 +14,9 @@ Wave anatomy — ONE fused map chain, ONE frontier shuffle, one fetch shuffle:
       hashes into the seen shards, emit lineage counters
     → scheduled → bucket by md5(url) → groupby(bucket).map_groups[fetch =
       partitioned lookup against the hash-bucketed pages parquet]
+      (or, with ``fetch_backend_factory``, a FetchStage actor pool over the
+      pluggable seam — parquet store / real HTTP / fallback chain — with
+      page metadata riding FetchResult.meta)
     → clean/extract/enrich/validate/assemble → epoch parquet.
 
 In the distributed regime (the default), fetch→extract is ONE streaming
