@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from omni_ray.pipelines.heavyhitters import HEAVYHITTERS_REGISTRY
     from omni_ray.pipelines.heavychange import HEAVYCHANGE_REGISTRY
     from omni_ray.pipelines.mrlops import MRLOPS_REGISTRY
+    from omni_ray.pipelines.trapops import TRAPOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -245,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in HEAVYHITTERS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in HEAVYCHANGE_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in MRLOPS_REGISTRY.items()})
+    out.update({name: fn for name, (fn, _sql) in TRAPOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: fn for name, (fn, _sql) in LOCALOPS_REGISTRY.items()})
@@ -329,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
     from omni_ray.pipelines.heavyhitters import HEAVYHITTERS_REGISTRY
     from omni_ray.pipelines.heavychange import HEAVYCHANGE_REGISTRY
     from omni_ray.pipelines.mrlops import MRLOPS_REGISTRY
+    from omni_ray.pipelines.trapops import TRAPOPS_REGISTRY
     from omni_ray.pipelines.specops import SPECOPS_REGISTRY
     from omni_ray.pipelines.sketchops import SKETCHOPS_REGISTRY
     from omni_ray.pipelines.spandedup import SPANDEDUP_REGISTRY
@@ -441,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in HEAVYHITTERS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in HEAVYCHANGE_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in MRLOPS_REGISTRY.items()})
+    out.update({name: sql for name, (_fn, sql) in TRAPOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in IDENTOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in FUNNELOPS_REGISTRY.items()})
     out.update({name: sql for name, (_fn, sql) in LOCALOPS_REGISTRY.items()})

@@ -937,6 +937,9 @@ def run_bench() -> dict:
     from omni_ray.pipelines.mrlops import MRLOPS_REGISTRY
     timed("mrl_prefix_top1_audit",
           lambda: MRLOPS_REGISTRY["mrl_prefix_top1_audit"][0](SF_DIR).num_rows)
+    from omni_ray.pipelines.trapops import TRAPOPS_REGISTRY
+    timed("crawl_trap_detector",
+          lambda: TRAPOPS_REGISTRY["crawl_trap_detector"][0](SF_DIR).num_rows)
 
     # frontier stress: 10M synthetic URLs (1M hosts, 20% duplicate
     # url_hashes) through the crawl's OWN distributed dedup+politeness+rank
