@@ -67,15 +67,22 @@ def cmd_continuous(args) -> int:
 
     feeds_dir = args.feeds_dir
 
+    def _cycle_no(fname: str) -> int | None:
+        try:
+            return int(fname[6:-8])
+        except ValueError:
+            return None  # not a cycle-<int>.parquet file: ignore, don't die
+
     def feeds_fn(cycle: int):
-        files = sorted(
-            f for f in os.listdir(feeds_dir)
+        files = [
+            f for f in sorted(os.listdir(feeds_dir))
             if f.startswith("cycle-") and f.endswith(".parquet")
-        )
+            and _cycle_no(f) is not None
+        ]
         path = os.path.join(feeds_dir, f"cycle-{cycle}.parquet")
         if os.path.exists(path):
             return pq.read_table(path)
-        if any(int(f[6:-8]) > cycle for f in files):
+        if any(_cycle_no(f) > cycle for f in files):
             # quiet cycle with later feeds scheduled: keep polling
             return pq.read_table(os.path.join(feeds_dir, files[0])).slice(0, 0)
         return None
@@ -119,12 +126,17 @@ def cmd_query(args) -> int:
 def cmd_serve(args) -> int:
     _init_ray(args.num_cpus)
     from .pipelines.monitor import SystemMonitor
-    from .pipelines.queries import REGISTRY
     from .serve import DashboardServer
+
+    # the FULL registered query surface (every registry __ray_entry__
+    # exposes), not just pipelines.queries — the allow-list is the gate
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __ray_entry__ as entry
 
     srv = DashboardServer(
         args.sf_dir, monitor=SystemMonitor(),
-        queries={n: f for n, (f, _s) in REGISTRY.items()},
+        queries=entry.queries(),
         allowed=args.allow.split(",") if args.allow else None,
         port=args.port,
     ).start()

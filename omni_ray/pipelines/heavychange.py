@@ -32,8 +32,6 @@ _WORD_RE = re.compile(r"[a-z]+")
 
 
 def _window_summarize(which: int):
-    import hashlib
-
     def f(df: pd.DataFrame) -> pd.DataFrame:
         toks: list[str] = []
         for i, t in zip(df["doc_id"], df["text"]):
@@ -45,7 +43,9 @@ def _window_summarize(which: int):
                                  "c": pd.Series([], dtype="int64"),
                                  "n_block": pd.Series([], dtype="int64"),
                                  "block_id": pd.Series([], dtype="object")})
-        bid = hashlib.md5(" ".join(toks[:50]).encode()).hexdigest()
+        # min doc_id: collision-free across blocks (see heavyhitters.py —
+        # a leading-token hash collides on duplicated boilerplate openings)
+        bid = str(int(min(df["doc_id"])))
         s = _mg_compress(pd.Series(toks).value_counts(), _K)
         return pd.DataFrame({"term": s.index.astype(object),
                              "c": s.to_numpy(np.int64),

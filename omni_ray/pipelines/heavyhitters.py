@@ -46,11 +46,11 @@ def _mg_compress(counts: pd.Series, k: int) -> pd.Series:
 def mg_heavy_hitters(sf_dir: str):
     import re
 
-    ds = _read(sf_dir, "documents", columns=["text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     word_re = re.compile(r"[a-z]+")
 
-    # n_block rides along with a content-derived block id (n_block alone is
-    # NOT a block key: two blocks can hold equal token counts)
+    # n_block rides along with the block's min doc_id as the block key
+    # (n_block alone is NOT one: two blocks can hold equal token counts)
     parts = ds.map_batches(_pd_arrow(_summarize_with_id(word_re)),
                            batch_format="pandas").to_pandas()
     n_total = int(parts.drop_duplicates("block_id")["n_block"].sum())
@@ -80,8 +80,6 @@ def mg_heavy_hitters(sf_dir: str):
 
 
 def _summarize_with_id(word_re):
-    import hashlib
-
     def f(df: pd.DataFrame) -> pd.DataFrame:
         toks: list[str] = []
         for t in df["text"]:
@@ -92,8 +90,12 @@ def _summarize_with_id(word_re):
                                  "c": pd.Series([], dtype="int64"),
                                  "n_block": pd.Series([], dtype="int64"),
                                  "block_id": pd.Series([], dtype="object")})
-        # content-derived block id (stable under retries)
-        bid = hashlib.md5(" ".join(toks[:50]).encode()).hexdigest()
+        # block id = the block's min doc_id: blocks partition the rows and
+        # doc_id is unique, so this can NEVER collide across blocks (a
+        # content hash of leading tokens could — near-duplicate boilerplate
+        # docs can open two different blocks identically) and is stable
+        # under task retries
+        bid = str(int(min(df["doc_id"])))
         summary = _mg_compress(pd.Series(toks).value_counts(), _K)
         return pd.DataFrame({"term": summary.index.astype(object),
                              "c": summary.to_numpy(np.int64),

@@ -64,7 +64,9 @@ class DashboardServer:
         self.monitor = monitor
         self.queries = queries or {}
         self.allowed = set(allowed if allowed is not None
-                           else ["global_stats", "daily_timeseries"])
+                           else ["global_stats", "daily_timeseries",
+                                 "per_category_rollup", "daily_type_matrix",
+                                 "per_domain_topk"])
         self.received_hooks: list[dict] = []
         outer = self
 
@@ -148,11 +150,24 @@ class DashboardServer:
 
     # ---- figure routes (dashboard.py:327-353 → 755-1004) -----------------
 
+    # each figure's underlying query — the analytics routes honor the SAME
+    # allow-list /api/query enforces (an operator who narrowed the surface
+    # must not still pay for pipeline queries via /analytics)
+    _ANALYTICS_QUERY = {
+        "categories": "per_category_rollup",
+        "sentiment": "daily_type_matrix",
+        "domains": "per_domain_topk",
+    }
+
     def _analytics(self, kind: str):
         """``/api/analytics/<kind>`` → ``{'chart': figure, 'data': {...}}``
-        over the registered aggregate queries (bounded results only)."""
+        over the registered aggregate queries (bounded results only);
+        404 when the underlying query is not allow-listed."""
         from . import figures
 
+        dep = self._ANALYTICS_QUERY.get(kind)
+        if dep is None or dep not in self.allowed:
+            return None
         try:
             if kind == "categories" and "per_category_rollup" in self.queries:
                 rows = self._run("per_category_rollup")

@@ -7,38 +7,12 @@ cover driver death; these cover actor death."""
 
 import os
 
-import pandas as pd
+import pandas as pd  # noqa: F401 (fixture frames)
 import pyarrow.parquet as pq
 import pytest
 import ray
 
-
-def _all_schedules(out_dir) -> pd.DataFrame:
-    frames = []
-    for d in sorted(os.listdir(out_dir)):
-        if not d.startswith("epoch="):
-            continue
-        p1 = os.path.join(out_dir, d, "schedule.parquet")
-        p2 = os.path.join(out_dir, d, "schedule")
-        if os.path.exists(p1):
-            f = pq.read_table(p1).to_pandas()
-        elif os.path.isdir(p2):
-            parts = sorted(
-                os.path.join(p2, x) for x in os.listdir(p2) if x.endswith(".parquet")
-            )
-            if not parts:
-                continue
-            f = pd.concat([pq.read_table(fp).to_pandas() for fp in parts],
-                          ignore_index=True)
-            f["crawl_order"] = range(len(f))
-        else:
-            continue
-        if not len(f):
-            continue
-        f["wave"] = int(d.split("=")[1])
-        frames.append(f)
-    out = pd.concat(frames, ignore_index=True)
-    return out.sort_values(["wave", "crawl_order"], kind="mergesort").reset_index(drop=True)
+from tests.test_crawl import _all_schedules
 
 
 def _run(pages_dir, out_dir, **kw):

@@ -19,6 +19,7 @@ import pytest
 
 from omni_ray.functions.canonical import canonicalize_url, host_of, md5_hex
 from omni_ray.pipelines.frontier import reference_oracle_schedule_continuous
+from tests.test_crawl import _all_schedules
 
 BASE_TS_US = 1_700_000_000_000_000
 
@@ -74,34 +75,6 @@ def _discovery_frame(urls: list[str], kind: str, seq: int) -> pd.DataFrame:
             }
         )
     )
-
-
-def _all_schedules(out_dir) -> pd.DataFrame:
-    frames = []
-    for d in sorted(os.listdir(out_dir)):
-        if not d.startswith("epoch="):
-            continue
-        p1 = os.path.join(out_dir, d, "schedule.parquet")
-        p2 = os.path.join(out_dir, d, "schedule")
-        if os.path.exists(p1):
-            f = pq.read_table(p1).to_pandas()
-        elif os.path.isdir(p2):
-            parts = sorted(
-                os.path.join(p2, f) for f in os.listdir(p2) if f.endswith(".parquet")
-            )
-            if not parts:
-                continue
-            f = pd.concat([pq.read_table(fp).to_pandas() for fp in parts],
-                          ignore_index=True)
-            f["crawl_order"] = range(len(f))
-        else:
-            continue
-        if not len(f):
-            continue
-        f["wave"] = int(d.split("=")[1])
-        frames.append(f)
-    out = pd.concat(frames, ignore_index=True)
-    return out.sort_values(["wave", "crawl_order"], kind="mergesort").reset_index(drop=True)
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -30,7 +30,9 @@ def server(ray_session):
     mon.gauges["system_cpu_percent"].set(7.5)
     queries = {name: fn for name, (fn, _sql) in REGISTRY.items()}
     srv = DashboardServer(SF, monitor=mon, queries=queries,
-                          allowed=["global_stats", "daily_timeseries"]).start()
+                          allowed=["global_stats", "daily_timeseries",
+                                   "per_category_rollup", "daily_type_matrix",
+                                   "per_domain_topk"]).start()
     yield srv
     srv.stop()
 
@@ -188,3 +190,27 @@ def test_slack_channel_payload_shape(server):
     assert float(fields["Threshold"]) == 40
     assert fields["Severity"] == "WARNING"
     assert all(f["short"] for f in att["fields"])
+
+
+def test_analytics_routes_honor_allow_list(ray_session):
+    """A narrowed server must not serve figures whose underlying query is
+    off the allow-list (same contract as /api/query)."""
+    import urllib.error
+
+    from omni_ray.pipelines.queries import REGISTRY
+    from omni_ray.serve import DashboardServer
+
+    srv = DashboardServer(
+        SF, queries={n: f for n, (f, _s) in REGISTRY.items()},
+        allowed=["global_stats"],  # figures' queries deliberately excluded
+    ).start()
+    try:
+        for kind in ("categories", "sentiment", "domains"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _get(srv.url + f"/api/analytics/{kind}")
+            assert ei.value.code == 404
+        # the HTML page renders, but with no figures
+        _, body = _get(srv.url + "/analytics")
+        assert b"fig-categories" not in body
+    finally:
+        srv.stop()

@@ -5,11 +5,16 @@ extrapolate to sf1/sf10.
 Method: run each flagged query at sf0.01 and sf0.1, take the max |value|
 over integer output columns, fit the growth factor g = v(sf0.1)/v(sf0.01)
 (clamped >= 1), extrapolate v(sf1) = v(0.1)*g and v(sf10) = v(0.1)*g^2, and
-report headroom = (2^63-1)/v. For sums of NONNEGATIVE addends — the house
-census/ppm idiom — every block-local partial is bounded by the final sum,
-so output magnitude bounds the partials too; queries whose Ray code sums
-SIGNED addends (cancelling partials can exceed the result) are listed in
-SIGNED_NOTES with a hand-derived partial bound instead.
+report headroom = (2^63-1)/v.
+
+Scope: the output-magnitude rule bounds block-local partials only for sums
+of NONNEGATIVE addends — the house census/ppm idiom, which is what these
+oracles overwhelmingly are. It does NOT cover signed-addend sums
+(cancelling partials can exceed the result); the repo's signed families
+already carry their own overflow constructions instead of relying on this
+audit — renewops' base-2^30 int64-limb Sum (BASELINE.md round-4 ledger)
+and the rank/weight-bounded L-moment folds — and any NEW signed-sum oracle
+must document its partial bound at the query, not here.
 
 Usage: python tools/overflow_audit.py   (owns its Ray session)
 Writes /tmp/overflow_audit.json and prints the BASELINE.md table.
