@@ -6,6 +6,7 @@ Ray pipelines.
 
 Commands
   crawl       one full crawl to frontier exhaustion (run_crawl)
+  compact     merge small part files in finished epoch snapshots
   continuous  discovery-driven cycles: --feeds-dir holds cycle-<k>.parquet
               feed tables (feed_url, kind, body[, feed_seq]); each cycle's
               file is parsed by the real RSS/sitemap parsers and unioned
@@ -171,6 +172,14 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .sinks.compact import compact_epoch_snapshots
+
+    manifests = compact_epoch_snapshots(args.out, args.target_rows)
+    print(json.dumps(manifests))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="omni_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -212,6 +221,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--allow", default=None,
                    help="comma-separated query allow-list")
     c.set_defaults(fn=cmd_serve)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--out", required=True,
+                   help="crawl output dir (epoch=* layout)")
+    c.add_argument("--target-rows", type=int, default=1_000_000)
+    c.set_defaults(fn=cmd_compact)
 
     c = sub.add_parser("export")
     c.add_argument("--articles", required=True)
